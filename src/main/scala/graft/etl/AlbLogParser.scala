@@ -1,0 +1,124 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.functions.UaClassifier
+
+/** AWS ALB access-log parser — the reference engine's entire dataflow
+  * (`/root/reference/etl_elb_log_to_mysql.py:64-131`, operators A3-A13 in
+  * SURVEY.md §2.A) re-expressed as a single declarative Spark projection.
+  *
+  * Design notes (Spark-first, 100 TB-ready):
+  *   - Tokenization (shlex.split at reference `:66`) becomes a `from_csv`
+  *     with `sep=" "`, `quote='"'`, `escape='\\'` — whitespace-delimited,
+  *     double-quote-aware, exactly the shell-quoting subset ALB emits. This
+  *     runs inside whole-stage codegen; no UDF, no Python, no row loop.
+  *   - All 13 derivations (reference `:71-128`) are Catalyst expressions, so
+  *     Catalyst can prune/push/fuse them, and the whole parse is one narrow
+  *     stage: it scales linearly with input splits and never shuffles.
+  *   - Malformed-line semantics match the reference: <15 tokens → drop
+  *     (`:67-69`), unparseable timestamp → drop (`:81-83`); guarded casts
+  *     map non-numeric to 0 / 0.0 (`:43-50`).
+  *   - Note for scale: `.gz` inputs are NOT splittable — one task per file.
+  *     That matches ALB's many-small-files layout (good parallelism), but for
+  *     few huge archives prefer re-staging to parquet via [[readLogs]] +
+  *     `repartition` before heavy downstream work.
+  */
+object AlbLogParser {
+
+  /** Timestamp formats tried in order (reference `:41,72-80`):
+    * with and without fractional seconds, literal trailing Z. */
+  private val TsFracFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
+  /** Generous token schema: ALB emits 29-30 fields; extra tokens beyond the
+    * schema are ignored, missing ones are null (PERMISSIVE). Only t0..t14
+    * are consumed; arity>=15 is enforced via `t14 IS NOT NULL`. */
+  private val nTokens = 35
+  private val tokenSchema = StructType(
+    (0 until nTokens).map(i => StructField(s"t$i", StringType, nullable = true)))
+
+  private val csvOptions = Map(
+    "sep" -> " ",
+    "quote" -> "\"",
+    "escape" -> "\\",
+    "mode" -> "PERMISSIVE")
+
+  /** Reference `to_int` (`:43-44`): digits-only strings parse, everything
+    * else (incl. "-", "-1", "") → 0. Unit-tested by the reference at
+    * `tests/test_utils.py:4-7`. */
+  def guardedInt(c: Column): Column =
+    when(c.rlike("^[0-9]+$"), c.cast("int")).otherwise(lit(0))
+
+  def guardedLong(c: Column): Column =
+    when(c.rlike("^[0-9]+$"), c.cast("long")).otherwise(lit(0L))
+
+  /** Reference `to_float` (`:46-50`): python float() accepts negatives and
+    * scientific notation; failures → 0.0. Tested at `tests/test_utils.py:9-12`. */
+  def guardedDouble(c: Column): Column =
+    when(c.rlike("^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"),
+      c.cast("double")).otherwise(lit(0.0))
+
+  /** Read raw ALB log files (gzip auto-decoded by extension) as one line per
+    * row, carrying the origin file — reference operators A1-A3. */
+  def readLogs(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("pathGlobFilter", "*.gz")
+      .textFile(path)
+      .toDF("value")
+      .withColumn("_source", input_file_name())
+
+  /** Parse a DataFrame of raw log lines into the 13-column `elb_log_data`
+    * relation (schema in SURVEY.md §1.3 / FIXTURES.md §2).
+    *
+    * @param lines     input frame
+    * @param lineCol   column holding the raw log line
+    * @param sourceCol expression for `log_source_file` (reference `:127`)
+    */
+  def parse(lines: DataFrame, lineCol: String = "value",
+            sourceCol: Column = input_file_name()): DataFrame = {
+    val tok = from_csv(col(lineCol), tokenSchema, csvOptions)
+    val withTok = lines.withColumn("_tok", tok)
+    val t = (i: Int) => col(s"_tok.t$i")
+
+    // Multi-format timestamp parse (UTC) then shift to Eastern (reference
+    // `:72-83`). Requires session tz = UTC (pinned by the harness) so the
+    // pattern-parse interprets the wall-clock as UTC.
+    val tsUtc = coalesce(
+      try_to_timestamp(t(1), lit(TsFracFmt)),
+      try_to_timestamp(t(1), lit(TsFmt)))
+    val tsEastern = from_utc_timestamp(tsUtc, "America/New_York")
+
+    // "METHOD URL HTTP/x.y" → method + url path (reference `:100-106`):
+    // maxsplit=2 then len>=2 check; else Unknown/"".
+    val reqParts = split(t(12), " ", 3)
+    val hasUrl = size(reqParts) >= 2
+    val method = when(hasUrl, try_element_at(reqParts, lit(1))).otherwise(lit("Unknown"))
+    val path = when(hasUrl,
+      coalesce(try_parse_url(try_element_at(reqParts, lit(2)), lit("PATH")), lit("")))
+      .otherwise(lit(""))
+
+    val ua = coalesce(t(13), lit(""))
+
+    withTok
+      .filter(t(14).isNotNull)   // arity >= 15 (reference `:67-69`)
+      .filter(tsUtc.isNotNull)   // unparseable timestamp drops row (`:81-83`)
+      .select(
+        tsEastern.as("log_timestamp"),
+        substring_index(t(3), ":", 1).as("client_ip"),
+        method.as("http_method"),
+        path.as("requested_path"),
+        guardedInt(t(8)).as("elb_status_code"),
+        guardedInt(t(9)).as("backend_status_code"),
+        bround((guardedDouble(t(5)) + guardedDouble(t(6)) + guardedDouble(t(7))) * 1000, 3)
+          .as("total_processing_time_ms"),
+        guardedLong(t(10)).as("received_bytes"),
+        guardedLong(t(11)).as("sent_bytes"),
+        ua.as("user_agent_full"),
+        UaClassifier.browserFamily(ua).as("ua_browser_family"),
+        UaClassifier.osFamily(ua).as("ua_os_family"),
+        sourceCol.as("log_source_file"))
+  }
+}

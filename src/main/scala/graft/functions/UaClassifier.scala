@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** User-agent → browser/OS family classification (reference A12,
+  * `/root/reference/etl_elb_log_to_mysql.py:109-112`, which delegates to the
+  * python `user_agents` package).
+  *
+  * Spark-first design: instead of a row-at-a-time UDF we use a `when(...)`
+  * ladder over substring predicates — pure Catalyst expressions, fully
+  * whole-stage-codegen'd, and therefore distributable with zero serialization
+  * overhead. The ladder is declared once as data ([[rules]]) and compiled to
+  * BOTH a Spark `Column` and an equivalent ANSI-SQL `CASE` chain so the
+  * DuckDB oracle applies byte-identical semantics.
+  *
+  * This intentionally covers the dominant families only (the reference's
+  * library knows thousands of obscure agents); unknown agents map to "Other",
+  * empty/"-" to "Unknown" — matching the reference's default handling at
+  * `/root/reference/etl_elb_log_to_mysql.py:110-112`.
+  */
+object UaClassifier {
+
+  /** (family, substrings that must ALL appear, substrings that must NOT appear).
+    * First match wins — order matters (e.g. Edge/Opera carry "Chrome/" too). */
+  val browserRules: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("Edge", Seq("Edg"), Seq.empty),
+    ("Opera", Seq("OPR/"), Seq.empty),
+    ("Chrome Mobile", Seq("Chrome/", "Mobile"), Seq.empty),
+    ("Chrome", Seq("Chrome/"), Seq.empty),
+    ("Firefox", Seq("Firefox/"), Seq("Seamonkey")),
+    ("Mobile Safari", Seq("Safari/", "Mobile"), Seq.empty),
+    ("Safari", Seq("Safari/", "Version/"), Seq.empty),
+    ("curl", Seq("curl/"), Seq.empty),
+    ("Python Requests", Seq("python-requests"), Seq.empty),
+    ("Googlebot", Seq("Googlebot"), Seq.empty),
+  )
+
+  val osRules: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("Windows", Seq("Windows NT"), Seq.empty),
+    ("iOS", Seq("iPhone"), Seq.empty),
+    ("iOS", Seq("iPad"), Seq.empty),
+    ("Mac OS X", Seq("Mac OS X"), Seq.empty),
+    ("Android", Seq("Android"), Seq.empty),
+    ("Ubuntu", Seq("Ubuntu"), Seq.empty),
+    ("Linux", Seq("Linux"), Seq.empty),
+  )
+
+  private def isBlank(ua: Column): Column = ua.isNull || ua === "" || ua === "-"
+
+  private def ladder(ua: Column, rules: Seq[(String, Seq[String], Seq[String])],
+                     fallback: String): Column = {
+    val tail: Column = rules.reverse.foldLeft(lit(fallback)) {
+      case (els, (family, pos, neg)) =>
+        val cond = (pos.map(p => ua.contains(p)) ++ neg.map(n => !ua.contains(n)))
+          .reduce(_ && _)
+        when(cond, lit(family)).otherwise(els)
+    }
+    when(isBlank(ua), lit("Unknown")).otherwise(tail)
+  }
+
+  /** Browser family as a codegen'd Column expression. */
+  def browserFamily(ua: Column): Column = ladder(ua, browserRules, "Other")
+
+  /** OS family as a codegen'd Column expression. */
+  def osFamily(ua: Column): Column = ladder(ua, osRules, "Other")
+
+  // ---- SQL twin (DuckDB oracle) ------------------------------------------
+
+  private def sqlLadder(uaExpr: String,
+                        rules: Seq[(String, Seq[String], Seq[String])],
+                        fallback: String): String = {
+    val whens = rules.map { case (family, pos, neg) =>
+      val conds = pos.map(p => s"contains($uaExpr, '$p')") ++
+        neg.map(n => s"NOT contains($uaExpr, '$n')")
+      s"WHEN ${conds.mkString(" AND ")} THEN '$family'"
+    }
+    s"""CASE WHEN $uaExpr IS NULL OR $uaExpr = '' OR $uaExpr = '-' THEN 'Unknown'
+       |${whens.mkString(" ")} ELSE '$fallback' END""".stripMargin.replace("\n", " ")
+  }
+
+  def browserFamilySql(uaExpr: String): String = sqlLadder(uaExpr, browserRules, "Other")
+  def osFamilySql(uaExpr: String): String = sqlLadder(uaExpr, osRules, "Other")
+}
