@@ -3,7 +3,9 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   private def all: Seq[graft.queries.QueryDef] =
-    graft.queries.EtlQueries.defs ++ graft.queries.Relational.defs
+    graft.queries.EtlQueries.defs ++ graft.queries.Relational.defs ++
+      graft.queries.Functions.defs ++ graft.queries.EventsQueries.defs ++
+      graft.queries.LlmOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full ALB parse pipeline over the synthetic line corpus. */

@@ -20,7 +20,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "events")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses outright — read nanos as long (legacy conf) and convert to a
+    * microsecond TimestampType (truncation, matching Spark's own µs model). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    // integer `div`, NOT `/`: Long / Long is double division in Spark and
+    // ~1.7e18 ns exceeds double precision (rounds up to the next µs)
+    apply(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 }

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design (the point of each algorithm at 100 TB):
+  *   - [[exact]]: hash-groupBy on a digest of the content, never on the
+  *     content itself — the shuffle carries 16-byte keys, not documents.
+  *   - [[minHashPairs]]: MinHash+LSH — candidate generation is a self-join
+  *     on (band, bucket) keys, so cost is Σ bucket² instead of N²; the
+  *     exact-Jaccard verify runs only on candidates. All stages are
+  *     shuffles on small keys + one join; no driver-side state.
+  *   - [[simHash64]] + [[simHashPairs]]: 64-bit SimHash with banded
+  *     hamming-candidate join — same LSH shape, bit-level similarity.
+  *
+  * Hash choice: [[minHashPairs]] defaults to md5 (SQL-portable so the
+  * DuckDB oracle can mirror the exact algorithm); production would switch
+  * `hashFn` to xxhash64 (8× cheaper) without changing the dataflow —
+  * [[simHash64]] uses xxhash64 natively.
+  */
+object Dedup {
+
+  /** Exact dedup: one representative (min id) + multiplicity per distinct
+    * content digest. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol).cast("binary")).as("content_md5"))
+      .groupBy("content_md5")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "content_md5")
+
+  /** Distinct word-set shingles per doc (unigram granularity; callers can
+    * pre-transform `textCol` for n-gram shingling). */
+  private def wordSet(textCol: Column): Column = array_distinct(split(textCol, " "))
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * @param numHashes signature length (must be bands * rowsPerBand)
+    * @param bands     LSH bands; candidate pairs share ≥1 band bucket
+    * @param threshold exact word-set Jaccard cutoff applied to candidates
+    */
+  def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   numHashes: Int = 16, bands: Int = 4,
+                   threshold: Double = 0.9): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+
+    val words = docs.select(col(idCol).as("doc_id"),
+        explode(wordSet(col(textCol))).as("word"))
+
+    // 16 independent permutations simulated by seed-prefixed md5.
+    val sigExprs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("word")).cast("binary"))).as(s"s$i"))
+    val sigs = words.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+
+    val bandCols = (0 until bands).map { j =>
+      val slice = (0 until rowsPerBand).map(r => col(s"s${j * rowsPerBand + r}"))
+      md5(concat_ws("|", slice: _*).cast("binary")).as(s"b$j")
+    }
+    val buckets = sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(j => col(s"b$j")): _*)))
+      .toDF("doc_id", "band_idx", "bucket")
+
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+
+    val sets = docs.select(col(idCol).as("doc_id"), wordSet(col(textCol)).as("ws"))
+    val inter = size(array_intersect(col("x.ws"), col("y.ws")))
+    cand
+      .join(sets.as("x"), col("d1") === col("x.doc_id"))
+      .join(sets.as("y"), col("d2") === col("y.doc_id"))
+      .select(col("d1"), col("d2"),
+        (inter.cast("double") / (size(col("x.ws")) + size(col("y.ws")) - inter))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash per document from xxhash64 word hashes: bit i of the
+    * fingerprint is the sign of Σ±1 votes over that bit across words. */
+  def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(wordSet(col(textCol))).as("word"))
+    val h = xxhash64(col("word"))
+    val voteExprs = (0 until 64).map(i =>
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
+    val votes = words.groupBy("doc_id").agg(voteExprs.head, voteExprs.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    votes.select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Near-dup pairs by hamming distance over [[simHash64]] fingerprints,
+    * with 4×16-bit banded candidate generation (a pair must agree exactly
+    * on ≥1 band — guaranteed when hamming ≤ 3·16/... in the worst case
+    * spread, and overwhelmingly likely for small distances). */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 10): DataFrame = {
+    val fp = simHash64(docs, idCol, textCol)
+    val banded = fp.select(col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(j =>
+          shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL)): _*)))
+      .toDF("doc_id", "simhash", "band_idx", "band_val")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.simhash").as("h1"), col("y.simhash").as("h2"))
+      .distinct()
+    cand
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.streaming.EventStreams
+
+/** Event-time windowing over the `events` table — the SAME operator
+  * builders Structured Streaming uses ([[graft.streaming.EventStreams]]),
+  * oracle-checked in batch mode (SURVEY.md §2.B note: operators are
+  * identical in batch and stream).
+  *
+  * Parity notes: events.ts has sub-microsecond precision that Spark
+  * truncates to µs on read while DuckDB keeps ns — window boundaries are
+  * hour-aligned (exact) and session bounds are ms-truncated on both sides.
+  * The DuckDB session oracle is the classic gap-islands rewrite
+  * (lag → break flag → running session id), with a `>= gap` break to match
+  * Spark's half-open `[start, last + gap)` session semantics.
+  */
+object EventsQueries {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q_window_tumbling",
+      (s, d) => EventStreams.tumbling(Tables.events(s, d))
+        .orderBy("window_start", "event_type"),
+      """SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+           count(*) AS n_events,
+           (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total_value
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+
+    QueryDef("q_window_session",
+      (s, d) => EventStreams.sessions(Tables.events(s, d))
+        .orderBy("user_id", "session_start"),
+      """WITH e AS (
+           SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts, value,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM e)
+         SELECT user_id,
+           date_trunc('milliseconds', min(ts))::TIMESTAMP AS session_start,
+           date_trunc('milliseconds', max(ts) + INTERVAL 10 MINUTE)::TIMESTAMP AS session_end,
+           count(*) AS n_events,
+           (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total_value
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""),
+  )
+}

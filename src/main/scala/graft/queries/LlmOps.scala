@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Similarity
+import graft.ops.{Dedup, Multimodal, TextAnalysis}
+
+/** Training-data pipeline operators (builder-prompt first-class set):
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis
+  * (lang-ID, quality, tokens, fingerprints), multimodal columns.
+  *
+  * Oracle strategy: wherever the algorithm is SQL-expressible the DuckDB
+  * oracle mirrors the EXACT algorithm (e.g. the same md5-minhash bands),
+  * so LSH recall characteristics cancel out and results match exactly.
+  * xxhash64-based SimHash has no DuckDB twin → rows-only check.
+  */
+object LlmOps {
+
+  private val nHashes = 16
+  private val nBands = 4
+  private val minhashThreshold = 0.9
+
+  private def minhashOracle: String = {
+    val rows = nHashes / nBands
+    val sigCols = (0 until nHashes).map(i => s"min(md5('$i|' || word)) AS s$i").mkString(", ")
+    val bandSelects = (0 until nBands).map { j =>
+      val cat = (0 until rows).map(r => s"s${j * rows + r}").mkString(" || '|' || ")
+      s"SELECT doc_id, $j AS band_idx, md5($cat) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""
+WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+sig AS (SELECT doc_id, $sigCols FROM w GROUP BY doc_id),
+band AS ($bandSelects),
+cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM band x
+         JOIN band y ON x.band_idx = y.band_idx AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents),
+v AS (SELECT d1, d2,
+        len(list_intersect(x.s, y.s))::DOUBLE
+          / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+      FROM cand JOIN ws x ON d1 = x.doc_id JOIN ws y ON d2 = y.doc_id)
+SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2"""
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q_dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("keep_id"),
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS content_md5
+         FROM documents GROUP BY md5(text) ORDER BY keep_id"""),
+
+    QueryDef("q_dedup_minhash",
+      (s, d) => Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+        nHashes, nBands, minhashThreshold).orderBy("d1", "d2"),
+      minhashOracle),
+
+    // xxhash64-based — not SQL-expressible in DuckDB → rows-only check;
+    // exact semantics pinned by DedupSpec instead.
+    QueryDef("q_dedup_simhash",
+      (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", 10)
+        .orderBy("d1", "d2"),
+      None),
+
+    QueryDef("q_text_jaccard",
+      (s, d) => {
+        val ws = col("ws")
+        val bigrams = transform(sequence(lit(1), size(ws) - 1),
+          i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
+        val sets = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .select(col("doc_id"), array_distinct(bigrams).as("sset"))
+        val inter = size(array_intersect(col("x.sset"), col("y.sset")))
+        sets.as("x").join(sets.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            (inter.cast("double") /
+              (size(col("x.sset")) + size(col("y.sset")) - inter)).as("jaccard"))
+          .orderBy("d1")
+      },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id,
+                  list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS sset
+                FROM w)
+         SELECT x.doc_id AS d1, y.doc_id AS d2,
+           len(list_intersect(x.sset, y.sset))::DOUBLE
+             / (len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) AS jaccard
+         FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1 ORDER BY d1"""),
+
+    // Brute-force cosine top-k: the exactness baseline. Query vectors are
+    // broadcast; the big side is scanned once, no shuffle before the
+    // per-query top-k window.
+    QueryDef("q_similarity_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+        e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            Similarity.cosine(col("embedding"), col("q_emb")).as("cosine_sim"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 10)
+          .select("q_id", "rn", "neighbor_id", "cosine_sim")
+          .orderBy("q_id", "rn")
+      },
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+         s AS (SELECT q_id, e.vec_id AS neighbor_id,
+                 ${Similarity.cosineSql("e.embedding", "q.q_emb")} AS cosine_sim
+               FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM s)
+         SELECT q_id, rn, neighbor_id, cosine_sim FROM r WHERE rn <= 10
+         ORDER BY q_id, rn"""),
+
+    // LSH-bucketed ANN: sign-bit bucket equi-join instead of a full cross
+    // product — the scale path (candidates ≈ N/2^bits per query).
+    QueryDef("q_similarity_ann",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .withColumn("bucket", Similarity.signBucket(col("embedding"), 4))
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("bucket").as("q_bucket"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+        e.join(broadcast(q), col("bucket") === col("q_bucket") &&
+            col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket"),
+            Similarity.cosine(col("embedding"), col("q_emb")).as("cosine_sim"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("q_id", "rn", "neighbor_id", "bucket", "cosine_sim")
+          .orderBy("q_id", "rn")
+      },
+      s"""WITH e AS (SELECT vec_id, embedding,
+                 ${Similarity.signBucketSql("embedding", 4)}::BIGINT AS bucket
+               FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding AS q_emb, bucket AS q_bucket
+               FROM e WHERE vec_id < 5),
+         s AS (SELECT q_id, e.vec_id AS neighbor_id, e.bucket,
+                 ${Similarity.cosineSql("e.embedding", "q.q_emb")} AS cosine_sim
+               FROM e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM s)
+         SELECT q_id, rn, neighbor_id, bucket, cosine_sim FROM r WHERE rn <= 3
+         ORDER BY q_id, rn"""),
+
+    QueryDef("q_text_tokens",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("cnt").desc, col("word").asc)
+        .limit(30),
+      """SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) t
+         GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 30"""),
+
+    QueryDef("q_text_quality",
+      (s, d) => {
+        val t = col("text")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(t).as("n_tokens"),
+          length(t).cast("long").as("n_chars"),
+          TextAnalysis.avgWordLen(t).as("avg_word_len"),
+          TextAnalysis.stopwordRatio(t).as("stopword_ratio"),
+          TextAnalysis.qualityScore(t).as("quality_score"))
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           length(text)::BIGINT AS n_chars,
+           length(replace(text, ' ', ''))::DOUBLE / len(string_split(text, ' ')) AS avg_word_len,
+           (${TextAnalysis.hitCountSql("text", TextAnalysis.enStopwords)})::DOUBLE
+             / len(string_split(text, ' ')) AS stopword_ratio,
+           least(1.0, len(string_split(text, ' '))::DOUBLE / 100.0)
+             * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                / len(string_split(text, ' '))) AS quality_score
+         FROM documents ORDER BY doc_id"""),
+
+    QueryDef("q_text_langid",
+      (s, d) => {
+        val t = col("text")
+        val hitCols = TextAnalysis.langMarkers.map { case (lang, ws) =>
+          TextAnalysis.hitCount(t, ws).as(s"hits_$lang")
+        }
+        Tables.documents(s, d).select(
+          (col("doc_id") +: col("lang").as("labeled_lang") +:
+            TextAnalysis.langId(t).as("predicted_lang") +: hitCols): _*)
+          .orderBy("doc_id")
+      },
+      s"""SELECT doc_id, lang AS labeled_lang,
+           ${TextAnalysis.langIdSql("text")} AS predicted_lang,
+           ${TextAnalysis.langMarkers.map { case (lang, ws) =>
+             s"${TextAnalysis.hitCountSql("text", ws)} AS hits_$lang" }.mkString(", ")}
+         FROM documents ORDER BY doc_id"""),
+
+    QueryDef("q_text_fingerprint",
+      (s, d) => Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("content_md5"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id, md5(text) AS content_md5,
+           ${TextAnalysis.rollingHashSql("text")} AS rolling_hash
+         FROM documents ORDER BY doc_id"""),
+
+    QueryDef("q_multimodal_meta",
+      (s, d) => {
+        val docs = Multimodal.withPayload(Tables.documents(s, d), "text")
+        docs.select(
+          col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          lower(substring(hex(col("payload")), 1, 16)).as("hex_prefix"),
+          md5(col("payload")).as("content_md5"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+           octet_length(text::BLOB)::BIGINT AS byte_len,
+           lower(substring(hex(text::BLOB), 1, 16)) AS hex_prefix,
+           md5(text) AS content_md5
+         FROM documents ORDER BY doc_id"""),
+
+    // mapPartitions decode plumbing; checksum is the same base-31 rolling
+    // hash over BYTES (== chars for this ASCII corpus) so the stub is
+    // oracle-checkable end-to-end.
+    QueryDef("q_multimodal_decode",
+      (s, d) => Multimodal.decode(
+        Multimodal.withPayload(Tables.documents(s, d), "text"), "doc_id")
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.channels").as("channels"),
+          col("meta.checksum").as("checksum"))
+        .orderBy("doc_id"),
+      s"""SELECT doc_id,
+           (octet_length(text::BLOB) % 640 + 1)::INTEGER AS width,
+           (octet_length(text::BLOB) % 480 + 1)::INTEGER AS height,
+           3::INTEGER AS channels,
+           ${TextAnalysis.rollingHashSql("text")} AS checksum
+         FROM documents ORDER BY doc_id"""),
+  )
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.AlbLogParser
+
+/** Golden parser tests — revives the reference's commented-out suite
+  * (`/root/reference/tests/test_utils.py:14-44`) plus the edge lines from
+  * FIXTURES.md §1. */
+class AlbParserSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The reference's golden 29-field sample line (tests/test_utils.py:15-23). */
+  val golden =
+    """h2 2025-05-26T23:55:02.179979Z app/erank-app/xxxxxxx 1.2.3.4:5678 5.6.7.8:80 0.001 0.303 0.000 200 200 74 1013 "POST https://example.com:443/api/browser-ext-user HTTP/2.0" "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/137.0.0.0 Safari/537.36" TLS_AES_128_GCM_SHA256 TLSv1.3 arn:aws:elasticloadbalancing:region:accountid:targetgroup/example-app-v3-production/xxxxxxxx "Root=1-xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx" "example.com" "session-reused" 1 2025-05-26T23:55:01.875000Z "waf,forward" "-" "-" "5.6.7.8:80" "200" "-" "-" TID_xxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxxx"""
+
+  def parse(lines: String*): Array[org.apache.spark.sql.Row] =
+    AlbLogParser.parse(lines.toDF("value"), "value", lit("test"))
+      .orderBy("log_timestamp").collect()
+
+  test("golden line parses with reference-exact values") {
+    val rows = parse(golden)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("client_ip") == "1.2.3.4")
+    assert(r.getAs[String]("http_method") == "POST")
+    assert(r.getAs[String]("requested_path") == "/api/browser-ext-user")
+    assert(r.getAs[Int]("elb_status_code") == 200)
+    assert(r.getAs[Int]("backend_status_code") == 200)
+    assert(r.getAs[Double]("total_processing_time_ms") == 304.0)
+    assert(r.getAs[Long]("received_bytes") == 74L)
+    assert(r.getAs[Long]("sent_bytes") == 1013L)
+    assert(r.getAs[String]("user_agent_full").startsWith("Mozilla/"))
+    assert(r.getAs[String]("ua_browser_family") == "Chrome")
+    assert(r.getAs[String]("ua_os_family") == "Windows")
+    assert(r.getAs[String]("log_source_file") == "test")
+    // 2025-05-26T23:55:02.179979Z UTC → Eastern (EDT, -4h)
+    val ts = java.time.LocalDateTime.ofInstant(
+      r.getAs[java.sql.Timestamp]("log_timestamp").toInstant,
+      java.time.ZoneOffset.UTC)
+    assert(ts.toString == "2025-05-26T19:55:02.179979")
+  }
+
+  test("short and bad-timestamp lines are dropped (reference :67-69,81-83)") {
+    assert(parse("too short").isEmpty)
+    assert(parse(golden.replace("2025-05-26T23:55:02.179979Z", "not-a-ts")).isEmpty)
+    assert(parse("too short", golden).length == 1)
+  }
+
+  test("no-fraction timestamp parses via second format (reference :41)") {
+    val rows = parse(golden.replace("2025-05-26T23:55:02.179979Z", "2025-05-26T23:55:02Z"))
+    assert(rows.length == 1)
+  }
+
+  test("'-' statuses and user agent map to sentinels (reference :43-50,110-112)") {
+    val line = golden
+      .replace(" 200 200 ", " - 999 ")
+      .replace("\"Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/137.0.0.0 Safari/537.36\"", "\"-\"")
+    val r = parse(line).head
+    assert(r.getAs[Int]("elb_status_code") == 0)
+    assert(r.getAs[Int]("backend_status_code") == 999)
+    assert(r.getAs[String]("ua_browser_family") == "Unknown")
+    assert(r.getAs[String]("ua_os_family") == "Unknown")
+  }
+
+  test("-1 processing times flow into the ms sum (reference to_float :46-50)") {
+    val r = parse(golden.replace(" 0.001 0.303 0.000 ", " -1 0.303 -1 ")).head
+    assert(r.getAs[Double]("total_processing_time_ms") == -1697.0)
+  }
+
+  test("IPv6-hostile client_ip split keeps prefix before first colon (reference :86)") {
+    val r = parse(golden.replace("1.2.3.4:5678", "2001:db8::1.5678")).head
+    assert(r.getAs[String]("client_ip") == "2001")
+  }
+
+  test("request field '- - -' yields '-' method and '-' path (urlparse parity)") {
+    val r = parse(golden.replace(
+      "\"POST https://example.com:443/api/browser-ext-user HTTP/2.0\"", "\"- - -\"")).head
+    assert(r.getAs[String]("http_method") == "-")
+    assert(r.getAs[String]("requested_path") == "-")
+  }
+
+  test("guarded casts: digits-only ints, permissive floats (tests/test_utils.py:4-12)") {
+    val df = Seq("123", "-1", "-", "", "1.5", "1e3", "abc").toDF("v")
+    val got = df.select(
+      AlbLogParser.guardedInt(col("v")).as("i"),
+      AlbLogParser.guardedDouble(col("v")).as("f")).collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(123, 0, 0, 0, 0, 0, 0))
+    assert(got.map(_.getDouble(1)).toSeq == Seq(123.0, -1.0, 0.0, 0.0, 1.5, 1000.0, 0.0))
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import java.util.Properties
+
+import graft.etl.JdbcSink
+
+/** JDBC append sink (reference A18) against embedded Derby — same
+  * `DataFrameWriter.jdbc` path a MySQL target would use. */
+class JdbcSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  val url = "jdbc:derby:memory:graftdb;create=true"
+  val props: Properties = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    p
+  }
+
+  test("append writes rows, auto-creates table, and appends on second call") {
+    val df = Seq((1L, "a", 10.5), (2L, "b", 20.25), (3L, "c", 0.0))
+      .toDF("id", "name", "score")
+    assert(JdbcSink.append(df, url, "sink_t1", props) == 3L)
+    assert(spark.read.jdbc(url, "sink_t1", props).count() == 3L)
+    assert(JdbcSink.append(df, url, "sink_t1", props) == 3L)
+    assert(spark.read.jdbc(url, "sink_t1", props).count() == 6L)
+  }
+
+  test("empty frame is skipped with a warning (reference :153,159-160)") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    assert(JdbcSink.append(empty, url, "sink_t2", props) == 0L)
+    // table must NOT have been created
+    val ex = intercept[Exception](spark.read.jdbc(url, "sink_t2", props).collect())
+    assert(ex != null)
+  }
+}

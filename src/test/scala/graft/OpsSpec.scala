@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+import graft.ops.{Dedup, Multimodal, TextAnalysis}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "dog lazy the over jumps fox brown quick the"),   // same word SET as 1
+    (4L, "completely different tokens appear in this one"),
+    (5L, "the quick brown fox sleeps under the lazy dog")  // near dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(got.length == 4)
+    val first = got.head
+    assert(first.getAs[Long]("keep_id") == 1L && first.getAs[Long]("n_copies") == 2L)
+  }
+
+  test("minhash LSH finds word-set duplicates with jaccard 1.0") {
+    val pairs = Dedup.minHashPairs(docs, "doc_id", "text", 16, 4, 0.9)
+      .orderBy("d1", "d2").collect()
+    val keys = pairs.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.9))
+    assert(!keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical texts get identical fingerprints, hamming 0") {
+    val fp = Dedup.simHash64(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(4L))
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "text", 0).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Long]("hamming")))
+    assert(pairs.exists { case (d1, d2, h) => d1 == 1L && d2 == 2L && h == 0L })
+  }
+
+  test("simhash is deterministic across runs") {
+    val a = Dedup.simHash64(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val b = Dedup.simHash64(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("cosine similarity: self = 1, orthogonal = 0") {
+    val df = Seq((Array(1f, 0f, 2f), Array(1f, 0f, 2f), Array(0f, 3f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("same"),
+      Similarity.cosine(col("a"), col("c")).as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+  }
+
+  test("sign buckets quantize by sign of leading dims") {
+    val df = Seq(
+      (1L, Array(1f, 1f, -1f, 1f)),
+      (2L, Array(1f, 1f, -1f, 1f)),
+      (3L, Array(-1f, -1f, 1f, -1f))).toDF("id", "v")
+    val got = df.select(col("id"), Similarity.signBucket(col("v"), 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(2L) && got(1L) != got(3L))
+    assert(got(1L) == (1 | 2 | 8))
+  }
+
+  test("langid picks the language with most marker hits; und when none") {
+    val df = Seq("the cat and the hat", "el gato que canta la los", "zzz yyy")
+      .toDF("text")
+    val got = df.select(TextAnalysis.langId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("rolling hash matches the stub codec checksum for ASCII payloads") {
+    val df = Seq((7L, "abc xyz")).toDF("doc_id", "text")
+    val viaExpr = df.select(TextAnalysis.rollingHash(col("text"))).head().getLong(0)
+    val viaStub = Multimodal.decodeStubBytes("abc xyz".getBytes("UTF-8"))._4
+    assert(viaExpr == viaStub)
+  }
+
+  test("multimodal decode plumbing produces typed metadata per row") {
+    val got = Multimodal.decode(Multimodal.withPayload(docs, "text"), "doc_id")
+      .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.checksum")
+      .orderBy("doc_id").collect()
+    assert(got.length == 5)
+    val r = got.head
+    val n = "the quick brown fox jumps over the lazy dog".length
+    assert(r.getAs[Int]("width") == n % 640 + 1)
+    assert(r.getAs[Int]("height") == n % 480 + 1)
+    assert(r.getAs[Int]("channels") == 3)
+  }
+}

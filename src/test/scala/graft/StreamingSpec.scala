@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+
+case class Ev(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Structured Streaming runs the SAME operator builders as the batch
+  * oracle queries — this spec proves stream-mode results converge to the
+  * batch results on the same data. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  def evs: Seq[Ev] = {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (0 until 100).map { i =>
+      Ev(new java.sql.Timestamp(base.getTime + i * 7 * 60 * 1000L + i),
+        i % 3, if (i % 2 == 0) "click" else "view", (i % 10) + 0.25)
+    }
+  }
+
+  test("tumbling window: streaming (append, watermarked) == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumbling(mem.toDF(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    mem.addData(evs)
+    q.processAllAvailable()
+    // advance watermark far enough to close all windows, then flush
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .filter(col("event_type").isin("click", "view"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = EventStreams.tumbling(evs.toDF())
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("session window: streaming (append, watermarked) == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessions(mem.toDF(), gap = "10 minutes", watermark = "1 minute")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    mem.addData(evs)
+    q.processAllAvailable()
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("session_out")
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "session_start").collect().toSeq
+    val batch = EventStreams.sessions(evs.toDF())
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed == batch)
+  }
+}

@@ -47,11 +47,12 @@ def compare(name, spark_df, duck_df):
         sv, dv = s[col].tolist(), d[col].tolist()
         for i, (a, b) in enumerate(zip(sv, dv)):
             a, b = norm_cell(a), norm_cell(b)
+            import numpy as np
             if isinstance(a, float) and isinstance(b, float):
                 ok = (a == b)
             elif hasattr(a, "timestamp") and hasattr(b, "timestamp"):
                 ok = pd.Timestamp(a) == pd.Timestamp(b)
-            elif isinstance(a, (list, tuple)) or isinstance(b, (list, tuple)):
+            elif isinstance(a, (list, tuple, np.ndarray)) or isinstance(b, (list, tuple, np.ndarray)):
                 ok = list(a) == list(b)
             else:
                 ok = (a == b) or (a is None and b is None)
