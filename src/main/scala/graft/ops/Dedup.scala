@@ -37,6 +37,16 @@ object Dedup {
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
+    * Executes on word-set REPRESENTATIVES: documents with identical word
+    * sets share minhash signatures and band buckets by construction, so
+    * running LSH per distinct set and expanding groups afterwards produces
+    * byte-identical output to the naive per-document algorithm (which the
+    * DuckDB oracle still expresses) while collapsing the degenerate
+    * everything-matches-everything cliques that otherwise blow the bucket
+    * self-join up quadratically. The exact-Jaccard verify joins against a
+    * broadcast of the (small) distinct-set table, so candidate pairs never
+    * shuffle with array payloads attached.
+    *
     * @param numHashes signature length (must be bands * rowsPerBand)
     * @param bands     LSH bands; candidate pairs share ≥1 band bucket
     * @param threshold exact word-set Jaccard cutoff applied to candidates
@@ -47,39 +57,63 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
-    val words = docs.select(col(idCol).as("doc_id"),
-        explode(wordSet(col(textCol))).as("word"))
+    // doc → canonical word-set digest; one representative row per digest
+    val byDigest = docs.select(col(idCol).as("doc_id"),
+      md5(concat_ws(" ", array_sort(wordSet(col(textCol)))).cast("binary")).as("digest"),
+      wordSet(col(textCol)).as("ws"))
+    val members = byDigest.select("doc_id", "digest")
+    val sets = byDigest.select("digest", "ws").dropDuplicates("digest")
 
-    // 16 independent permutations simulated by seed-prefixed md5.
+    // distinct (digest, word) pairs drive the signature aggregation
+    val words = sets.select(col("digest"), explode(col("ws")).as("word"))
+
+    // numHashes independent permutations simulated by seed-prefixed md5
     val sigExprs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("word")).cast("binary"))).as(s"s$i"))
-    val sigs = words.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+    val sigs = words.groupBy("digest").agg(sigExprs.head, sigExprs.tail: _*)
 
     val bandCols = (0 until bands).map { j =>
       val slice = (0 until rowsPerBand).map(r => col(s"s${j * rowsPerBand + r}"))
       md5(concat_ws("|", slice: _*).cast("binary")).as(s"b$j")
     }
-    val buckets = sigs.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"),
+    val buckets = sigs.select(col("digest") +: bandCols: _*)
+      .select(col("digest"),
         posexplode(array((0 until bands).map(j => col(s"b$j")): _*)))
-      .toDF("doc_id", "band_idx", "bucket")
+      .toDF("digest", "band_idx", "bucket")
 
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          col("x.digest") < col("y.digest"))
+      .select(col("x.digest").as("g1"), col("y.digest").as("g2"))
       .distinct()
 
-    val sets = docs.select(col(idCol).as("doc_id"), wordSet(col(textCol)).as("ws"))
+    // exact-Jaccard verify on representative pairs (broadcast set lookup)
     val inter = size(array_intersect(col("x.ws"), col("y.ws")))
-    cand
-      .join(sets.as("x"), col("d1") === col("x.doc_id"))
-      .join(sets.as("y"), col("d2") === col("y.doc_id"))
-      .select(col("d1"), col("d2"),
+    val verified = cand
+      .join(broadcast(sets.as("x")), col("g1") === col("x.digest"))
+      .join(broadcast(sets.as("y")), col("g2") === col("y.digest"))
+      .select(col("g1"), col("g2"),
         (inter.cast("double") / (size(col("x.ws")) + size(col("y.ws")) - inter))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+
+    // expand digests back to document pairs:
+    // (a) cross-digest verified pairs → all member cross products
+    val cross = verified
+      .join(broadcast(members.as("m1")), col("g1") === col("m1.digest"))
+      .join(broadcast(members.as("m2")), col("g2") === col("m2.digest"))
+      .select(
+        least(col("m1.doc_id"), col("m2.doc_id")).as("d1"),
+        greatest(col("m1.doc_id"), col("m2.doc_id")).as("d2"),
+        col("jaccard"))
+    // (b) identical word sets (same digest) → all pairs, jaccard exactly 1.0
+    val within = members.as("m1").join(members.as("m2"),
+        col("m1.digest") === col("m2.digest") &&
+          col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("d1"), col("m2.doc_id").as("d2"),
+        lit(1.0).as("jaccard"))
+    if (threshold <= 1.0) cross.unionAll(within) else cross
   }
 
   /** 64-bit SimHash per document from xxhash64 word hashes: bit i of the
