@@ -90,9 +90,11 @@ SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2
 
     // Brute-force cosine top-k: the exactness baseline. Query vectors are
     // broadcast; the big side is scanned once, no shuffle before the
-    // per-query top-k window.
+    // per-query top-k window. Uses the codegen'd native Expression
+    // (CosineSimExpr) — bit-compatible with Similarity.cosine and the oracle.
     QueryDef("q_similarity_topk",
       (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
         val e = Tables.embeddings(s, d)
         val q = e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -101,7 +103,7 @@ SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2
         e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("neighbor_id"),
-            Similarity.cosine(col("embedding"), col("q_emb")).as("cosine_sim"))
+            call_function("cosine_sim", col("embedding"), col("q_emb")).as("cosine_sim"))
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 10)
           .select("q_id", "rn", "neighbor_id", "cosine_sim")
@@ -120,6 +122,7 @@ SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2
     // product — the scale path (candidates ≈ N/2^bits per query).
     QueryDef("q_similarity_ann",
       (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
         val e = Tables.embeddings(s, d)
           .withColumn("bucket", Similarity.signBucket(col("embedding"), 4))
         val q = e.filter(col("vec_id") < 5)
@@ -130,7 +133,7 @@ SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2
         e.join(broadcast(q), col("bucket") === col("q_bucket") &&
             col("vec_id") =!= col("q_id"))
           .select(col("q_id"), col("vec_id").as("neighbor_id"), col("bucket"),
-            Similarity.cosine(col("embedding"), col("q_emb")).as("cosine_sim"))
+            call_function("cosine_sim", col("embedding"), col("q_emb")).as("cosine_sim"))
           .withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
           .select("q_id", "rn", "neighbor_id", "bucket", "cosine_sim")

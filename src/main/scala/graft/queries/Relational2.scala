@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second relational batch: pivot, exact moment-based statistics, map
+  * functions, interpolated percentiles. */
+object Relational2 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // groupBy().pivot() with explicit value list (no extra distinct-scan
+    // job); oracle is the equivalent conditional aggregation.
+    QueryDef("q_pivot",
+      (s, d) => {
+        val piv = Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+        piv.select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0.0)).as("f_total"),
+          coalesce(col("O"), lit(0.0)).as("o_total"),
+          coalesce(col("P"), lit(0.0)).as("p_total"))
+          .orderBy("o_orderpriority")
+      },
+      """SELECT o_orderpriority,
+           COALESCE((SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END))::DOUBLE, 0.0) AS f_total,
+           COALESCE((SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END))::DOUBLE, 0.0) AS o_total,
+           COALESCE((SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END))::DOUBLE, 0.0) AS p_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+
+    // Variance/stddev via exact decimal moments: Σx and Σx² are DECIMAL
+    // (order-independent), then one identical double expression on both
+    // sides — deterministic where naive float welford/sum-of-squares isn't.
+    QueryDef("q_agg_stats",
+      (s, d) => {
+        val q = col("l_quantity").cast("decimal(18,2)")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(q).cast("double").as("sx"),
+            sum(q * q).cast("double").as("sxx"))
+          .select(col("l_returnflag"), col("n"),
+            (col("sx") / col("n")).as("mean_qty"),
+            ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("var_pop"),
+            sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+              .as("stddev_samp"))
+          .orderBy("l_returnflag")
+      },
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sx,
+             (SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sxx
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n, sx / n AS mean_qty,
+           (sxx - sx * sx / n) / n AS var_pop,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp
+         FROM m ORDER BY l_returnflag"""),
+
+    QueryDef("q_map_fns",
+      (s, d) => {
+        val m = map(lit("type"), col("event_type"),
+          lit("k"), get_json_object(col("props"), "$.k"))
+        Tables.events(s, d).select(
+          col("event_id"),
+          element_at(m, "type").as("m_type"),
+          element_at(m, "k").as("m_k"),
+          size(m).cast("long").as("m_size"),
+          concat_ws(",", map_keys(m)).as("m_keys"))
+          .orderBy("event_id")
+      },
+      """SELECT event_id,
+           event_type AS m_type,
+           json_extract_string(props, '$.k') AS m_k,
+           2::BIGINT AS m_size,
+           'type,k' AS m_keys
+         FROM events ORDER BY event_id"""),
+
+    // Exact interpolated percentiles (Spark `percentile` == DuckDB
+    // `quantile_cont`, both (1-g)·a + g·b on the sorted values).
+    QueryDef("q_agg_percentile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+  )
+}

@@ -29,6 +29,25 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Custom arbitrary-state operator (mapGroupsWithState): per-user running
+    * event counts that survive across micro-batches. Update output mode in
+    * streaming; in batch the state starts empty so it degrades to a plain
+    * groupBy count — tested equivalent in StreamingSpec. */
+  def runningUserCounts(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.select(col("user_id").cast("long")).as[Long]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid, it, state) =>
+          val n = state.getOption.getOrElse(0L) + it.size
+          state.update(n)
+          (uid, n)
+      }
+  }
+
   /** Gap-based session windows per user: a session extends while the next
     * event arrives < gap after the previous one; end = last event + gap.
     * Timestamps truncated to ms in the projection for cross-engine parity

@@ -42,6 +42,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("mapGroupsWithState: running per-user counts accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.runningUserCounts(mem.toDF())
+      .toDF("user_id", "n_events")
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").start()
+    mem.addData(evs.take(50))
+    q.processAllAvailable()
+    mem.addData(evs.drop(50))
+    q.processAllAvailable()
+    q.stop()
+
+    val finalCounts = spark.table("state_out")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = evs.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    assert(finalCounts == expected)
+  }
+
   test("session window: streaming (append, watermarked) == batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
