@@ -28,11 +28,6 @@ import graft.functions.UaClassifier
   */
 object AlbLogParser {
 
-  /** Timestamp formats tried in order (reference `:41,72-80`):
-    * with and without fractional seconds, literal trailing Z. */
-  private val TsFracFmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
-  private val TsFmt = "yyyy-MM-dd'T'HH:mm:ss'Z'"
-
   /** Generous token schema: ALB emits 29-30 fields; extra tokens beyond the
     * schema are ignored, missing ones are null (PERMISSIVE). Only t0..t14
     * are consumed; arity>=15 is enforced via `t14 IS NOT NULL`. */
@@ -70,6 +65,21 @@ object AlbLogParser {
       .toDF("value")
       .withColumn("_source", input_file_name())
 
+  /** [[parse]] plus skip-count observability (reference A20: per-stage
+    * INFO/WARN logging of dropped rows, `etl_elb_log_to_mysql.py:68,82,145`)
+    * via `observe()` — metrics are collected executor-side with zero extra
+    * passes; read them after an action with `Observation.get`. */
+  def parseObserved(lines: DataFrame, lineCol: String = "value",
+                    sourceCol: Column = input_file_name())
+      : (DataFrame, org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val inObs = new org.apache.spark.sql.Observation("alb_in")
+    val outObs = new org.apache.spark.sql.Observation("alb_out")
+    val observed = lines.observe(inObs, count(lit(1)).as("rows_in"))
+    val parsed = parse(observed, lineCol, sourceCol)
+      .observe(outObs, count(lit(1)).as("rows_out"))
+    (parsed, inObs, outObs)
+  }
+
   /** Parse a DataFrame of raw log lines into the 13-column `elb_log_data`
     * relation (schema in SURVEY.md §1.3 / FIXTURES.md §2).
     *
@@ -79,16 +89,28 @@ object AlbLogParser {
     */
   def parse(lines: DataFrame, lineCol: String = "value",
             sourceCol: Column = input_file_name()): DataFrame = {
+    // Tokenize ONCE per row. The struct is flattened through inline() — a
+    // Generate node — because CollapseProject would otherwise inline the
+    // from_csv call into every downstream field reference, and conditional
+    // contexts (when/coalesce) defeat codegen subexpression elimination:
+    // measured ~10× re-tokenization per row without this barrier.
     val tok = from_csv(col(lineCol), tokenSchema, csvOptions)
-    val withTok = lines.withColumn("_tok", tok)
-    val t = (i: Int) => col(s"_tok.t$i")
+    val withTok = lines
+      .select(sourceCol.as("_src_file"), inline(array(tok)))
+    val t = (i: Int) => col(s"t$i")
 
     // Multi-format timestamp parse (UTC) then shift to Eastern (reference
     // `:72-83`). Requires session tz = UTC (pinned by the harness) so the
     // pattern-parse interprets the wall-clock as UTC.
-    val tsUtc = coalesce(
-      try_to_timestamp(t(1), lit(TsFracFmt)),
-      try_to_timestamp(t(1), lit(TsFmt)))
+    // Semantically a two-format fallback (with/without fraction, trailing Z)
+    // but implemented as normalize-then-parse-once: the naive
+    // coalesce(try_to_timestamp(fmt1), try_to_timestamp(fmt2)) throws and
+    // catches a JVM exception internally for EVERY no-fraction row, which
+    // dominates parse cost at scale.
+    val noZ = regexp_replace(t(1), "Z$", "")
+    val norm = when(noZ.contains("."), noZ).otherwise(concat(noZ, lit(".000000")))
+    val tsUtc = when(t(1).endsWith("Z"),
+      try_to_timestamp(norm, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
     val tsEastern = from_utc_timestamp(tsUtc, "America/New_York")
 
     // "METHOD URL HTTP/x.y" → method + url path (reference `:100-106`):
@@ -119,6 +141,6 @@ object AlbLogParser {
         ua.as("user_agent_full"),
         UaClassifier.browserFamily(ua).as("ua_browser_family"),
         UaClassifier.osFamily(ua).as("ua_os_family"),
-        sourceCol.as("log_source_file"))
+        col("_src_file").as("log_source_file"))
   }
 }

@@ -31,9 +31,12 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies", "content_md5")
 
-  /** Distinct word-set shingles per doc (unigram granularity; callers can
-    * pre-transform `textCol` for n-gram shingling). */
-  private def wordSet(textCol: Column): Column = array_distinct(split(textCol, " "))
+  /** Distinct word-set shingles per doc, SORTED (unigram granularity;
+    * callers can pre-transform `textCol` for n-gram shingling). Sorting
+    * costs once per document and unlocks merge-based intersection in the
+    * pair-verification inner loop. */
+  private def wordSet(textCol: Column): Column =
+    array_sort(array_distinct(split(textCol, " ")))
 
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
@@ -57,9 +60,11 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
+    graft.functions.SortedIntersectSize.register(docs.sparkSession)
+
     // doc → canonical word-set digest; one representative row per digest
     val byDigest = docs.select(col(idCol).as("doc_id"),
-      md5(concat_ws(" ", array_sort(wordSet(col(textCol)))).cast("binary")).as("digest"),
+      md5(concat_ws(" ", wordSet(col(textCol))).cast("binary")).as("digest"),
       wordSet(col(textCol)).as("ws"))
     val members = byDigest.select("doc_id", "digest")
     val sets = byDigest.select("digest", "ws").dropDuplicates("digest")
@@ -88,14 +93,20 @@ object Dedup {
       .select(col("x.digest").as("g1"), col("y.digest").as("g2"))
       .distinct()
 
-    // exact-Jaccard verify on representative pairs (broadcast set lookup)
-    val inter = size(array_intersect(col("x.ws"), col("y.ws")))
+    // exact-Jaccard verify on representative pairs (broadcast set lookup).
+    // Size-ratio prefilter first: j = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|),
+    // so pairs failing the ratio can never reach the threshold — provably
+    // output-neutral, and it skips the intersection for most candidates.
+    // The intersection itself is the codegen'd two-pointer merge
+    // (sorted_intersect_size), not the hash-building array_intersect.
+    val sa = size(col("x.ws")); val sb = size(col("y.ws"))
+    val inter = call_function("sorted_intersect_size", col("x.ws"), col("y.ws"))
     val verified = cand
       .join(broadcast(sets.as("x")), col("g1") === col("x.digest"))
       .join(broadcast(sets.as("y")), col("g2") === col("y.digest"))
+      .filter(least(sa, sb).cast("double") / greatest(sa, sb) >= threshold)
       .select(col("g1"), col("g2"),
-        (inter.cast("double") / (size(col("x.ws")) + size(col("y.ws")) - inter))
-          .as("jaccard"))
+        (inter.cast("double") / (sa + sb - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
     // expand digests back to document pairs:

@@ -80,6 +80,34 @@ class AlbParserSpec extends SparkSpec {
     assert(r.getAs[String]("requested_path") == "-")
   }
 
+  test("reads gzip'd log files from disk with per-file provenance (A1-A3)") {
+    val dir = java.nio.file.Files.createTempDirectory("alblogs")
+    def writeGz(name: String, lines: Seq[String]): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(dir.resolve(name).toFile))
+      out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    }
+    writeGz("a.log.gz", Seq(golden, "too short"))
+    writeGz("b.log.gz", Seq(golden.replace("1.2.3.4", "9.9.9.9")))
+    java.nio.file.Files.writeString(dir.resolve("ignored.txt"), golden)
+
+    val parsed = AlbLogParser.parse(AlbLogParser.readLogs(spark, dir.toString))
+    val rows = parsed.orderBy("client_ip").collect()
+    assert(rows.length == 2)  // 2 valid lines; .txt excluded by glob, short line dropped
+    assert(rows.head.getAs[String]("client_ip") == "1.2.3.4")
+    assert(rows.head.getAs[String]("log_source_file").endsWith("a.log.gz"))
+    assert(rows.last.getAs[String]("log_source_file").endsWith("b.log.gz"))
+  }
+
+  test("observe() metrics expose input/kept row counts (A20)") {
+    val lines = Seq(golden, "too short", golden.replace("2025-05-26T23:55:02.179979Z", "bad"))
+      .toDF("value")
+    val (parsed, inObs, outObs) = AlbLogParser.parseObserved(lines, "value", lit("test"))
+    parsed.collect()
+    assert(inObs.get("rows_in") == 3L)
+    assert(outObs.get("rows_out") == 1L)
+  }
+
   test("guarded casts: digits-only ints, permissive floats (tests/test_utils.py:4-12)") {
     val df = Seq("123", "-1", "-", "", "1.5", "1e3", "abc").toDF("v")
     val got = df.select(
