@@ -62,9 +62,11 @@ object Dedup {
 
     graft.functions.SortedIntersectSize.register(docs.sparkSession)
 
-    // doc → canonical word-set digest; one representative row per digest
+    // doc → canonical word-set digest; one representative row per digest.
+    // The digest is an INTERNAL join/grouping key (never surfaced), so an
+    // 8-byte xxhash64 beats a 32-char md5 hex string in every shuffle.
     val byDigest = docs.select(col(idCol).as("doc_id"),
-      md5(concat_ws(" ", wordSet(col(textCol))).cast("binary")).as("digest"),
+      xxhash64(concat_ws(" ", wordSet(col(textCol)))).as("digest"),
       wordSet(col(textCol)).as("ws"))
     val members = byDigest.select("doc_id", "digest")
     val sets = byDigest.select("digest", "ws").dropDuplicates("digest")
@@ -77,9 +79,14 @@ object Dedup {
       min(md5(concat(lit(s"$i|"), col("word")).cast("binary"))).as(s"s$i"))
     val sigs = words.groupBy("digest").agg(sigExprs.head, sigExprs.tail: _*)
 
+    // Band bucket = hash of the signature slice. Bucket equality means
+    // sig-slice equality, so the hash function here is pure key
+    // compression — xxhash64 longs keep the candidate self-join and
+    // distinct() shuffling 8-byte keys. (The md5 above IS semantic: it
+    // decides which shingle wins each min, mirrored by the oracle.)
     val bandCols = (0 until bands).map { j =>
       val slice = (0 until rowsPerBand).map(r => col(s"s${j * rowsPerBand + r}"))
-      md5(concat_ws("|", slice: _*).cast("binary")).as(s"b$j")
+      xxhash64(concat_ws("|", slice: _*)).as(s"b$j")
     }
     val buckets = sigs.select(col("digest") +: bandCols: _*)
       .select(col("digest"),
