@@ -77,6 +77,64 @@ object Relational2 {
            'type,k' AS m_keys
          FROM events ORDER BY event_id"""),
 
+    // As-of join composed from built-ins (SURVEY §2.B extension ladder
+    // step (a): union + last_value-over-window beats a custom plan): for
+    // each 'error' event, the most recent preceding 'click' of the same
+    // user. One shuffle by user_id, sort within partition — the classic
+    // scalable as-of shape. Timestamps ms-truncated for ns/µs parity;
+    // ties broken by event_id identically on both sides.
+    QueryDef("q_join_asof",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("user_id"),
+            date_trunc("MILLISECOND", col("ts")).as("tsm"),
+            col("event_id"), col("value"),
+            (col("event_type") === "click").cast("int").as("is_click"),
+            (col("event_type") === "error").cast("int").as("is_err"))
+        val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        u.withColumn("click_id",
+            last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("click_value",
+            last(when(col("is_click") === 1, col("value")), ignoreNulls = true).over(w))
+          .filter(col("is_err") === 1)
+          .select(col("user_id"), col("event_id"), col("tsm").as("err_ts"),
+            coalesce(col("click_id"), lit(-1L)).as("click_id"),
+            coalesce(col("click_value"), lit(-1.0)).as("click_value"))
+          .orderBy("event_id")
+      },
+      """WITH u AS (
+           SELECT user_id, date_trunc('milliseconds', ts)::TIMESTAMP AS tsm, event_id, value,
+                  CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+                  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+           FROM events WHERE event_type IN ('click', 'error')),
+         w AS (
+           SELECT *,
+             last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+             last_value(CASE WHEN is_click = 1 THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY tsm, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_value
+           FROM u)
+         SELECT user_id, event_id, tsm AS err_ts,
+           COALESCE(click_id, -1) AS click_id,
+           COALESCE(click_value, -1.0) AS click_value
+         FROM w WHERE is_err = 1 ORDER BY event_id"""),
+
+    // HyperLogLog approximate distinct — sketch implementations differ
+    // across engines, so no hash oracle (rows-only check); exactness is
+    // cross-checked in-test against countDistinct.
+    QueryDef("q_agg_approx",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .orderBy("l_returnflag"),
+      None),
+
     // Exact interpolated percentiles (Spark `percentile` == DuckDB
     // `quantile_cont`, both (1-g)·a + g·b on the sorted values).
     QueryDef("q_agg_percentile",
