@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{CosineSimExpr, SortedIntersectSize}
+
+/** Session extensions registering the engine's native Catalyst expressions
+  * as SQL functions — the official injection point
+  * (`spark.sql.extensions=graft.GraftExtensions` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`), so the
+  * functions exist from session start on every executor-launching entry
+  * point (Verify, Bench, spark-submit). Query code also registers them
+  * idempotently for sessions built without extensions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("sorted_intersect_size"),
+      new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectSize(exprs(0), exprs(1))))
+  }
+}

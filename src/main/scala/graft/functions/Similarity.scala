@@ -33,6 +33,17 @@ object Similarity {
       when(element_at(a, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Squared L2 distance, same left-fold determinism contract as [[dot]]. */
+  def l2sq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val dxy = x.cast("double") - y.cast("double"); dxy * dxy
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2sqSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(len($a)), i -> ($a[i+1]::DOUBLE - $b[i+1]::DOUBLE) * ($a[i+1]::DOUBLE - $b[i+1]::DOUBLE))), (acc, x) -> acc + x)"
+
   /** DuckDB SQL twin of [[dot]] for oracle queries ( `$a`/`$b` are list
     * expressions). */
   def dotSql(a: String, b: String): String =

@@ -152,6 +152,56 @@ SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2
          SELECT q_id, rn, neighbor_id, bucket, cosine_sim FROM r WHERE rn <= 3
          ORDER BY q_id, rn"""),
 
+    // IVF-style ANN — the coarse-quantization scale path the LSH variant
+    // complements: assign every vector to its nearest of K centroids (here
+    // a deterministic centroid pick standing in for k-means training; the
+    // assignment/probe dataflow is the real thing), then search only the
+    // query's nprobe=2 nearest centroid lists. Candidate work per query is
+    // N·nprobe/K instead of N.
+    QueryDef("q_similarity_ivf",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+        val aw = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+        val assign = e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("cid"),
+            Similarity.l2sq(col("embedding"), col("cvec")).as("dist"))
+          .withColumn("arn", row_number().over(aw))
+        val assigned = assign.filter(col("arn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        val probes = assign.filter(col("vec_id") < 5 && col("arn") <= 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+        assigned.join(broadcast(probes),
+            assigned("cid") === probes("cid") && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), assigned("cid"),
+            call_function("cosine_sim", col("embedding"), col("q_emb")).as("cosine_sim"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select("q_id", "rn", "neighbor_id", "cid", "cosine_sim")
+          .orderBy("q_id", "rn")
+      },
+      s"""WITH cents AS (SELECT vec_id::INTEGER AS cid, embedding AS cvec
+                         FROM embeddings WHERE vec_id < 16),
+         assign AS (SELECT e.vec_id, e.embedding, c.cid,
+                      ${Similarity.l2sqSql("e.embedding", "c.cvec")} AS dist,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY ${Similarity.l2sqSql("e.embedding", "c.cvec")} ASC, c.cid ASC) AS arn
+                    FROM embeddings e CROSS JOIN cents c),
+         assigned AS (SELECT vec_id, embedding, cid FROM assign WHERE arn = 1),
+         probes AS (SELECT vec_id AS q_id, embedding AS q_emb, cid
+                    FROM assign WHERE vec_id < 5 AND arn <= 2),
+         s AS (SELECT p.q_id, a.vec_id AS neighbor_id, a.cid,
+                 ${Similarity.cosineSql("a.embedding", "p.q_emb")} AS cosine_sim
+               FROM assigned a JOIN probes p ON a.cid = p.cid AND a.vec_id <> p.q_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM s)
+         SELECT q_id, rn, neighbor_id, cid, cosine_sim FROM r WHERE rn <= 5
+         ORDER BY q_id, rn"""),
+
     QueryDef("q_text_tokens",
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
