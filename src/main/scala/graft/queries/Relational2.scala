@@ -77,6 +77,29 @@ object Relational2 {
            'type,k' AS m_keys
          FROM events ORDER BY event_id"""),
 
+    // Two-phase salted aggregation — the standard skew mitigation when a
+    // handful of hot keys would overload single reducers: phase 1
+    // aggregates (key, salt) across 16-way salt fanout, phase 2 merges
+    // per key. DECIMAL sums make the result identical to the direct
+    // single-phase aggregation, which is exactly what the oracle runs.
+    QueryDef("q_agg_salted",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val salted = li
+          .withColumn("_salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(16)))
+          .groupBy(col("l_returnflag"), col("_salt"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("part_sum"),
+            count(lit(1)).as("part_n"))
+        salted.groupBy("l_returnflag")
+          .agg(sum(col("part_sum")).cast("double").as("revenue"),
+            sum(col("part_n")).as("n_rows"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag,
+           (SUM(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS revenue,
+           count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
     // As-of join composed from built-ins (SURVEY §2.B extension ladder
     // step (a): union + last_value-over-window beats a custom plan): for
     // each 'error' event, the most recent preceding 'click' of the same
