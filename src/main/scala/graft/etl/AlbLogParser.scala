@@ -57,10 +57,15 @@ object AlbLogParser {
       c.cast("double")).otherwise(lit(0.0))
 
   /** Read raw ALB log files (gzip auto-decoded by extension) as one line per
-    * row, carrying the origin file — reference operators A1-A3. */
-  def readLogs(spark: SparkSession, path: String): DataFrame =
+    * row, carrying the origin file — reference operators A1-A3. The
+    * reference swallows per-file read errors and skips the file
+    * (`:137,146-147`); `ignoreCorruptFiles` reproduces that semantics at
+    * the datasource level. */
+  def readLogs(spark: SparkSession, path: String,
+               skipCorruptFiles: Boolean = true): DataFrame =
     spark.read
       .option("pathGlobFilter", "*.gz")
+      .option("ignoreCorruptFiles", skipCorruptFiles.toString)
       .textFile(path)
       .toDF("value")
       .withColumn("_source", input_file_name())

@@ -64,6 +64,28 @@ SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2
         .orderBy("d1", "d2"),
       None),
 
+    // Embedding-cosine near-duplicate pairs (builder-prompt dedup family).
+    // Brute-force all-pairs with the codegen'd cosine — exact; the
+    // LSH-bucketed (q_similarity_ann) and IVF (q_similarity_ivf) queries
+    // are the recall-tradeoff scale path for the same computation.
+    QueryDef("q_dedup_embcos",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        val e = Tables.embeddings(s, d)
+        val a = e.select(col("vec_id").as("d1"), col("embedding").as("emb1"))
+        val b = e.select(col("vec_id").as("d2"), col("embedding").as("emb2"))
+        a.join(b, col("d1") < col("d2"))
+          .select(col("d1"), col("d2"),
+            call_function("cosine_sim", col("emb1"), col("emb2")).as("cosine_sim"))
+          .filter(col("cosine_sim") >= 0.4)
+          .orderBy("d1", "d2")
+      },
+      s"""SELECT a.vec_id AS d1, b.vec_id AS d2,
+           ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cosine_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.4
+         ORDER BY d1, d2"""),
+
     QueryDef("q_text_jaccard",
       (s, d) => {
         val ws = col("ws")

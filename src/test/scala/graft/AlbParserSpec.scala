@@ -99,6 +99,20 @@ class AlbParserSpec extends SparkSpec {
     assert(rows.last.getAs[String]("log_source_file").endsWith("b.log.gz"))
   }
 
+  test("corrupt gz files are skipped, not fatal (reference :137,146-147)") {
+    val dir = java.nio.file.Files.createTempDirectory("albcorrupt")
+    val out = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(dir.resolve("good.log.gz").toFile))
+    out.write(golden.getBytes("UTF-8")); out.close()
+    // truncated gzip: valid header, torn-off body
+    val full = java.nio.file.Files.readAllBytes(dir.resolve("good.log.gz"))
+    java.nio.file.Files.write(dir.resolve("bad.log.gz"), full.take(full.length / 2))
+
+    val parsed = AlbLogParser.parse(AlbLogParser.readLogs(spark, dir.toString))
+    val ok = parsed.collect()
+    assert(ok.length == 1 && ok.head.getAs[String]("log_source_file").endsWith("good.log.gz"))
+  }
+
   test("observe() metrics expose input/kept row counts (A20)") {
     val lines = Seq(golden, "too short", golden.replace("2025-05-26T23:55:02.179979Z", "bad"))
       .toDF("value")
