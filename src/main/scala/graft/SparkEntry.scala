@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   private def all: Seq[graft.queries.QueryDef] =
     graft.queries.EtlQueries.defs ++ graft.queries.Relational.defs ++
-      graft.queries.Relational2.defs ++ graft.queries.Functions.defs ++
+      graft.queries.Relational2.defs ++ graft.queries.Relational3.defs ++
+      graft.queries.Functions.defs ++
       graft.queries.EventsQueries.defs ++ graft.queries.LlmOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -1,0 +1,160 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Third relational batch: RANGE window frames, navigation window
+  * functions, arg-max aggregation, regex functions, cross join, and
+  * SQL-frontend subqueries. */
+object Relational3 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // RANGE frame (value-based window): frame membership depends only on
+    // the order value, so ties don't threaten determinism.
+    QueryDef("q_window_range",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+          .rangeBetween(-50000L, 0L)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_in_band"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("band_total"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           count(*) OVER w AS n_in_band,
+           (SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w)::DOUBLE AS band_total
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey"""),
+
+    QueryDef("q_window_nav",
+      (s, d) => {
+        val ord = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.customer(s, d).select(
+          col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          first(col("c_custkey")).over(full).as("richest"),
+          last(col("c_custkey")).over(full).as("poorest"),
+          nth_value(col("c_custkey"), 2).over(full).as("second"),
+          ntile(4).over(ord).cast("long").as("quartile"),
+          percent_rank().over(ord).as("pct_rank"),
+          cume_dist().over(ord).as("cume"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_nationkey, c_acctbal,
+           first_value(c_custkey) OVER wf AS richest,
+           last_value(c_custkey) OVER wf AS poorest,
+           nth_value(c_custkey, 2) OVER wf AS second,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+         FROM customer
+         WINDOW
+           w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC),
+           wf AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY c_custkey"""),
+
+    // arg-max/arg-min with a collision-free composite ordering value
+    // (price-cents ⋅ 10⁹ + key — exact in int64 on both engines).
+    QueryDef("q_agg_minmaxby",
+      (s, d) => {
+        val ordVal = (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long") * 1000000000L + col("o_orderkey")
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(max_by(col("o_orderkey"), ordVal).as("biggest_order"),
+            min_by(col("o_orderkey"), ordVal).as("smallest_order"),
+            max(col("o_totalprice")).as("max_price"),
+            min(col("o_totalprice")).as("min_price"))
+          .orderBy("o_orderstatus")
+      },
+      """SELECT o_orderstatus,
+           arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000000 + o_orderkey) AS biggest_order,
+           arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000000 + o_orderkey) AS smallest_order,
+           max(o_totalprice) AS max_price, min(o_totalprice) AS min_price
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
+    QueryDef("q_string_fns2",
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        translate(col("p_brand"), "#", "_").as("brand_tr"),
+        repeat(col("p_brand"), 2).as("brand_x2"),
+        reverse(col("p_name")).as("name_rev"),
+        ascii(col("p_name")).cast("long").as("first_code"),
+        substring(col("p_name"), 1, 3).as("name_left"),
+        col("p_name").substr(length(col("p_name")) - 2, lit(3)).as("name_right"),
+        levenshtein(col("p_brand"), col("p_type")).cast("long").as("brand_type_dist"),
+        col("p_name").contains("a").as("has_a"),
+        col("p_name").startsWith("s").as("starts_s"),
+        col("p_name").endsWith("e").as("ends_e"))
+        .orderBy("p_partkey"),
+      """SELECT p_partkey,
+           translate(p_brand, '#', '_') AS brand_tr,
+           repeat(p_brand, 2) AS brand_x2,
+           reverse(p_name) AS name_rev,
+           ascii(p_name)::BIGINT AS first_code,
+           left(p_name, 3) AS name_left,
+           right(p_name, 3) AS name_right,
+           levenshtein(p_brand, p_type)::BIGINT AS brand_type_dist,
+           contains(p_name, 'a') AS has_a,
+           starts_with(p_name, 's') AS starts_s,
+           ends_with(p_name, 'e') AS ends_e
+         FROM part ORDER BY p_partkey"""),
+
+    QueryDef("q_regex_fns",
+      (s, d) => Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("name_devoweled"),
+        regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)).as("name_words"),
+        regexp_count(col("p_name"), lit("a")).cast("long").as("n_a"),
+        col("p_type").rlike("^[a-z]+ ").as("type_two_words"))
+        .orderBy("p_partkey"),
+      """SELECT p_partkey,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled,
+           regexp_extract_all(p_name, '[a-z]+') AS name_words,
+           len(regexp_extract_all(p_name, 'a'))::BIGINT AS n_a,
+           regexp_matches(p_type, '^[a-z]+ ') AS type_two_words
+         FROM part ORDER BY p_partkey"""),
+
+    QueryDef("q_join_cross",
+      (s, d) => Tables.region(s, d).as("a")
+        .crossJoin(Tables.region(s, d).as("b"))
+        .select(col("a.r_name").as("r1"), col("b.r_name").as("r2"))
+        .orderBy("r1", "r2"),
+      """SELECT a.r_name AS r1, b.r_name AS r2
+         FROM region a CROSS JOIN region b ORDER BY r1, r2"""),
+
+    // SQL frontend: correlated EXISTS + uncorrelated scalar subquery,
+    // parsed and planned by Spark SQL over temp views.
+    QueryDef("q_sql_subquery",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT c_custkey, c_name, c_acctbal
+          FROM customer_v
+          WHERE c_acctbal > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                               / COUNT(*) / 100 FROM orders_v)
+            AND EXISTS (SELECT 1 FROM orders_v
+                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+          ORDER BY c_custkey""")
+      },
+      """SELECT c_custkey, c_name, c_acctbal
+         FROM customer
+         WHERE c_acctbal > (SELECT (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE
+                              / COUNT(*) / 100 FROM orders)
+           AND EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         ORDER BY c_custkey"""),
+  )
+}
