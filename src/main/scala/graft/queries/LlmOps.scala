@@ -275,6 +275,57 @@ SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2
              s"${TextAnalysis.hitCountSql("text", ws)} AS hits_$lang" }.mkString(", ")}
          FROM documents ORDER BY doc_id"""),
 
+    // Token counting, whitespace vs BPE-ish regex segmentation (word /
+    // number / punctuation-run classes — the shape GPT-2-style
+    // pre-tokenizers use).
+    QueryDef("q_text_bpe",
+      (s, d) => {
+        val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+            .as("n_bpe_tokens"),
+          (length(col("text")).cast("double") /
+            size(regexp_extract_all(col("text"), lit(pat), lit(0))))
+            .as("chars_per_token"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS n_bpe_tokens,
+           length(text)::DOUBLE
+             / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_token
+         FROM documents ORDER BY doc_id"""),
+
+    // Frame sampling over an opaque payload: fixed-width windows, every
+    // 3rd kept — the video-frame-sample batching shape with a text-backed
+    // payload (windows == byte windows for this ASCII corpus).
+    QueryDef("q_multimodal_frames",
+      (s, d) => {
+        val w = 32
+        val nFrames = ceil(length(col("text")).cast("double") / w).cast("int")
+        val sampled = transform(
+          filter(sequence(lit(0), nFrames - 1), i => i % 3 === 0),
+          i => col("text").substr(i * w + 1, lit(w)))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          nFrames.cast("long").as("n_frames"),
+          size(sampled).cast("long").as("n_sampled"),
+          md5(concat_ws("", sampled).cast("binary")).as("sample_md5"))
+          .orderBy("doc_id")
+      },
+      """WITH f AS (
+           SELECT doc_id, ceil(length(text)::DOUBLE / 32)::INTEGER AS n_frames,
+             list_transform(
+               list_filter(range(0, ceil(length(text)::DOUBLE / 32)::INTEGER), i -> i % 3 = 0),
+               i -> substring(text, i * 32 + 1, 32)) AS frames
+           FROM documents)
+         SELECT doc_id, n_frames::BIGINT AS n_frames,
+           len(frames)::BIGINT AS n_sampled,
+           md5(list_aggregate(frames, 'string_agg', '')) AS sample_md5
+         FROM f ORDER BY doc_id"""),
+
     QueryDef("q_text_fingerprint",
       (s, d) => Tables.documents(s, d).select(
         col("doc_id"),
