@@ -123,6 +123,47 @@ object Functions {
                        (a, b) -> a + b) AS elem_sum
          FROM embeddings ORDER BY vec_id"""),
 
+    QueryDef("q_array_fns2",
+      (s, d) => {
+        val e = col("embedding")
+        Tables.embeddings(s, d).select(
+          col("vec_id"),
+          array_sort(slice(e, 1, 4)).as("head4_sorted"),
+          array_position(e, array_max(e)).cast("long").as("argmax_1based"),
+          array_contains(e, array_min(e)).as("has_min"),
+          exists(e, x => x < 0f).as("has_neg"),
+          size(filter(e, x => x > 0f)).cast("long").as("n_pos"),
+          flatten(array(slice(e, 1, 2), slice(e, 3, 2))).as("head4_flat"))
+          .orderBy("vec_id")
+      },
+      """SELECT vec_id,
+           list_sort(embedding[1:4]) AS head4_sorted,
+           list_position(embedding, list_max(embedding))::BIGINT AS argmax_1based,
+           list_contains(embedding, list_min(embedding)) AS has_min,
+           len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg,
+           len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
+           flatten([embedding[1:2], embedding[3:4]]) AS head4_flat
+         FROM embeddings ORDER BY vec_id"""),
+
+    QueryDef("q_cond_fns",
+      (s, d) => Tables.events(s, d).select(
+        col("event_id"),
+        coalesce(nullif(col("event_type"), lit("click")), lit("WAS_CLICK")).as("type_or_tag"),
+        when(col("value") > 100, "high").when(col("value") > 10, "mid")
+          .otherwise("low").as("value_band"),
+        isnull(nullif(col("event_type"), lit("error"))).as("is_error"),
+        nvl2(nullif(col("event_type"), lit("view")), lit(0L), lit(1L)).as("view_flag"),
+        greatest(col("value"), lit(50.0)).as("value_floor50"))
+        .orderBy("event_id"),
+      """SELECT event_id,
+           COALESCE(nullif(event_type, 'click'), 'WAS_CLICK') AS type_or_tag,
+           CASE WHEN value > 100 THEN 'high' WHEN value > 10 THEN 'mid'
+                ELSE 'low' END AS value_band,
+           nullif(event_type, 'error') IS NULL AS is_error,
+           CASE WHEN nullif(event_type, 'view') IS NOT NULL THEN 0 ELSE 1 END::BIGINT AS view_flag,
+           greatest(value, 50.0) AS value_floor50
+         FROM events ORDER BY event_id"""),
+
     QueryDef("q_json_fns",
       (s, d) => Tables.events(s, d).select(
         col("event_id"),
