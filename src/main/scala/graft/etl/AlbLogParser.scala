@@ -43,12 +43,14 @@ object AlbLogParser {
 
   /** Reference `to_int` (`:43-44`): digits-only strings parse, everything
     * else (incl. "-", "-1", "") → 0. Unit-tested by the reference at
-    * `tests/test_utils.py:4-7`. */
+    * `tests/test_utils.py:4-7`. The digit-count bound keeps the guarded
+    * cast overflow-free under ANSI mode (python ints are unbounded; values
+    * beyond the target type map to the 0 sentinel instead of throwing). */
   def guardedInt(c: Column): Column =
-    when(c.rlike("^[0-9]+$"), c.cast("int")).otherwise(lit(0))
+    when(c.rlike("^[0-9]{1,9}$"), c.cast("int")).otherwise(lit(0))
 
   def guardedLong(c: Column): Column =
-    when(c.rlike("^[0-9]+$"), c.cast("long")).otherwise(lit(0L))
+    when(c.rlike("^[0-9]{1,18}$"), c.cast("long")).otherwise(lit(0L))
 
   /** Reference `to_float` (`:46-50`): python float() accepts negatives and
     * scientific notation; failures → 0.0. Tested at `tests/test_utils.py:9-12`. */

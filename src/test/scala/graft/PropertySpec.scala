@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.AlbLogParser
+import graft.ops.Multimodal
+
+/** Property-style pinning of the reference cast semantics and engine
+  * invariants over seeded random corpora (SURVEY §5.2:
+  * "∀ s: to_int(s) == 0 ∨ s matches ^[0-9]+$"). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def randomStrings(n: Int): Seq[String] = {
+    val edge = Seq("-", "", "-1", "1e3", "  12  ", "0.5", ".5", "+7", "nan",
+      "NaN", "inf", "0", "007", "9" * 12, "1.2.3", "--1", "1-")
+    val rand = Seq.fill(n) {
+      val len = rnd.nextInt(8)
+      val alphabet = rnd.nextInt(3) match {
+        case 0 => "0123456789"
+        case 1 => "0123456789.-+eE"
+        case _ => "abc 0123456789.-+"
+      }
+      Seq.fill(len)(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    edge ++ rand
+  }
+
+  private val floatRe =
+    "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
+  test("to_int: nonzero only for pure digit strings (reference :43-44)") {
+    val ss = randomStrings(300)
+    val got = ss.toDF("v").select(AlbLogParser.guardedInt(col("v"))).collect()
+    got.zip(ss).foreach { case (r, s) =>
+      val digits = s.nonEmpty && s.forall(_.isDigit)
+      if (!digits) assert(r.getInt(0) == 0, s"input '$s'")
+      else if (s.length <= 9) assert(r.getInt(0) == s.toInt, s"input '$s'")
+    }
+  }
+
+  test("to_float: failures map to 0.0, valid decimals parse (reference :46-50)") {
+    val ss = randomStrings(300)
+    val got = ss.toDF("v").select(AlbLogParser.guardedDouble(col("v"))).collect()
+    got.zip(ss).foreach { case (r, s) =>
+      val expected = if (s.matches(floatRe)) s.toDouble else 0.0
+      assert(r.getDouble(0) == expected, s"input '$s'")
+    }
+  }
+
+  test("rolling hash: expression == stub codec for arbitrary ASCII text") {
+    val texts = Seq.fill(100) {
+      val len = 1 + rnd.nextInt(60)
+      Seq.fill(len)((32 + rnd.nextInt(95)).toChar).mkString
+    }
+    val got = texts.toDF("text")
+      .select(graft.ops.TextAnalysis.rollingHash(col("text"))).collect()
+    got.zip(texts).foreach { case (r, s) =>
+      assert(r.getLong(0) == Multimodal.decodeStubBytes(s.getBytes("UTF-8"))._4,
+        s"input '$s'")
+    }
+  }
+
+  test("cosine expression == HOF fold, bit-exact, on random vectors") {
+    val vecs = Seq.fill(50)((
+      Array.fill(16)(rnd.nextFloat() - 0.5f),
+      Array.fill(16)(rnd.nextFloat() - 0.5f)))
+    graft.functions.CosineSimExpr.register(spark)
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      call_function("cosine_sim", col("a"), col("b")).as("native"),
+      graft.functions.Similarity.cosine(col("a"), col("b")).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("sorted_intersect_size == array_intersect size on random word sets") {
+    graft.functions.SortedIntersectSize.register(spark)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val sets = Seq.fill(80)((
+      rnd.shuffle(vocab).take(1 + rnd.nextInt(7)).sorted.toArray,
+      rnd.shuffle(vocab).take(1 + rnd.nextInt(7)).sorted.toArray))
+    val rows = sets.toDF("a", "b").select(
+      call_function("sorted_intersect_size", col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.AlbFixture
+
+/** Source/sink format coverage: the 13-column ALB relation round-trips
+  * through csv and json files with explicit schemas and timestamp formats. */
+class SourcesSpec extends SparkSpec {
+
+  lazy val relation = AlbFixture.parsed(spark, sf).limit(200).cache()
+  val tsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+  test("csv round-trip preserves the relation") {
+    val dir = java.nio.file.Files.createTempDirectory("albcsv").toString
+    relation.write.mode("overwrite")
+      .option("header", "true").option("timestampFormat", tsFmt).csv(dir)
+    val back = spark.read
+      .schema(relation.schema)
+      .option("header", "true").option("timestampFormat", tsFmt).csv(dir)
+    assert(back.orderBy("log_source_file").collect().toSeq ==
+      relation.orderBy("log_source_file").collect().toSeq)
+  }
+
+  test("json round-trip preserves the relation") {
+    val dir = java.nio.file.Files.createTempDirectory("albjson").toString
+    relation.write.mode("overwrite")
+      .option("timestampFormat", tsFmt).json(dir)
+    val back = spark.read
+      .schema(relation.schema).option("timestampFormat", tsFmt).json(dir)
+    assert(back.orderBy("log_source_file").collect().toSeq ==
+      relation.orderBy("log_source_file").collect().toSeq)
+  }
+
+  test("streaming file source: tumbling agg over a parquet directory == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    val ev = Tables.events(spark, sf)
+    ev.write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val q = graft.streaming.EventStreams.tumbling(stream, watermark = "1 minute")
+      .writeStream.format("memory").queryName("file_stream_out")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("file_stream_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = graft.streaming.EventStreams.tumbling(ev)
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+}
