@@ -240,6 +240,21 @@ object Relational {
            ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
          ORDER BY s_suppkey, c_custkey"""),
 
+    // Same band join via bucket quantization (graft.ops.Joins.bandJoin):
+    // a shuffled equi-join on floor(value/width) buckets instead of the
+    // broadcast-nested-loop plan — identical results (same oracle), scale
+    // path for when neither side fits a broadcast.
+    QueryDef("q_join_range_bucketed",
+      (s, d) => graft.ops.Joins.bandJoin(
+          Tables.supplier(s, d), Tables.customer(s, d),
+          "s_acctbal", "c_acctbal", 100.0)
+        .select("s_suppkey", "c_custkey", "s_acctbal", "c_acctbal")
+        .orderBy("s_suppkey", "c_custkey"),
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal
+         FROM supplier JOIN customer
+           ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+         ORDER BY s_suppkey, c_custkey"""),
+
     // TPC-H Q1-shaped aggregation: partial (map-side) agg makes the shuffle
     // O(#groups), independent of input scale.
     QueryDef("q_agg_group",
