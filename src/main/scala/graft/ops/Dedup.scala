@@ -93,12 +93,15 @@ object Dedup {
         posexplode(array((0 until bands).map(j => col(s"b$j")): _*)))
       .toDF("digest", "band_idx", "bucket")
 
+    // NOTE: no distinct() here — a pair colliding in k bands appears k
+    // times, but verification below is cheap (broadcast lookup + merge
+    // intersect), so deduplication happens AFTER the jaccard filter where
+    // only surviving pairs shuffle, not every candidate.
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.digest") < col("y.digest"))
       .select(col("x.digest").as("g1"), col("y.digest").as("g2"))
-      .distinct()
 
     // exact-Jaccard verify on representative pairs (broadcast set lookup).
     // Size-ratio prefilter first: j = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|),
@@ -115,6 +118,7 @@ object Dedup {
       .select(col("g1"), col("g2"),
         (inter.cast("double") / (sa + sb - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .dropDuplicates("g1", "g2")
 
     // expand digests back to document pairs:
     // (a) cross-digest verified pairs → all member cross products
