@@ -126,6 +126,31 @@ object Relational3 {
            regexp_matches(p_type, '^[a-z]+ ') AS type_two_words
          FROM part ORDER BY p_partkey"""),
 
+    // collect_list/collect_set are order-nondeterministic under parallel
+    // aggregation — sorting the collected array restores a stable value.
+    QueryDef("q_agg_collect",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(array_sort(collect_set(col("l_linenumber"))).as("linenumbers"),
+          size(collect_list(col("l_linenumber"))).cast("long").as("n_collected"))
+        .orderBy("l_returnflag"),
+      """SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linenumber)) AS linenumbers,
+           len(list(l_linenumber))::BIGINT AS n_collected
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // Reproducible sampling for training pipelines: a multiplicative hash
+    // of the key modulo the sample space — deterministic, engine-neutral,
+    // and stable across reruns/scales (unlike TABLESAMPLE).
+    QueryDef("q_sample",
+      (s, d) => Tables.orders(s, d)
+        .filter((col("o_orderkey") * 2654435761L) % 100 < 5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders WHERE (o_orderkey * 2654435761) % 100 < 5
+         ORDER BY o_orderkey"""),
+
     QueryDef("q_join_cross",
       (s, d) => Tables.region(s, d).as("a")
         .crossJoin(Tables.region(s, d).as("b"))
