@@ -29,6 +29,25 @@ object EventsQueries {
            (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
 
+    // Sliding (hopping) windows: 1h length, 30min hop — every event lands
+    // in exactly two windows; the oracle enumerates both grid-aligned
+    // starts per event (Spark aligns hops to the epoch, as does the
+    // floor(epoch/hop) formula).
+    QueryDef("q_window_sliding",
+      (s, d) => EventStreams.sliding(Tables.events(s, d))
+        .orderBy("window_start", "event_type"),
+      """WITH g AS (
+           SELECT event_type, value,
+             to_timestamp(floor(epoch(ts) / 1800) * 1800)::TIMESTAMP AS grid
+           FROM events),
+         e AS (
+           SELECT event_type, value,
+             unnest([grid, grid - INTERVAL 30 MINUTE]) AS window_start
+           FROM g)
+         SELECT window_start, event_type, count(*) AS n_events,
+           (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total_value
+         FROM e GROUP BY 1, 2 ORDER BY window_start, event_type"""),
+
     QueryDef("q_window_session",
       (s, d) => EventStreams.sessions(Tables.events(s, d))
         .orderBy("user_id", "session_start"),

@@ -159,6 +159,48 @@ object Relational3 {
       """SELECT a.r_name AS r1, b.r_name AS r2
          FROM region a CROSS JOIN region b ORDER BY r1, r2"""),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): nulls match
+    // nulls — the semantics dedup/merge pipelines need for nullable keys.
+    QueryDef("q_join_nullsafe",
+      (s, d) => {
+        val a = Tables.orders(s, d).select(col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("k"))
+        val b = Tables.orders(s, d)
+          .groupBy(nullif(col("o_orderstatus"), lit("P")).as("k"))
+          .agg(count(lit(1)).as("n_same_status"))
+        a.join(b, a("k") <=> b("k"))
+          .select(col("o_orderkey"), a("k").as("status_key"), col("n_same_status"))
+          .orderBy("o_orderkey")
+      },
+      """WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders),
+         b AS (SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS n_same_status
+               FROM orders GROUP BY 1)
+         SELECT o_orderkey, a.k AS status_key, n_same_status
+         FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+         ORDER BY o_orderkey"""),
+
+    // Unpivot / melt: wide metric columns → long (metric, value) rows.
+    QueryDef("q_unpivot",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "metric"),
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, metric, value
+         FROM (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             'l_quantity' AS metric, l_quantity AS value FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             'l_discount', l_discount FROM lineitem) t
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey, metric"""),
+
     // SQL frontend: correlated EXISTS + uncorrelated scalar subquery,
     // parsed and planned by Spark SQL over temp views.
     QueryDef("q_sql_subquery",

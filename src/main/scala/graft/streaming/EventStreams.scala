@@ -29,6 +29,15 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding (hopping) 1h/30min windows per event_type. */
+  def sliding(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
   /** Custom arbitrary-state operator (mapGroupsWithState): per-user running
     * event counts that survive across micro-batches. Update output mode in
     * streaming; in batch the state starts empty so it degrades to a plain

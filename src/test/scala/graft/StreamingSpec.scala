@@ -42,6 +42,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumbling(mem.toDF(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:30:00")
+    mem.addData(Ev(t0, 1L, "click", 1.0))
+    q.processAllAvailable()
+    // advance event time (and hence the watermark) past 00:00-01:00
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    // this event is hours behind the watermark → must be dropped
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), 1L, "late", 9.0))
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-01-01 05:00:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val emitted = spark.table("late_out").collect()
+    assert(!emitted.exists(_.getAs[String]("event_type") == "late"),
+      s"late row leaked: ${emitted.mkString(";")}")
+    val w0 = emitted.filter(r =>
+      r.getAs[java.sql.Timestamp]("window_start") ==
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(w0.length == 1 && w0.head.getAs[Long]("n_events") == 1L)
+  }
+
   test("mapGroupsWithState: running per-user counts accumulate across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
