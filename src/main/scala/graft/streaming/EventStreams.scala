@@ -57,6 +57,72 @@ object EventStreams {
       }
   }
 
+  /** One user's open session being accumulated across micro-batches. */
+  case class OpenSession(startMs: Long, lastMs: Long, n: Long, totalCents: Long)
+  /** A closed session: [start, last + gap), event count, exact value sum. */
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           total_value: Double)
+
+  /** Custom sessionizer over arbitrary keyed state
+    * (`flatMapGroupsWithState` + event-time timeout): sessions close
+    * either inline (a later event arrives ≥ gap after the last) or via
+    * state timeout once the watermark passes `last + gap` — the mechanism
+    * that bounds state on an unbounded stream. Equivalent to
+    * [[sessions]]/`session_window` (proven in StreamingSpec); exists to
+    * exercise the arbitrary-state API the built-in can't expose (custom
+    * merge logic, exact integer-cent accumulation).
+    */
+  def sessionizeWithState(events: DataFrame, gapMs: Long = 600000L,
+                          watermark: String = "30 minutes")
+      : org.apache.spark.sql.Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def close(uid: Long, s: OpenSession): ClosedSession =
+      ClosedSession(uid, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.lastMs + gapMs), s.n, s.totalCents / 100.0)
+
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val out = close(uid, state.get)
+            state.remove()
+            Iterator(out)
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            sorted.foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              val cents = Math.round(v * 100)
+              open match {
+                case Some(s) if t - s.lastMs < gapMs =>
+                  open = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                    n = s.n + 1, totalCents = s.totalCents + cents))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  open = Some(OpenSession(t, t, 1, cents))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, cents))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Gap-based session windows per user: a session extends while the next
     * event arrives < gap after the previous one; end = last event + gap.
     * Timestamps truncated to ms in the projection for cross-engine parity

@@ -89,6 +89,31 @@ class StreamingSpec extends SparkSpec {
     assert(finalCounts == expected)
   }
 
+  test("flatMapGroupsWithState sessionizer == built-in session_window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.sessionizeWithState(mem.toDF(), gapMs = 600000L,
+        watermark = "1 minute")
+      .toDF()
+      .writeStream.format("memory").queryName("custom_session_out")
+      .outputMode("append").start()
+    mem.addData(evs)
+    q.processAllAvailable()
+    // advance the watermark far enough to time out every open session
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("custom_session_out")
+      .filter(col("user_id") =!= 99L)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .orderBy("user_id", "session_start").collect().toSeq
+    val builtin = EventStreams.sessions(evs.toDF())
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(streamed == builtin)
+  }
+
   test("session window: streaming (append, watermarked) == batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
