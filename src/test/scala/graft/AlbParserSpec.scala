@@ -80,6 +80,37 @@ class AlbParserSpec extends SparkSpec {
     assert(r.getAs[String]("requested_path") == "-")
   }
 
+  test("UA ladder classifies each major family (A12)") {
+    import graft.etl.AlbFixture
+    val expected = AlbFixture.userAgents
+      .zip(AlbFixture.expectedBrowser.zip(AlbFixture.expectedOs)) ++ Seq(
+      ("Mozilla/5.0 (Windows NT 10.0) Gecko Firefox/115.0", ("Firefox", "Windows")),
+      ("Mozilla/5.0 (Linux; Android 14; Pixel) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/125.0.0.0 Mobile Safari/537.36", ("Chrome Mobile", "Android")),
+      ("Opera/OPR/99 something", ("Opera", "Other")),
+      ("python-requests/2.31.0", ("Python Requests", "Other")),
+      ("Googlebot/2.1 (+http://www.google.com/bot.html)", ("Googlebot", "Other")),
+      ("Mozilla/5.0 (Macintosh; Intel Mac OS X 14_5) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.5 Safari/605.1.15", ("Safari", "Mac OS X")),
+      ("Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:126.0) Gecko Firefox/126.0", ("Firefox", "Ubuntu")),
+      ("some-novel-agent/1.0", ("Other", "Other")))
+    val df = expected.map(_._1).toDF("ua")
+    val got = df.select(
+      graft.functions.UaClassifier.browserFamily(col("ua")),
+      graft.functions.UaClassifier.osFamily(col("ua"))).collect()
+    got.zip(expected).foreach { case (r, (ua, (brow, os))) =>
+      assert(r.getString(0) == brow && r.getString(1) == os, s"ua '$ua'")
+    }
+  }
+
+  test("backslash-escaped quote inside a quoted field parses (SURVEY §7.3 risk)") {
+    // csv escape='\\': embedded \" stays inside the UA token
+    val line = golden.replace(
+      "\"Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/137.0.0.0 Safari/537.36\"",
+      "\"weird \\\"agent\\\" v1 Chrome/1.0\"")
+    val r = parse(line).head
+    assert(r.getAs[String]("user_agent_full") == "weird \"agent\" v1 Chrome/1.0")
+    assert(r.getAs[String]("ua_browser_family") == "Chrome")
+  }
+
   test("reads gzip'd log files from disk with per-file provenance (A1-A3)") {
     val dir = java.nio.file.Files.createTempDirectory("alblogs")
     def writeGz(name: String, lines: Seq[String]): Unit = {
