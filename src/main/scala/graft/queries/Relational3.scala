@@ -126,6 +126,65 @@ object Relational3 {
            regexp_matches(p_type, '^[a-z]+ ') AS type_two_words
          FROM part ORDER BY p_partkey"""),
 
+    // Explicit GROUPING SETS (beyond rollup/cube), through the SQL frontend.
+    QueryDef("q_agg_groupingsets",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+        s.sql("""
+          SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                 COALESCE(o_orderpriority, 'ALL') AS prio,
+                 count(*) AS n,
+                 CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+                 CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+          FROM orders_gs
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY g_status, g_prio, status, prio""")
+      },
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS prio,
+           count(*) AS n,
+           GROUPING(o_orderstatus)::BIGINT AS g_status,
+           GROUPING(o_orderpriority)::BIGINT AS g_prio
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY g_status, g_prio, status, prio"""),
+
+    QueryDef("q_date_fns2",
+      (s, d) => Tables.orders(s, d).select(
+        col("o_orderkey"),
+        weekofyear(col("o_orderdate")).cast("long").as("iso_week"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        date_format(to_date(col("o_orderdate")), "yyyy-MM-dd").as("as_date"),
+        expr("""make_timestamp(year(o_orderdate), month(o_orderdate),
+                 day(o_orderdate), 6, 30, 0)""").as("rebuilt_0630"))
+        .orderBy("o_orderkey"),
+      """SELECT o_orderkey,
+           weekofyear(o_orderdate)::BIGINT AS iso_week,
+           dayofyear(o_orderdate)::BIGINT AS doy,
+           strftime(o_orderdate::DATE, '%Y-%m-%d') AS as_date,
+           make_timestamp(year(o_orderdate), month(o_orderdate),
+                          day(o_orderdate), 6, 30, 0) AS rebuilt_0630
+         FROM orders ORDER BY o_orderkey"""),
+
+    QueryDef("q_bit_fns",
+      (s, d) => Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        (col("l_orderkey").bitwiseAND(col("l_partkey"))).as("k_and"),
+        (col("l_orderkey").bitwiseOR(col("l_partkey"))).as("k_or"),
+        (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("k_xor"),
+        shiftleft(col("l_linenumber"), 3).cast("long").as("ln_shl"),
+        shiftright(col("l_partkey"), 2).as("pk_shr"),
+        bit_count(col("l_suppkey")).cast("long").as("sk_bits"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           l_orderkey & l_partkey AS k_and,
+           l_orderkey | l_partkey AS k_or,
+           xor(l_orderkey, l_partkey) AS k_xor,
+           (l_linenumber << 3)::BIGINT AS ln_shl,
+           l_partkey >> 2 AS pk_shr,
+           bit_count(l_suppkey)::BIGINT AS sk_bits
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
+
     // collect_list/collect_set are order-nondeterministic under parallel
     // aggregation — sorting the collected array restores a stable value.
     QueryDef("q_agg_collect",

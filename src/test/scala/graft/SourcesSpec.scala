@@ -32,6 +32,14 @@ class SourcesSpec extends SparkSpec {
       relation.orderBy("log_source_file").collect().toSeq)
   }
 
+  test("orc round-trip preserves the relation") {
+    val dir = java.nio.file.Files.createTempDirectory("alborc").toString
+    relation.write.mode("overwrite").orc(dir)
+    val back = spark.read.schema(relation.schema).orc(dir)
+    assert(back.orderBy("log_source_file").collect().toSeq ==
+      relation.orderBy("log_source_file").collect().toSeq)
+  }
+
   test("streaming file source: tumbling agg over a parquet directory == batch") {
     val dir = java.nio.file.Files.createTempDirectory("evstream").toString
     val ev = Tables.events(spark, sf)
