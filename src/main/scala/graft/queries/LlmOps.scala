@@ -110,6 +110,33 @@ SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2
              / (len(x.sset) + len(y.sset) - len(list_intersect(x.sset, y.sset))) AS jaccard
          FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1 ORDER BY d1"""),
 
+    // Character 5-gram Jaccard between consecutive docs — the char-level
+    // n-gram dedup granularity (word-level variants: q_text_jaccard,
+    // q_dedup_minhash).
+    QueryDef("q_text_chargram",
+      (s, d) => {
+        val grams = array_distinct(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+          i => col("text").substr(i, lit(5))))
+        val sets = Tables.documents(s, d)
+          .select(col("doc_id"), grams.as("gset"))
+        val inter = size(array_intersect(col("x.gset"), col("y.gset")))
+        sets.as("x").join(sets.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            (inter.cast("double") /
+              (size(col("x.gset")) + size(col("y.gset")) - inter)).as("jaccard"))
+          .orderBy("d1")
+      },
+      """WITH g AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+               i -> substring(text, i, 5))) AS gset
+           FROM documents)
+         SELECT x.doc_id AS d1, y.doc_id AS d2,
+           len(list_intersect(x.gset, y.gset))::DOUBLE
+             / (len(x.gset) + len(y.gset) - len(list_intersect(x.gset, y.gset))) AS jaccard
+         FROM g x JOIN g y ON y.doc_id = x.doc_id + 1 ORDER BY d1"""),
+
     // Brute-force cosine top-k: the exactness baseline. Query vectors are
     // broadcast; the big side is scanned once, no shuffle before the
     // per-query top-k window. Uses the codegen'd native Expression

@@ -210,6 +210,27 @@ object Relational3 {
          FROM orders WHERE (o_orderkey * 2654435761) % 100 < 5
          ORDER BY o_orderkey"""),
 
+    // Boolean aggregates, null-aware counting, deterministic string agg.
+    QueryDef("q_agg_bool",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          count(nullif(col("o_orderpriority"), lit("1-URGENT"))).as("n_not_urgent"),
+          count(lit(1)).as("n_total"),
+          concat_ws(",", array_sort(collect_set(col("o_orderpriority"))))
+            .as("priorities_csv"))
+        .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           count(nullif(o_orderpriority, '1-URGENT')) AS n_not_urgent,
+           count(*) AS n_total,
+           list_aggregate(list_sort(list(DISTINCT o_orderpriority)), 'string_agg', ',')
+             AS priorities_csv
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
     QueryDef("q_join_cross",
       (s, d) => Tables.region(s, d).as("a")
         .crossJoin(Tables.region(s, d).as("b"))
