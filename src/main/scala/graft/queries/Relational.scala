@@ -165,6 +165,38 @@ object Relational {
            ON c_custkey = o_custkey
          ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST"""),
 
+    QueryDef("q_join_right",
+      (s, d) => {
+        val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+        big.join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"), "right")
+          .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy(asc_nulls_first("c_custkey"), asc_nulls_first("o_orderkey"))
+      },
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+         FROM (SELECT * FROM orders WHERE o_totalprice > 400000) o
+           RIGHT JOIN customer ON o_custkey = c_custkey
+         ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST"""),
+
+    QueryDef("q_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY l_returnflag, l_linestatus"""),
+
+    QueryDef("q_having",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey"),
+      """SELECT o_custkey, count(*) AS n_orders,
+           (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS spend
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+         ORDER BY o_custkey"""),
+
     QueryDef("q_join_full",
       (s, d) => {
         val ca = Tables.customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
