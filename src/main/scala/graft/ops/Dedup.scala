@@ -138,6 +138,45 @@ object Dedup {
     if (threshold <= 1.0) cross.unionAll(within) else cross
   }
 
+  /** Connected components over a near-duplicate pair graph — what a dedup
+    * pipeline actually needs downstream of pair generation: one canonical
+    * representative (min id) per transitive duplicate cluster.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup clusters are dense, so 2-3 in
+    * practice). Each round is one join + one aggregation — fully
+    * distributed, no transitive-closure materialization, state is one
+    * (node, label) row per node. `maxIters` is a safety bound.
+    *
+    * The fixpoint (min node id per component) is algorithm-independent,
+    * so the DuckDB oracle may compute it with a recursive CTE and still
+    * match exactly.
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      .distinct().cache()
+    var labels = nodes.select(col("node"), col("node").as("label")).cache()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = sym.join(labels, col("b") === col("node"))
+        .select(col("a").as("node"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      val changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "cluster_rep")
+  }
+
   /** 64-bit SimHash per document from xxhash64 word hashes: bit i of the
     * fingerprint is the sign of Σ±1 votes over that bit across words. */
   def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

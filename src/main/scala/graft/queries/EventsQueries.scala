@@ -48,6 +48,49 @@ object EventsQueries {
            (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total_value
          FROM e GROUP BY 1, 2 ORDER BY window_start, event_type"""),
 
+    // Dynamic (per-event) session gaps: error events only extend their
+    // session 5 minutes, others 10. Spark merges overlapping [ts, ts+gap)
+    // intervals; the oracle is the classic merge-intervals rewrite
+    // (break when ts >= running max of previous interval ends).
+    QueryDef("q_window_session_dynamic",
+      (s, d) => {
+        val gap = when(col("event_type") === "error", lit("5 minutes"))
+          .otherwise(lit("10 minutes"))
+        Tables.events(s, d)
+          .groupBy(session_window(col("ts"), gap), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            date_trunc("MILLISECOND", col("session_window.start")).as("session_start"),
+            date_trunc("MILLISECOND", col("session_window.end")).as("session_end"),
+            col("n_events"))
+          .orderBy("user_id", "session_start")
+      },
+      """WITH e AS (
+           SELECT user_id, ts,
+             ts + CASE WHEN event_type = 'error' THEN INTERVAL 5 MINUTE
+                       ELSE INTERVAL 10 MINUTE END AS iv_end
+           FROM events),
+         m AS (
+           SELECT user_id, ts, iv_end,
+             max(iv_end) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+           FROM e),
+         b AS (
+           SELECT user_id, ts, iv_end,
+             CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end THEN 1 ELSE 0 END AS brk
+           FROM m),
+         sids AS (
+           SELECT user_id, ts, iv_end,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM b)
+         SELECT user_id,
+           date_trunc('milliseconds', min(ts))::TIMESTAMP AS session_start,
+           date_trunc('milliseconds', max(iv_end))::TIMESTAMP AS session_end,
+           count(*) AS n_events
+         FROM sids GROUP BY user_id, sid ORDER BY user_id, session_start"""),
+
     QueryDef("q_window_session",
       (s, d) => EventStreams.sessions(Tables.events(s, d))
         .orderBy("user_id", "session_start"),

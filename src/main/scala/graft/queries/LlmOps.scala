@@ -23,15 +23,15 @@ object LlmOps {
   private val nBands = 4
   private val minhashThreshold = 0.9
 
-  private def minhashOracle: String = {
+  /** Shared CTE chain computing the minhash-LSH verified pairs (`v`). */
+  private def minhashPairCtes: String = {
     val rows = nHashes / nBands
     val sigCols = (0 until nHashes).map(i => s"min(md5('$i|' || word)) AS s$i").mkString(", ")
     val bandSelects = (0 until nBands).map { j =>
       val cat = (0 until rows).map(r => s"s${j * rows + r}").mkString(" || '|' || ")
       s"SELECT doc_id, $j AS band_idx, md5($cat) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
-    s"""
-WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+    s"""w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
 sig AS (SELECT doc_id, $sigCols FROM w GROUP BY doc_id),
 band AS ($bandSelects),
 cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM band x
@@ -40,9 +40,28 @@ ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents
 v AS (SELECT d1, d2,
         len(list_intersect(x.s, y.s))::DOUBLE
           / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
-      FROM cand JOIN ws x ON d1 = x.doc_id JOIN ws y ON d2 = y.doc_id)
-SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2"""
+      FROM cand JOIN ws x ON d1 = x.doc_id JOIN ws y ON d2 = y.doc_id)"""
   }
+
+  private def minhashOracle: String =
+    s"""WITH $minhashPairCtes
+SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2"""
+
+  /** Cluster oracle: same pair CTEs + recursive-CTE reachability; the
+    * min-label-per-component fixpoint is algorithm-independent, so this
+    * matches Spark's iterative label propagation exactly. */
+  private def clusterOracle: String =
+    s"""WITH RECURSIVE $minhashPairCtes,
+p AS (SELECT d1, d2 FROM v WHERE jaccard >= $minhashThreshold),
+edges AS (SELECT d1 AS a, d2 AS b FROM p UNION SELECT d2, d1 FROM p),
+reach AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.a, r.label FROM reach r JOIN edges e ON e.b = r.node),
+lab AS (SELECT node AS doc_id, min(label) AS cluster_rep FROM reach GROUP BY node)
+SELECT doc_id, cluster_rep,
+  (count(*) OVER (PARTITION BY cluster_rep))::BIGINT AS cluster_size
+FROM lab ORDER BY doc_id"""
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -56,6 +75,23 @@ SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2
       (s, d) => Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
         nHashes, nBands, minhashThreshold).orderBy("d1", "d2"),
       minhashOracle),
+
+    // Transitive dedup clustering over the minhash pair graph: every doc
+    // labeled with its component's min doc_id — the keep/drop decision
+    // surface of a production dedup pipeline.
+    QueryDef("q_dedup_cluster",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
+          nHashes, nBands, minhashThreshold).persist()
+        val labels = Dedup.connectedComponents(
+          docs.select(col("doc_id").as("node")), pairs)
+        val w = Window.partitionBy("cluster_rep")
+        labels.select(col("node").as("doc_id"), col("cluster_rep"),
+          count(lit(1)).over(w).as("cluster_size"))
+          .orderBy("doc_id")
+      },
+      clusterOracle),
 
     // xxhash64-based — not SQL-expressible in DuckDB → rows-only check;
     // exact semantics pinned by DedupSpec instead.

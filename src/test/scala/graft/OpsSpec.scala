@@ -32,6 +32,24 @@ class OpsSpec extends SparkSpec {
     assert(!keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("connected components merge transitive near-dup chains") {
+    val words = (1 to 20).map(i => s"w$i")
+    val t1 = words.mkString(" ")                              // {w1..w20}
+    val t2 = (words.drop(1) :+ "x1").mkString(" ")            // j(1,2)=19/21≈0.905
+    val t3 = (words.drop(2) :+ "x1" :+ "x2").mkString(" ")    // j(2,3)≈0.905, j(1,3)≈0.82
+    val t4 = (1 to 20).map(i => s"z$i").mkString(" ")         // unrelated
+    val chain = Seq((10L, t1), (11L, t2), (12L, t3), (13L, t4)).toDF("doc_id", "text")
+    val pairs = graft.ops.Dedup.minHashPairs(chain, "doc_id", "text", 16, 4, 0.9)
+    val keys = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys.contains((10L, 11L)) && keys.contains((11L, 12L)))
+    assert(!keys.contains((10L, 12L)))  // not directly similar enough
+    val cc = graft.ops.Dedup.connectedComponents(
+      chain.select(col("doc_id").as("node")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(10L) == 10L && cc(11L) == 10L && cc(12L) == 10L)  // transitive
+    assert(cc(13L) == 13L)                                      // singleton
+  }
+
   test("simhash: identical texts get identical fingerprints, hamming 0") {
     val fp = Dedup.simHash64(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
