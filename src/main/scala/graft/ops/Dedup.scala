@@ -158,17 +158,22 @@ object Dedup {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
     val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
-    var labels = nodes.select(col("node"), col("node").as("label")).cache()
+    // localCheckpoint (NOT cache) each round: the label frame references
+    // itself twice per iteration, so without lineage truncation the
+    // logical plan doubles every round and analysis time grows
+    // exponentially — the classic iterative-dataflow trap. Checkpointing
+    // keeps the plan constant-size and stays fully distributed.
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val prop = sym.join(labels, col("b") === col("node"))
         .select(col("a").as("node"), col("label"))
       val next = labels.unionAll(prop)
-        .groupBy("node").agg(min("label").as("label")).cache()
+        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
       val changed = next.as("n").join(labels.as("o"), Seq("node"))
         .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
