@@ -58,6 +58,61 @@ object Relational2 {
            sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp
          FROM m ORDER BY l_returnflag"""),
 
+    // Pearson correlation / covariance from exact decimal co-moments —
+    // same determinism technique as q_agg_stats, extended to two columns.
+    QueryDef("q_agg_corr",
+      (s, d) => {
+        val x = col("l_quantity").cast("decimal(18,2)")
+        val y = col("l_extendedprice").cast("decimal(18,2)")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"),
+            sum(x * y).cast("double").as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("covar_pop"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sx,
+             (SUM(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sy,
+             (SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sxx,
+             (SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS syy,
+             (SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n,
+           (sxy - sx * sy / n) / n AS covar_pop,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_price
+         FROM m ORDER BY l_returnflag"""),
+
+    // Correlated LATERAL join through the SQL frontend: per-customer
+    // top order, decorrelated by Catalyst into a ranked join.
+    QueryDef("q_join_lateral",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_lat")
+        Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+        s.sql("""
+          SELECT c_custkey, c_name, t.o_orderkey AS top_order, t.o_totalprice AS top_price
+          FROM customer_lat,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+                   WHERE o_custkey = c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t
+          ORDER BY c_custkey""")
+      },
+      """SELECT c_custkey, c_name, t.o_orderkey AS top_order, t.o_totalprice AS top_price
+         FROM customer,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1) t
+         ORDER BY c_custkey"""),
+
     QueryDef("q_map_fns",
       (s, d) => {
         val m = map(lit("type"), col("event_type"),
