@@ -76,6 +76,32 @@ FROM lab ORDER BY doc_id"""
         nHashes, nBands, minhashThreshold).orderBy("d1", "d2"),
       minhashOracle),
 
+    // Keep-best dedup policy: per exact-content group, retain the highest
+    // quality-score document (id-ascending tiebreak) — the production
+    // alternative to keep-min-id.
+    QueryDef("q_dedup_keepbest",
+      (s, d) => {
+        val scored = Tables.documents(s, d).select(col("doc_id"),
+          md5(col("text").cast("binary")).as("content_md5"),
+          TextAnalysis.qualityScore(col("text")).as("quality_score"))
+        val w = Window.partitionBy("content_md5")
+          .orderBy(col("quality_score").desc, col("doc_id").asc)
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("content_md5", "doc_id", "quality_score")
+          .orderBy("doc_id")
+      },
+      """WITH scored AS (
+           SELECT doc_id, md5(text) AS content_md5,
+             least(1.0, len(string_split(text, ' '))::DOUBLE / 100.0)
+               * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / len(string_split(text, ' '))) AS quality_score
+           FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY content_md5
+                 ORDER BY quality_score DESC, doc_id ASC) AS rn FROM scored)
+         SELECT content_md5, doc_id, quality_score FROM r WHERE rn = 1
+         ORDER BY doc_id"""),
+
     // Transitive dedup clustering over the minhash pair graph: every doc
     // labeled with its component's min doc_id — the keep/drop decision
     // surface of a production dedup pipeline.

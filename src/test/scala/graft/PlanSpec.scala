@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan regression guards: the scale properties SCALING.md claims
+  * (broadcasts, pushdown, rank-limit pushdown, equi-join band joins) are
+  * asserted on the actual plans so a refactor can't silently lose them. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = p.collect(pf)
+    val nested = p.collect {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+    }.flatten
+    here ++ nested
+  }
+
+  test("q_join_broadcast plans all three dimension joins as broadcast hash joins") {
+    val bhj = collectAll(planOf("q_join_broadcast")) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size == 3, s"expected 3 broadcast hash joins, got ${bhj.size}")
+  }
+
+  test("q_filter pushes predicates into the parquet scan and prunes columns") {
+    val scan = collectAll(planOf("q_filter")) { case s: FileSourceScanExec => s }.head
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(l_quantity,45.0)"))
+    assert(!scan.metadata("ReadSchema").contains("l_tax"),
+      "projection should prune unreferenced columns")
+  }
+
+  test("q_topk uses rank-limit pushdown (WindowGroupLimit), not a global sort") {
+    val wgl = collectAll(planOf("q_topk")) { case w: WindowGroupLimitExec => w }
+    assert(wgl.nonEmpty, "expected WindowGroupLimit in the top-k plan")
+  }
+
+  test("q_join_range_bucketed is an equi-join; raw q_join_range is the BNLJ baseline") {
+    val bucketed = planOf("q_join_range_bucketed")
+    assert(collectAll(bucketed) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "bucketed band join must not plan a nested-loop join")
+    val raw = planOf("q_join_range")
+    assert(collectAll(raw) { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+  }
+
+  test("q_similarity_topk broadcasts the query vectors") {
+    val b = collectAll(planOf("q_similarity_topk")) { case e: BroadcastExchangeExec => e }
+    assert(b.nonEmpty, "query-vector side should be a broadcast exchange")
+  }
+}
