@@ -38,6 +38,17 @@ object Dedup {
   private def wordSet(textCol: Column): Column =
     array_sort(array_distinct(split(textCol, " ")))
 
+  /** MinHash signature frame: (doc_id, s0..s{n-1}) — the reusable sketch
+    * underlying [[minHashPairs]]; exposed for estimator-style consumers. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(wordSet(col(textCol))).as("word"))
+    val sigExprs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("word")).cast("binary"))).as(s"s$i"))
+    words.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * Executes on word-set REPRESENTATIVES: documents with identical word

@@ -76,6 +76,39 @@ FROM lab ORDER BY doc_id"""
         nHashes, nBands, minhashThreshold).orderBy("d1", "d2"),
       minhashOracle),
 
+    // The minhash sketch as an estimator: matching-signature fraction vs
+    // exact Jaccard on consecutive doc pairs — the accuracy story behind
+    // the LSH dedup path, oracle-checked (E[est] = J, err ~ 1/sqrt(k)).
+    QueryDef("q_minhash_estimate",
+      (s, d) => {
+        val sigs = Dedup.minHashSignatures(Tables.documents(s, d), "doc_id", "text", 16)
+        val matches = (0 until 16)
+          .map(i => when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0))
+          .reduce(_ + _)
+        val sets = Tables.documents(s, d)
+          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ws"))
+        val inter = size(array_intersect(col("sx.ws"), col("sy.ws")))
+        sigs.as("x").join(sigs.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            (matches.cast("double") / 16).as("est_jaccard"))
+          .join(sets.as("sx"), col("d1") === col("sx.doc_id"))
+          .join(sets.as("sy"), col("d2") === col("sy.doc_id"))
+          .select(col("d1"), col("d2"), col("est_jaccard"),
+            (inter.cast("double") /
+              (size(col("sx.ws")) + size(col("sy.ws")) - inter)).as("exact_jaccard"))
+          .orderBy("d1")
+      },
+      s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+         sig AS (SELECT doc_id, ${(0 until 16).map(i => s"min(md5('$i|' || word)) AS s$i").mkString(", ")} FROM w GROUP BY doc_id),
+         ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents)
+         SELECT x.doc_id AS d1, y.doc_id AS d2,
+           (${(0 until 16).map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END").mkString(" + ")})::DOUBLE / 16 AS est_jaccard,
+           len(list_intersect(sx.s, sy.s))::DOUBLE
+             / (len(sx.s) + len(sy.s) - len(list_intersect(sx.s, sy.s))) AS exact_jaccard
+         FROM sig x JOIN sig y ON y.doc_id = x.doc_id + 1
+           JOIN ws sx ON x.doc_id = sx.doc_id JOIN ws sy ON y.doc_id = sy.doc_id
+         ORDER BY d1"""),
+
     // Keep-best dedup policy: per exact-content group, retain the highest
     // quality-score document (id-ascending tiebreak) — the production
     // alternative to keep-min-id.
