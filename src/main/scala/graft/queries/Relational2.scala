@@ -60,10 +60,15 @@ object Relational2 {
 
     // Pearson correlation / covariance from exact decimal co-moments —
     // same determinism technique as q_agg_stats, extended to two columns.
+    // Columns chosen small-valued (quantity ≤ 50, discount ≤ 0.1) so every
+    // co-moment stays far below 2^53 in decimal units at any scale factor:
+    // beyond that, decimal→double conversion itself rounds, and DuckDB's
+    // int128-based conversion can differ from Java BigDecimal by 1 ulp
+    // (observed with price² sums).
     QueryDef("q_agg_corr",
       (s, d) => {
         val x = col("l_quantity").cast("decimal(18,2)")
-        val y = col("l_extendedprice").cast("decimal(18,2)")
+        val y = col("l_discount").cast("decimal(18,2)")
         Tables.lineitem(s, d)
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
@@ -75,21 +80,21 @@ object Relational2 {
             ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")).as("covar_pop"),
             ((col("n") * col("sxy") - col("sx") * col("sy")) /
               (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_disc"))
           .orderBy("l_returnflag")
       },
       """WITH m AS (
            SELECT l_returnflag, count(*) AS n,
              (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sx,
-             (SUM(CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sy,
+             (SUM(CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS sy,
              (SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sxx,
-             (SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS syy,
-             (SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))))::DOUBLE AS sxy
+             (SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS syy,
+             (SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS sxy
            FROM lineitem GROUP BY l_returnflag)
          SELECT l_returnflag, n,
            (sxy - sx * sy / n) / n AS covar_pop,
            (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
-             AS corr_qty_price
+             AS corr_qty_disc
          FROM m ORDER BY l_returnflag"""),
 
     // Correlated LATERAL join through the SQL frontend: per-customer
