@@ -166,7 +166,10 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    // pairs feeds sym twice (forward + reversed) — cache for the single
+    // materialization, released below once labels are checkpointed
+    val p = pairs.persist()
+    val edges = p.select(col("d1").as("a"), col("d2").as("b"))
     val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .distinct().cache()
     // localCheckpoint (NOT cache) each round: the label frame references
@@ -189,7 +192,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // labels is checkpoint-materialized (lineage-free) — upstream caches
+    // can be dropped so long-lived sessions don't accumulate storage
     sym.unpersist()
+    p.unpersist()
     labels.withColumnRenamed("label", "cluster_rep")
   }
 

@@ -142,7 +142,7 @@ FROM lab ORDER BY doc_id"""
       (s, d) => {
         val docs = Tables.documents(s, d)
         val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
-          nHashes, nBands, minhashThreshold).persist()
+          nHashes, nBands, minhashThreshold)
         val labels = Dedup.connectedComponents(
           docs.select(col("doc_id").as("node")), pairs)
         val w = Window.partitionBy("cluster_rep")
