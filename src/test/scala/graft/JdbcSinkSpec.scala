@@ -25,6 +25,13 @@ class JdbcSinkSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "sink_t1", props).count() == 6L)
   }
 
+  test("sink failures are logged and swallowed, not thrown (reference :157-158)") {
+    val df = Seq((1L, "a")).toDF("id", "name")
+    val bad = new Properties()
+    bad.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    assert(JdbcSink.append(df, "jdbc:derby:/nonexistent/path/db", "t", bad) == 0L)
+  }
+
   test("empty frame is skipped with a warning (reference :153,159-160)") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
     assert(JdbcSink.append(empty, url, "sink_t2", props) == 0L)
