@@ -103,12 +103,19 @@ object Functions {
            (CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))::DOUBLE AS disc_amt
          FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
 
+    // Array-valued intermediates (slice/sort/flatten) stay under test, but
+    // every array-typed OUTPUT is rendered to a deterministic CSV string:
+    // the driver's pandas compare cannot sort/hash list cells. Float
+    // elements go through floor(x·10⁶)→BIGINT — float→double widening is
+    // exact and double multiply/floor are identical IEEE ops on both
+    // engines, so the rendering dodges Java-vs-DuckDB float formatting.
     QueryDef("q_array_fns",
       (s, d) => Tables.embeddings(s, d).select(
         col("vec_id"),
         size(col("embedding")).cast("long").as("dim"),
         element_at(col("embedding"), 1).as("first_elem"),
-        slice(col("embedding"), 1, 3).as("head3"),
+        concat_ws(",", transform(slice(col("embedding"), 1, 3),
+          x => floor(x.cast("double") * 1000000d).cast("string"))).as("head3_csv"),
         array_max(col("embedding")).as("elem_max"),
         array_min(col("embedding")).as("elem_min"),
         aggregate(col("embedding"), lit(0.0), (acc, x) => acc + x).as("elem_sum"))
@@ -116,7 +123,8 @@ object Functions {
       """SELECT vec_id,
            len(embedding)::BIGINT AS dim,
            embedding[1] AS first_elem,
-           embedding[1:3] AS head3,
+           array_to_string(list_transform(embedding[1:3],
+             x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)::VARCHAR), ',') AS head3_csv,
            list_max(embedding) AS elem_max,
            list_min(embedding) AS elem_min,
            list_reduce(list_prepend(0.0, list_transform(embedding, x -> x::DOUBLE)),
@@ -126,23 +134,27 @@ object Functions {
     QueryDef("q_array_fns2",
       (s, d) => {
         val e = col("embedding")
+        val toCsv = (a: org.apache.spark.sql.Column) => concat_ws(",",
+          transform(a, x => floor(x.cast("double") * 1000000d).cast("string")))
         Tables.embeddings(s, d).select(
           col("vec_id"),
-          array_sort(slice(e, 1, 4)).as("head4_sorted"),
+          toCsv(array_sort(slice(e, 1, 4))).as("head4_sorted_csv"),
           array_position(e, array_max(e)).cast("long").as("argmax_1based"),
           array_contains(e, array_min(e)).as("has_min"),
           exists(e, x => x < 0f).as("has_neg"),
           size(filter(e, x => x > 0f)).cast("long").as("n_pos"),
-          flatten(array(slice(e, 1, 2), slice(e, 3, 2))).as("head4_flat"))
+          toCsv(flatten(array(slice(e, 1, 2), slice(e, 3, 2)))).as("head4_flat_csv"))
           .orderBy("vec_id")
       },
       """SELECT vec_id,
-           list_sort(embedding[1:4]) AS head4_sorted,
+           array_to_string(list_transform(list_sort(embedding[1:4]),
+             x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)::VARCHAR), ',') AS head4_sorted_csv,
            list_position(embedding, list_max(embedding))::BIGINT AS argmax_1based,
            list_contains(embedding, list_min(embedding)) AS has_min,
            len(list_filter(embedding, x -> x < 0)) > 0 AS has_neg,
            len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
-           flatten([embedding[1:2], embedding[3:4]]) AS head4_flat
+           array_to_string(list_transform(flatten([embedding[1:2], embedding[3:4]]),
+             x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)::VARCHAR), ',') AS head4_flat_csv
          FROM embeddings ORDER BY vec_id"""),
 
     QueryDef("q_cond_fns",

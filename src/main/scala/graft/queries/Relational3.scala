@@ -114,14 +114,17 @@ object Relational3 {
         col("p_partkey"),
         regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
         regexp_replace(col("p_name"), "[aeiou]", "*").as("name_devoweled"),
-        regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)).as("name_words"),
+        // array output → CSV string: the driver's pandas compare cannot
+        // hash list cells (words are [a-z]+ so ',' never collides)
+        concat_ws(",", regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)))
+          .as("name_words_csv"),
         regexp_count(col("p_name"), lit("a")).cast("long").as("n_a"),
         col("p_type").rlike("^[a-z]+ ").as("type_two_words"))
         .orderBy("p_partkey"),
       """SELECT p_partkey,
            regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
            regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled,
-           regexp_extract_all(p_name, '[a-z]+') AS name_words,
+           array_to_string(regexp_extract_all(p_name, '[a-z]+'), ',') AS name_words_csv,
            len(regexp_extract_all(p_name, 'a'))::BIGINT AS n_a,
            regexp_matches(p_type, '^[a-z]+ ') AS type_two_words
          FROM part ORDER BY p_partkey"""),
@@ -187,14 +190,18 @@ object Relational3 {
 
     // collect_list/collect_set are order-nondeterministic under parallel
     // aggregation — sorting the collected array restores a stable value.
+    // The sorted array is rendered to a CSV string (integer formatting is
+    // engine-identical) because the driver's compare cannot hash list cells.
     QueryDef("q_agg_collect",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(array_sort(collect_set(col("l_linenumber"))).as("linenumbers"),
+        .agg(concat_ws(",", transform(array_sort(collect_set(col("l_linenumber"))),
+            x => x.cast("string"))).as("linenumbers_csv"),
           size(collect_list(col("l_linenumber"))).cast("long").as("n_collected"))
         .orderBy("l_returnflag"),
       """SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linenumber)) AS linenumbers,
+           array_to_string(list_transform(list_sort(list(DISTINCT l_linenumber)),
+             x -> x::VARCHAR), ',') AS linenumbers_csv,
            len(list(l_linenumber))::BIGINT AS n_collected
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
