@@ -20,7 +20,24 @@ import org.slf4j.LoggerFactory
 object JdbcSink {
   private val log = LoggerFactory.getLogger(getClass)
 
-  /** @return number of rows appended (0 = skipped or failed). */
+  /** Appends `df` and returns the number of rows written.
+    *
+    * The row count rides the write itself as an `observe()` metric, so the
+    * input plan is NOT re-executed to count (a separate `count()` would
+    * re-run the whole upstream pipeline and could disagree with what was
+    * written if the source changed between jobs). The only extra job is
+    * the empty-guard probe, a LIMIT-1 scan that short-circuits at the
+    * first row — required because the reference skips the write entirely
+    * (no table auto-creation) on empty input.
+    *
+    * Not transactional across partitions: each partition commits its own
+    * JDBC batch, so a mid-write task failure can leave earlier partitions'
+    * rows committed while this method logs the error and returns 0 —
+    * matching the reference's permissive append (no rollback there
+    * either). Use an idempotent staging table + swap if exactly-once
+    * matters downstream.
+    *
+    * @return number of rows appended (0 = skipped or failed). */
   def append(df: DataFrame, url: String, table: String,
              props: Properties = new Properties(),
              maxConnections: Int = 8): Long = {
@@ -28,9 +45,12 @@ object JdbcSink {
       log.warn(s"JdbcSink: empty DataFrame — skipping append to $table")
       0L
     } else try {
-      val out = df.coalesce(maxConnections)
-      out.write.mode("append").jdbc(url, table, props)
-      df.count()
+      val obs = org.apache.spark.sql.Observation()
+      df.coalesce(maxConnections)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("rows_written"))
+        .write.mode("append").jdbc(url, table, props)
+      obs.get("rows_written").asInstanceOf[Long]
     } catch {
       case e: Exception =>
         log.error(s"JdbcSink: append to $table failed: ${e.getMessage}")

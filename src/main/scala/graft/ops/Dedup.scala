@@ -57,9 +57,10 @@ object Dedup {
     * byte-identical output to the naive per-document algorithm (which the
     * DuckDB oracle still expresses) while collapsing the degenerate
     * everything-matches-everything cliques that otherwise blow the bucket
-    * self-join up quadratically. The exact-Jaccard verify joins against a
-    * broadcast of the (small) distinct-set table, so candidate pairs never
-    * shuffle with array payloads attached.
+    * self-join up quadratically. The exact-Jaccard verify joins candidate
+    * pairs against the distinct-set table with no join-strategy hint: AQE
+    * broadcasts it while it fits and degrades to a shuffled digest join
+    * when the corpus outgrows a broadcast.
     *
     * @param numHashes signature length (must be bands * rowsPerBand)
     * @param bands     LSH bands; candidate pairs share ≥1 band bucket
@@ -85,10 +86,18 @@ object Dedup {
     // distinct (digest, word) pairs drive the signature aggregation
     val words = sets.select(col("digest"), explode(col("ws")).as("word"))
 
-    // numHashes independent permutations simulated by seed-prefixed md5
-    val sigExprs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("word")).cast("binary"))).as(s"s$i"))
-    val sigs = words.groupBy("digest").agg(sigExprs.head, sigExprs.tail: _*)
+    // numHashes independent permutations simulated by seed-prefixed md5.
+    // The md5 depends on (seed, word) only, so hash once per DISTINCT
+    // vocabulary word and join back — occurrences outnumber the
+    // vocabulary by orders of magnitude (Heaps' law), so this trades
+    // 16 md5s per occurrence for one unhinted join (AQE broadcasts the
+    // vocab while it fits, shuffles when it doesn't).
+    val vocab = words.select("word").distinct()
+      .select(col("word") +: (0 until numHashes).map(i =>
+        md5(concat(lit(s"$i|"), col("word")).cast("binary")).as(s"h$i")): _*)
+    val sigExprs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"s$i"))
+    val sigs = words.join(vocab, "word")
+      .groupBy("digest").agg(sigExprs.head, sigExprs.tail: _*)
 
     // Band bucket = hash of the signature slice. Bucket equality means
     // sig-slice equality, so the hash function here is pure key
@@ -104,38 +113,50 @@ object Dedup {
         posexplode(array((0 until bands).map(j => col(s"b$j")): _*)))
       .toDF("digest", "band_idx", "bucket")
 
-    // NOTE: no distinct() here — a pair colliding in k bands appears k
-    // times, but verification below is cheap (broadcast lookup + merge
-    // intersect), so deduplication happens AFTER the jaccard filter where
-    // only surviving pairs shuffle, not every candidate.
+    // A pair colliding in k bands appears k times — dedup immediately,
+    // while a candidate is still two 8-byte digests, so every downstream
+    // join sees each pair once and no array payload is attached yet.
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.digest") < col("y.digest"))
       .select(col("x.digest").as("g1"), col("y.digest").as("g2"))
+      .distinct()
 
-    // exact-Jaccard verify on representative pairs (broadcast set lookup).
-    // Size-ratio prefilter first: j = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|),
-    // so pairs failing the ratio can never reach the threshold — provably
-    // output-neutral, and it skips the intersection for most candidates.
-    // The intersection itself is the codegen'd two-pointer merge
-    // (sorted_intersect_size), not the hash-building array_intersect.
+    // Size-ratio prefilter: j = |∩|/|∪| ≤ min(|A|,|B|)/max(|A|,|B|), so
+    // pairs failing the ratio can never reach the threshold — provably
+    // output-neutral. It runs against a slim (digest, size) projection
+    // (16 bytes/row — AQE broadcasts it at any realistic corpus size), so
+    // most candidates die before the word-set arrays ever enter a join.
+    val sizes = sets.select(col("digest"), size(col("ws")).as("sz"))
+    val ratioOk = cand
+      .join(sizes.as("sx"), col("g1") === col("sx.digest"))
+      .join(sizes.as("sy"), col("g2") === col("sy.digest"))
+      .filter(least(col("sx.sz"), col("sy.sz")).cast("double")
+        / greatest(col("sx.sz"), col("sy.sz")) >= threshold)
+      .select("g1", "g2")
+
+    // Exact-Jaccard verify on the survivors, via the codegen'd two-pointer
+    // merge (sorted_intersect_size), not the hash-building
+    // array_intersect. The word-set joins are SHUFFLE_HASH, not broadcast:
+    // the distinct-set table scales with the corpus (a mandatory broadcast
+    // would OOM at 100 TB), and hash beats sort-merge because neither side
+    // benefits from sorted output. Arrays are attached only to ratio-
+    // surviving pairs, each exactly once per side.
     val sa = size(col("x.ws")); val sb = size(col("y.ws"))
     val inter = call_function("sorted_intersect_size", col("x.ws"), col("y.ws"))
-    val verified = cand
-      .join(broadcast(sets.as("x")), col("g1") === col("x.digest"))
-      .join(broadcast(sets.as("y")), col("g2") === col("y.digest"))
-      .filter(least(sa, sb).cast("double") / greatest(sa, sb) >= threshold)
+    val verified = ratioOk
+      .join(sets.as("x").hint("SHUFFLE_HASH"), col("g1") === col("x.digest"))
+      .join(sets.as("y").hint("SHUFFLE_HASH"), col("g2") === col("y.digest"))
       .select(col("g1"), col("g2"),
         (inter.cast("double") / (sa + sb - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .dropDuplicates("g1", "g2")
 
     // expand digests back to document pairs:
     // (a) cross-digest verified pairs → all member cross products
     val cross = verified
-      .join(broadcast(members.as("m1")), col("g1") === col("m1.digest"))
-      .join(broadcast(members.as("m2")), col("g2") === col("m2.digest"))
+      .join(members.as("m1"), col("g1") === col("m1.digest"))
+      .join(members.as("m2"), col("g2") === col("m2.digest"))
       .select(
         least(col("m1.doc_id"), col("m2.doc_id")).as("d1"),
         greatest(col("m1.doc_id"), col("m2.doc_id")).as("d2"),
@@ -177,21 +198,40 @@ object Dedup {
     // logical plan doubles every round and analysis time grows
     // exponentially — the classic iterative-dataflow trap. Checkpointing
     // keeps the plan constant-size and stays fully distributed.
+    //
+    // Frontier propagation: a node's label can only drop when a NEIGHBOR'S
+    // label dropped the round before, so each round joins the edge list
+    // against only the nodes that changed last round (round 0: everyone),
+    // not the full label frame. Same fixpoint — every improvement path
+    // starts at an initial label, and every improvement re-enters the
+    // frontier — but late rounds touch a vanishing fraction of the graph.
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint()
-    var converged = false
+    var frontier = labels
+    var frontierSize = frontier.count()
     var i = 0
-    while (!converged && i < maxIters) {
-      val prop = sym.join(labels, col("b") === col("node"))
+    while (frontierSize > 0 && i < maxIters) {
+      val msgs = sym.join(frontier.withColumnRenamed("node", "b"), Seq("b"))
         .select(col("a").as("node"), col("label"))
-      val next = labels.unionAll(prop)
-        .groupBy("node").agg(min("label").as("label")).localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
-      converged = changed == 0
+      val best = msgs.groupBy("node").agg(min("label").as("cand"))
+      // LAZY checkpoint: the frontier count below is the round's single
+      // action — it materializes the checkpoint and sizes the next
+      // frontier in one job instead of two.
+      val merged = labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("cand"), col("label"))).as("label"),
+          (col("cand") < col("label")).as("improved"))
+        .localCheckpoint(eager = false)
+      frontier = merged.filter(col("improved")).select("node", "label")
+      frontierSize = frontier.count()
+      labels = merged.select("node", "label")
       i += 1
     }
+    if (frontierSize > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents did not converge in $maxIters iterations " +
+          s"($frontierSize labels still changing) — returned labels are NOT " +
+          "a fixpoint; raise maxIters for graphs of larger diameter")
     // labels is checkpoint-materialized (lineage-free) — upstream caches
     // can be dropped so long-lived sessions don't accumulate storage
     sym.unpersist()
@@ -200,23 +240,41 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document from xxhash64 word hashes: bit i of the
-    * fingerprint is the sign of Σ±1 votes over that bit across words. */
+    * fingerprint is the sign of Σ±1 votes over that bit across words.
+    *
+    * The ±1 votes are equivalent to one-counts: bit i is set iff
+    * 2·ones(i) > n_words. The 64 per-bit one-counts are accumulated as 16
+    * lane-packed longs — `(h >>> k) & 0x0001000100010001` drops bits
+    * k, k+16, k+32, k+48 into four independent 16-bit lanes, so one SUM
+    * aggregates four counters with no cross-lane carries for up to 65535
+    * distinct words per document (far beyond any real document's distinct
+    * vocabulary; lane width is the only capacity assumption). 16+1
+    * aggregate expressions instead of 64 keeps the hash-aggregate codegen
+    * small and ~4× cheaper. */
   def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(wordSet(col(textCol))).as("word"))
     val h = xxhash64(col("word"))
-    val voteExprs = (0 until 64).map(i =>
-      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
-    val votes = words.groupBy("doc_id").agg(voteExprs.head, voteExprs.tail: _*)
-    val fp = (0 until 64).map(i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
-    votes.select(col("doc_id"), fp.as("simhash"))
+    val laneMask = 0x0001000100010001L
+    val packExprs = (0 until 16).map(k =>
+      sum(shiftrightunsigned(h, k).bitwiseAND(laneMask)).as(s"p$k"))
+    val aggs = packExprs :+ count(lit(1)).as("n_words")
+    val packed = words.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val fp = (0 until 64).map { i =>
+      val ones = shiftrightunsigned(col(s"p${i % 16}"), (i / 16) * 16)
+        .bitwiseAND(0xFFFFL)
+      when(ones * 2 > col("n_words"), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    packed.select(col("doc_id"), fp.as("simhash"))
   }
 
   /** Near-dup pairs by hamming distance over [[simHash64]] fingerprints,
-    * with 4×16-bit banded candidate generation (a pair must agree exactly
-    * on ≥1 band — guaranteed when hamming ≤ 3·16/... in the worst case
-    * spread, and overwhelmingly likely for small distances). */
+    * with 4×16-bit banded candidate generation. A pair is a candidate iff
+    * it agrees EXACTLY on ≥1 band; by pigeonhole that is guaranteed only
+    * for hamming ≤ 3 (4 differing bits can land in 4 distinct bands).
+    * For 3 < hamming ≤ maxHamming recall is probabilistic — high when the
+    * differing bits cluster, zero when they spread across all four bands
+    * — the standard LSH recall/cost trade. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 10): DataFrame = {
     val fp = simHash64(docs, idCol, textCol)

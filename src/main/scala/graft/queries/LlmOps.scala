@@ -308,14 +308,28 @@ FROM lab ORDER BY doc_id"""
         val e = Tables.embeddings(s, d)
         val cents = e.filter(col("vec_id") < 16)
           .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cvec"))
+        val dists = (src: org.apache.spark.sql.DataFrame) =>
+          src.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("embedding"), col("cid"),
+              Similarity.l2sq(col("embedding"), col("cvec")).as("dist"))
+        // Nearest-centroid assignment as a partial-aggregating min_by (the
+        // (dist, cid) struct ordering matches the former window's
+        // dist-asc/cid-asc tiebreak): map-side combine collapses the N×K
+        // distance rows before the shuffle, where the row_number window it
+        // replaces shuffled and sorted all of them. The nprobe=2 probe
+        // list needs a rank, but only for the 5 query vectors — the
+        // per-vec_id window makes filter-then-rank ≡ rank-then-filter, so
+        // the full-N assignment is computed exactly once.
+        val assigned = dists(e)
+          .groupBy("vec_id")
+          .agg(min_by(struct(col("cid"), col("embedding")),
+            struct(col("dist"), col("cid"))).as("best"))
+          .select(col("vec_id"), col("best.embedding").as("embedding"),
+            col("best.cid").as("cid"))
         val aw = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
-        val assign = e.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cid"),
-            Similarity.l2sq(col("embedding"), col("cvec")).as("dist"))
+        val probes = dists(e.filter(col("vec_id") < 5))
           .withColumn("arn", row_number().over(aw))
-        val assigned = assign.filter(col("arn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"))
-        val probes = assign.filter(col("vec_id") < 5 && col("arn") <= 2)
+          .filter(col("arn") <= 2)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)

@@ -52,4 +52,17 @@ class PlanSpec extends SparkSpec {
     val b = collectAll(planOf("q_similarity_topk")) { case e: BroadcastExchangeExec => e }
     assert(b.nonEmpty, "query-vector side should be a broadcast exchange")
   }
+
+  test("minhash pair pipeline carries no mandatory broadcast hint") {
+    // The distinct word-set table grows with the corpus: a hard broadcast()
+    // hint would OOM at scale. SHUFFLE_HASH hints are fine (shuffled joins
+    // scale out); what must never reappear is a forced broadcast.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    val analyzed = SparkEntry.queries("q_dedup_minhash")(spark, sf)
+      .queryExecution.analyzed
+    val bcast = analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+    }
+    assert(bcast.isEmpty, s"expected no broadcast hints, found: $bcast")
+  }
 }
