@@ -27,14 +27,22 @@ object AlbFixture {
     "Mozilla/5.0 (X11; Linux x86_64; rv:126.0) Gecko/20100101 Firefox/126.0",
     "Mozilla/5.0 (iPhone; CPU iPhone OS 17_5 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.5 Mobile/15E148 Safari/604.1",
     "curl/8.5.0",
-    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/126.0.0.0 Safari/537.36 Edg/126.0.0.0")
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/126.0.0.0 Safari/537.36 Edg/126.0.0.0",
+    "Mozilla/5.0 (Linux; Android 13; SM-S901B) AppleWebKit/537.36 (KHTML, like Gecko) SamsungBrowser/23.0 Chrome/115.0.0.0 Mobile Safari/537.36",
+    "Mozilla/5.0 (Windows NT 6.1; WOW64; Trident/7.0; rv:11.0) like Gecko",
+    "Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko; compatible; Googlebot/2.1; +http://www.google.com/bot.html) Chrome/126.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows Phone 10.0; Android 6.0.1; Microsoft; Lumia 650) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/52.0.2743.116 Mobile Safari/537.36 Edge/15.15254",
+    "Mozilla/5.0 (X11; CrOS x86_64 14541.0.0) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/114.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Linux; Android 10; VOG-L29) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/110.0.0.0 Mobile Safari/537.36 OPR/73.2.3844")
 
   /** Expected families for [[userAgents]] under the UaClassifier ladder —
     * hardcoded independently in the oracle. */
   val expectedBrowser: Seq[String] =
-    Seq("Unknown", "Chrome", "Firefox", "Mobile Safari", "curl", "Edge")
+    Seq("Unknown", "Chrome", "Firefox", "Mobile Safari", "curl", "Edge",
+      "Samsung Internet", "IE", "Googlebot", "Edge", "Chrome", "Opera Mobile")
   val expectedOs: Seq[String] =
-    Seq("Unknown", "Windows", "Linux", "iOS", "Other", "Windows")
+    Seq("Unknown", "Windows", "Linux", "iOS", "Other", "Windows",
+      "Android", "Windows", "Other", "Windows Phone", "Chrome OS", "Android")
 
   val methods: Seq[String] = Seq("GET", "POST", "PUT")
   val statuses: Seq[String] = Seq("200", "200", "301", "404", "503")
@@ -80,7 +88,7 @@ object AlbFixture {
         lit("/item"), (k % 100).cast("string"), lit("?q="), (k % 5).cast("string"),
         lit(" HTTP/2.0\"")))
 
-    val ua = concat(lit("\""), caseOf(k % 6, userAgents), lit("\""))
+    val ua = concat(lit("\""), caseOf(k % userAgents.length, userAgents), lit("\""))
 
     val fullLine = concat_ws(" ",
       lit("h2"), tsStr, lit("app/test-lb/0123456789abcdef"), clientPort,
@@ -128,14 +136,17 @@ SELECT
        ELSE '/api/seg' || (k % 10)::VARCHAR || '/item' || (k % 100)::VARCHAR END AS requested_path,
   elb_s::INT AS elb_status_code,
   CASE WHEN k % 7 = 0 THEN 0 ELSE elb_s::INT END AS backend_status_code,
-  round((CASE WHEN s1 = '-1' THEN -1.0 ELSE s1::DOUBLE END
+  -- round_even = banker's rounding: the exact twin of the parser's bround
+  -- (Python round at reference :93). DuckDB's plain round() is half-away
+  -- and would diverge on .5-in-3rd-decimal ties.
+  round_even((CASE WHEN s1 = '-1' THEN -1.0 ELSE s1::DOUBLE END
        + s2::DOUBLE
        + CASE WHEN s3 = '-' THEN 0.0 ELSE s3::DOUBLE END) * 1000, 3) AS total_processing_time_ms,
   (k * 13) % 100000 AS received_bytes,
   (k * 29) % 1000000 AS sent_bytes,
-  ${sqlCase("k % 6", userAgents)} AS user_agent_full,
-  ${sqlCase("k % 6", expectedBrowser)} AS ua_browser_family,
-  ${sqlCase("k % 6", expectedOs)} AS ua_os_family,
+  ${sqlCase(s"k % ${userAgents.length}", userAgents)} AS user_agent_full,
+  ${sqlCase(s"k % ${userAgents.length}", expectedBrowser)} AS ua_browser_family,
+  ${sqlCase(s"k % ${userAgents.length}", expectedOs)} AS ua_os_family,
   'mem://alb/' || lpad(k::VARCHAR, 12, '0') AS log_source_file
 FROM c
 ORDER BY log_source_file

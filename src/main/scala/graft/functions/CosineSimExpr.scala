@@ -21,14 +21,24 @@ case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  /** BOTH children must be array<float>: the generated code reads raw
+    * float slots, so an array<double> sneaking through analysis would
+    * silently misread element bytes at runtime. Zero-norm vectors yield
+    * NaN (0/0) by design — same as the HOF/oracle formulation; filter
+    * them upstream if NaN is unacceptable. */
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(FloatType, containsNull = false) ||
-        left.dataType == ArrayType(FloatType, containsNull = true)) {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     } else {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"cosine_sim expects array<float>, got ${left.dataType}")
+        s"cosine_sim expects (array<float>, array<float>), got " +
+          s"(${left.dataType}, ${right.dataType})")
     }
   }
 

@@ -22,25 +22,42 @@ import org.apache.spark.sql.functions._
 object UaClassifier {
 
   /** (family, substrings that must ALL appear, substrings that must NOT appear).
-    * First match wins — order matters (e.g. Edge/Opera carry "Chrome/" too). */
+    * First match wins — order matters throughout: bots precede browsers
+    * (evergreen Googlebot carries "Chrome/"), Edge/Opera/Samsung/Yandex
+    * precede Chrome (they all carry "Chrome/"), mobile variants precede
+    * their desktop base family. */
   val browserRules: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("Googlebot", Seq("Googlebot"), Seq.empty),
+    ("Bingbot", Seq("bingbot"), Seq.empty),
+    ("AhrefsBot", Seq("AhrefsBot"), Seq.empty),
     ("Edge", Seq("Edg"), Seq.empty),
+    ("Samsung Internet", Seq("SamsungBrowser/"), Seq.empty),
+    ("Opera Mobile", Seq("OPR/", "Mobile"), Seq.empty),
     ("Opera", Seq("OPR/"), Seq.empty),
+    ("UC Browser", Seq("UCBrowser/"), Seq.empty),
+    ("Yandex Browser", Seq("YaBrowser/"), Seq.empty),
+    ("HeadlessChrome", Seq("HeadlessChrome"), Seq.empty),
     ("Chrome Mobile", Seq("Chrome/", "Mobile"), Seq.empty),
     ("Chrome", Seq("Chrome/"), Seq.empty),
+    ("Firefox Mobile", Seq("Firefox/", "Mobile"), Seq("Seamonkey")),
     ("Firefox", Seq("Firefox/"), Seq("Seamonkey")),
     ("Mobile Safari", Seq("Safari/", "Mobile"), Seq.empty),
     ("Safari", Seq("Safari/", "Version/"), Seq.empty),
+    ("IE", Seq("Trident/"), Seq.empty),
+    ("IE", Seq("MSIE"), Seq.empty),
     ("curl", Seq("curl/"), Seq.empty),
+    ("Wget", Seq("Wget/"), Seq.empty),
     ("Python Requests", Seq("python-requests"), Seq.empty),
-    ("Googlebot", Seq("Googlebot"), Seq.empty),
   )
 
   val osRules: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("Windows Phone", Seq("Windows Phone"), Seq.empty),
     ("Windows", Seq("Windows NT"), Seq.empty),
     ("iOS", Seq("iPhone"), Seq.empty),
     ("iOS", Seq("iPad"), Seq.empty),
+    ("iOS", Seq("iPod"), Seq.empty),
     ("Mac OS X", Seq("Mac OS X"), Seq.empty),
+    ("Chrome OS", Seq("CrOS"), Seq.empty),
     ("Android", Seq("Android"), Seq.empty),
     ("Ubuntu", Seq("Ubuntu"), Seq.empty),
     ("Linux", Seq("Linux"), Seq.empty),

@@ -251,16 +251,28 @@ object Dedup {
     * vocabulary; lane width is the only capacity assumption). 16+1
     * aggregate expressions instead of 64 keeps the hash-aggregate codegen
     * small and ~4× cheaper. */
-  def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashFp(docs, idCol, textCol, w => xxhash64(w), 64)
+
+  /** md5-derived 60-bit SimHash (15 hex chars → BIGINT): ~half the hash
+    * throughput of [[simHash64]] but SQL-portable, so a DuckDB oracle can
+    * mirror the ENTIRE pipeline bit-for-bit (`('0x' || substring(md5(w),
+    * 1, 15))::BIGINT` ≡ Spark `conv(substring(md5(w),1,15),16,10)`). */
+  def simHash60Md5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simHashFp(docs, idCol, textCol,
+      w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long"), 60)
+
+  private def simHashFp(docs: DataFrame, idCol: String, textCol: String,
+                        wordHash: Column => Column, nBits: Int): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(wordSet(col(textCol))).as("word"))
-    val h = xxhash64(col("word"))
+    val h = wordHash(col("word"))
     val laneMask = 0x0001000100010001L
     val packExprs = (0 until 16).map(k =>
       sum(shiftrightunsigned(h, k).bitwiseAND(laneMask)).as(s"p$k"))
     val aggs = packExprs :+ count(lit(1)).as("n_words")
     val packed = words.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val fp = (0 until 64).map { i =>
+    val fp = (0 until nBits).map { i =>
       val ones = shiftrightunsigned(col(s"p${i % 16}"), (i / 16) * 16)
         .bitwiseAND(0xFFFFL)
       when(ones * 2 > col("n_words"), lit(1L << i)).otherwise(lit(0L))
@@ -276,11 +288,22 @@ object Dedup {
     * differing bits cluster, zero when they spread across all four bands
     * — the standard LSH recall/cost trade. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 10): DataFrame = {
-    val fp = simHash64(docs, idCol, textCol)
+                   maxHamming: Int = 10): DataFrame =
+    bandedHammingPairs(simHash64(docs, idCol, textCol), 4, 16, maxHamming)
+
+  /** [[simHashPairs]] over the md5-based 60-bit fingerprint (4×15-bit
+    * bands) — the oracle-checkable twin; pigeonhole guarantee likewise
+    * hamming ≤ 3. */
+  def simHashPairsMd5(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 10): DataFrame =
+    bandedHammingPairs(simHash60Md5(docs, idCol, textCol), 4, 15, maxHamming)
+
+  private def bandedHammingPairs(fp: DataFrame, bands: Int, bandBits: Int,
+                                 maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = fp.select(col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(j =>
-          shiftrightunsigned(col("simhash"), j * 16).bitwiseAND(0xFFFFL)): _*)))
+        posexplode(array((0 until bands).map(j =>
+          shiftrightunsigned(col("simhash"), j * bandBits).bitwiseAND(mask)): _*)))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
     val cand = banded.as("x").join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&

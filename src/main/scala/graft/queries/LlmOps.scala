@@ -63,6 +63,29 @@ SELECT doc_id, cluster_rep,
   (count(*) OVER (PARTITION BY cluster_rep))::BIGINT AS cluster_size
 FROM lab ORDER BY doc_id"""
 
+  /** DuckDB mirror of [[graft.ops.Dedup.simHashPairsMd5]]: md5-hex → 60-bit
+    * word hash, per-bit majority votes, 4×15-bit banded candidates,
+    * hamming ≤ 10 — stage-for-stage identical to the Spark pipeline. */
+  private def simhashMd5Oracle: String = {
+    val oCols = (0 until 60).map(i => s"sum((h >> $i) & 1) AS o$i").mkString(", ")
+    val fpExpr = (0 until 60)
+      .map(i => s"(CASE WHEN 2 * o$i > n THEN (1::BIGINT << $i) ELSE 0 END)")
+      .mkString(" | ")
+    val bandSelects = (0 until 4).map(j =>
+      s"SELECT doc_id, simhash, $j AS band_idx, (simhash >> ${j * 15}) & 32767 AS band_val FROM fp")
+      .mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+h AS (SELECT doc_id, ('0x' || substring(md5(word), 1, 15))::BIGINT AS h FROM w),
+v AS (SELECT doc_id, count(*) AS n, $oCols FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, $fpExpr AS simhash FROM v),
+band AS ($bandSelects),
+cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2, x.simhash AS h1, y.simhash AS h2
+         FROM band x JOIN band y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+           AND x.doc_id < y.doc_id)
+SELECT d1, d2, bit_count(xor(h1, h2))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q_dedup_exact",
@@ -153,11 +176,21 @@ FROM lab ORDER BY doc_id"""
       clusterOracle),
 
     // xxhash64-based — not SQL-expressible in DuckDB → rows-only check;
-    // exact semantics pinned by DedupSpec instead.
+    // exact semantics pinned by DedupSpec instead. The md5 twin below
+    // carries the full hash oracle for the same pipeline shape.
     QueryDef("q_dedup_simhash",
       (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", 10)
         .orderBy("d1", "d2"),
       None),
+
+    // md5-derived 60-bit SimHash: identical banded-LSH pipeline, but every
+    // stage (word hash → per-bit votes → fingerprint → 4×15-bit bands →
+    // hamming filter) is mirrored in DuckDB, giving the SimHash family a
+    // full hash-checked oracle rather than a rows-only count.
+    QueryDef("q_dedup_simhash_md5",
+      (s, d) => Dedup.simHashPairsMd5(Tables.documents(s, d), "doc_id", "text", 10)
+        .orderBy("d1", "d2"),
+      simhashMd5Oracle),
 
     // Embedding-cosine near-duplicate pairs (builder-prompt dedup family).
     // Brute-force all-pairs with the codegen'd cosine — exact; the
@@ -178,6 +211,41 @@ FROM lab ORDER BY doc_id"""
       s"""SELECT a.vec_id AS d1, b.vec_id AS d2,
            ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cosine_sim
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.4
+         ORDER BY d1, d2"""),
+
+    // Scale-path twin of q_dedup_embcos: sign-bucket LSH prefilter (pairs
+    // must share the 4-bit sign bucket) + the same exact cosine verify.
+    // Candidate volume is Σ bucket² ≈ N²/2^bits instead of N², and the
+    // bucket equi-join shuffles/broadcasts on an 8-byte key — the plan
+    // that survives 100 TB where the all-pairs baseline cannot. The
+    // oracle mirrors the bucket prefilter exactly, so LSH recall cancels
+    // out and results hash-match; recall vs the exact baseline is the
+    // standard LSH trade (a pair split by a sign flip in the first 4 dims
+    // is missed).
+    QueryDef("q_dedup_embcos_bucketed",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        val nBits = 4
+        val e = Tables.embeddings(s, d)
+          .withColumn("bucket", Similarity.signBucket(col("embedding"), nBits))
+        val a = e.select(col("vec_id").as("d1"), col("embedding").as("emb1"),
+          col("bucket"))
+        val b = e.select(col("vec_id").as("d2"), col("embedding").as("emb2"),
+          col("bucket"))
+        a.join(b, Seq("bucket"))
+          .filter(col("d1") < col("d2"))
+          .select(col("d1"), col("d2"), col("bucket").cast("long").as("bucket"),
+            call_function("cosine_sim", col("emb1"), col("emb2")).as("cosine_sim"))
+          .filter(col("cosine_sim") >= 0.4)
+          .orderBy("d1", "d2")
+      },
+      s"""WITH e AS (SELECT vec_id, embedding,
+                 ${Similarity.signBucketSql("embedding", 4)}::BIGINT AS bucket
+               FROM embeddings)
+         SELECT a.vec_id AS d1, b.vec_id AS d2, a.bucket,
+           ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cosine_sim
+         FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.4
          ORDER BY d1, d2"""),
 
