@@ -16,6 +16,8 @@ import graft.functions.{CosineSimExpr, SortedIntersectSize}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // whole-operator extension (ladder step c): native as-of join
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),

@@ -1,12 +1,48 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.functions._
 
-/** Join shapes Spark's planner lacks a native strategy for, composed from
-  * built-ins (extension-ladder step (a), SURVEY §4.2).
+/** Join shapes Spark's planner lacks a native strategy for: composed from
+  * built-ins where composition is enough (extension-ladder step (a),
+  * SURVEY §4.2 — [[bandJoin]]), or a full custom logical+physical
+  * operator where it is not (step (c) — [[asofBackward]]).
   */
 object Joins {
+
+  /** Backward as-of join via the native [[graft.plans.AsOfJoin]] operator:
+    * each left row gains the right row with equal `keys` and the greatest
+    * `rightTime <= leftTime` (left-outer; right columns nullable).
+    *
+    * The right side is re-projected with fresh aliases so self-joins
+    * (both sides reading the same table) cannot collide on attribute ids
+    * — which also means right-side column NAMES must differ from left's
+    * if the caller wants to select them afterwards.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame,
+                   leftKeys: Seq[String], rightKeys: Seq[String],
+                   leftTime: String, rightTime: String): DataFrame = {
+    val lplan = left.queryExecution.analyzed
+    // fresh exprIds on the right: mandatory for self-joins
+    val rAnalyzed = right.queryExecution.analyzed
+    val rplan: LogicalPlan = Project(
+      rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+    def attr(plan: LogicalPlan, n: String): Attribute =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"asofBackward: no column '$n' in ${plan.output.map(_.name)}"))
+    // Runtime-injection fallback for sessions built without
+    // GraftExtensions (mirrors the idempotent function registration).
+    val exp = left.sparkSession.experimental
+    if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoin(lplan, rplan,
+        leftKeys.map(attr(lplan, _)), rightKeys.map(attr(rplan, _)),
+        attr(lplan, leftTime), attr(rplan, rightTime)))
+  }
 
   /** Band (interval) equi-bucketed join: all (l, r) pairs with
     * `r ∈ [l - width, l + width]`.

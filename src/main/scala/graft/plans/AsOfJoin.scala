@@ -1,0 +1,39 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+
+/** Logical backward as-of join: for every left row, attach the single
+  * right row with equal keys and the greatest `rightTime <= leftTime`
+  * (left-outer — unmatched left rows keep nulls on the right).
+  *
+  * This is the whole-operator tier of the extension ladder (SURVEY.md
+  * §4.2c): Spark has no native as-of join (the usual emulations are a
+  * union + `last(ignoreNulls) over rows-between` window — see
+  * q_join_asof — or a range join + rank filter, both of which
+  * materialize/scan more than one row per match). The node is planned by
+  * [[AsOfJoinStrategy]] into [[AsOfJoinExec]], a co-partitioned
+  * single-pass merge.
+  *
+  * Resolution contract: children are ALREADY-ANALYZED plans and the
+  * key/time expressions are resolved attributes of those plans (the
+  * [[graft.ops.Joins.asofBackward]] builder guarantees both, and
+  * re-aliases the right side so a self-join cannot alias-collide), so the
+  * node passes analysis untouched.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
