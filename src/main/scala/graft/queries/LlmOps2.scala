@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second LLM-pipeline batch: content scrubbing, latest-state compaction
+  * (the upsert/merge read pattern), explicit skew-salted joins, and
+  * sequential token packing for training batches. */
+object LlmOps2 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Blocklist scrubbing — the redaction shape of a PII/toxicity filter
+    // (word-boundary regex replace + hit count), as a pure narrow
+    // projection: no shuffle, linear scan, same plan at any corpus size.
+    QueryDef("q_text_scrub",
+      (s, d) => {
+        val pat = "\\b(customer|key|value)\\b"
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          regexp_count(col("text"), lit(pat)).cast("long").as("n_redacted"),
+          md5(regexp_replace(col("text"), pat, "<x>").cast("binary")).as("scrubbed_md5"),
+          (length(col("text")) - length(regexp_replace(col("text"), pat, "")))
+            .cast("long").as("chars_removed"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+           len(regexp_extract_all(text, '\b(customer|key|value)\b'))::BIGINT AS n_redacted,
+           md5(regexp_replace(text, '\b(customer|key|value)\b', '<x>', 'g')) AS scrubbed_md5,
+           (length(text) - length(regexp_replace(text, '\b(customer|key|value)\b', '', 'g')))::BIGINT
+             AS chars_removed
+         FROM documents ORDER BY doc_id"""),
+
+    // Latest-state compaction: one current row per user — the read side
+    // of an upsert/merge (CDC) pipeline. Spark shape is a
+    // partial-aggregating max_by on a (ts, event_id) composite (map-side
+    // combine shrinks the shuffle to one row per key per mapper), NOT a
+    // window: a row_number window would shuffle and sort every event.
+    // The oracle states the same fixpoint with a window, proving the
+    // aggregation formulation equivalent.
+    QueryDef("q_upsert_latest",
+      (s, d) => {
+        val tsm = date_trunc("MILLISECOND", col("ts"))
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(max_by(
+              struct(col("event_id"), tsm.as("tsm"), col("event_type"), col("value")),
+              struct(tsm.as("o1"), col("event_id").as("o2"))).as("last"))
+          .select(col("user_id"), col("last.event_id").as("last_event_id"),
+            col("last.tsm").as("last_ts"), col("last.event_type").as("last_type"),
+            col("last.value").as("last_value"))
+          .orderBy("user_id")
+      },
+      """WITH e AS (SELECT user_id, event_id,
+                    date_trunc('milliseconds', ts)::TIMESTAMP AS tsm,
+                    event_type, value FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                 ORDER BY tsm DESC, event_id DESC) AS rn FROM e)
+         SELECT user_id, event_id AS last_event_id, tsm AS last_ts,
+                event_type AS last_type, value AS last_value
+         FROM r WHERE rn = 1 ORDER BY user_id"""),
+
+    // Explicit salted fact-dim join: the dim side is replicated across 8
+    // salt buckets and the fact side picks a deterministic salt, so one
+    // hot join key spreads over 8 reducers instead of one — the manual
+    // skew-mitigation pattern for when AQE's skew-join splitting can't
+    // apply (e.g. aggregates above the join). Results provably identical
+    // to the plain equi-join, which is exactly what the oracle runs.
+    QueryDef("q_join_salted",
+      (s, d) => {
+        val nSalt = 8
+        val fact = Tables.lineitem(s, d)
+          .withColumn("salt", (col("l_partkey") + col("l_suppkey")) % nSalt)
+        val dim = Tables.orders(s, d)
+          .withColumn("salt", explode(array((0 until nSalt).map(lit): _*)))
+        fact.join(dim,
+            fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("o_totalprice"), col("o_orderstatus"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      },
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                o_totalprice, o_orderstatus
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
+
+    // Sequential token packing: fill 512-token training batches per
+    // language in doc_id order — batch id = tokens-before / budget. One
+    // window cumsum per language partition; integer arithmetic only, so
+    // the oracle matches exactly. (True bin-packing is NP-hard and
+    // order-dependent; sequential fill is what streaming batch packers
+    // actually do.)
+    QueryDef("q_pack_batches",
+      (s, d) => {
+        val budget = 512
+        val nTokens = size(split(col("text"), " ")).cast("long")
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), nTokens.as("n_tokens"))
+          .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            (col("tokens_before") / budget).cast("long").as("batch_id"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (SELECT doc_id, lang,
+                    len(string_split(text, ' '))::BIGINT AS n_tokens
+             FROM documents),
+         c AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+                 ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS tokens_before FROM t)
+         SELECT doc_id, lang, n_tokens, (tokens_before // 512)::BIGINT AS batch_id
+         FROM c ORDER BY doc_id"""),
+  )
+}

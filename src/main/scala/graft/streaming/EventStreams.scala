@@ -38,6 +38,31 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join: each click paired with the same user's
+    * errors landing within `horizon` AFTER it. Both sides are watermarked,
+    * which is what lets Structured Streaming BOUND the join state: a
+    * buffered click can be dropped once the error-side watermark passes
+    * `c_ts + horizon`, so state is O(events in the horizon window), not
+    * O(stream). In batch the same builder degrades to a plain range
+    * join — StreamingSpec asserts both modes produce identical rows. */
+  def clickErrorPairs(events: DataFrame, watermark: String = "30 minutes",
+                      horizon: String = "15 minutes"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+      .withWatermark("c_ts", watermark)
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("value").as("e_value"))
+      .withWatermark("e_ts", watermark)
+    clicks.join(errors,
+        col("c_user") === col("e_user") &&
+          col("e_ts") >= col("c_ts") &&
+          col("e_ts") <= col("c_ts") + expr(s"interval $horizon"))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("e_ts"),
+        col("c_value"), col("e_value"))
+  }
+
   /** Custom arbitrary-state operator (mapGroupsWithState): per-user running
     * event counts that survive across micro-batches. Update output mode in
     * streaming; in batch the state starts empty so it degrades to a plain

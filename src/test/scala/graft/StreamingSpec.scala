@@ -133,4 +133,35 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id", "session_start").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("stream-stream interval join (watermark-bounded state) == batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // clicks every 7 min per user; errors every 11 min — some inside, some
+    // outside the 15-minute horizon, some for users with no clicks
+    val data: Seq[Ev] =
+      (0 until 60).map(i => Ev(new java.sql.Timestamp(base.getTime + i * 7 * 60000L),
+        i % 3, "click", i + 0.5)) ++
+      (0 until 40).map(i => Ev(new java.sql.Timestamp(base.getTime + i * 11 * 60000L + 30000L),
+        i % 4, "error", i + 0.25))
+
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.clickErrorPairs(mem.toDF(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    mem.addData(data)
+    q.processAllAvailable()
+    // advance both watermarks far enough to flush all buffered state
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "click", 0.0))
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "error", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ssjoin_out")
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "c_ts", "e_ts").collect().toSeq
+    val batch = EventStreams.clickErrorPairs(data.toDF())
+      .orderBy("user_id", "c_ts", "e_ts").collect().toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
 }
