@@ -86,6 +86,56 @@ object LlmOps2 {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
 
+    // Stratified reproducible sampling: per-language keep rates (the
+    // corpus-rebalancing op of a multilingual training pipeline), driven
+    // by the same multiplicative-hash trick as q_sample so the sample is
+    // deterministic, engine-neutral, and stable under reruns — unlike
+    // sampleBy/TABLESAMPLE, whose RNG draws are partitioning-dependent.
+    QueryDef("q_sample_stratified",
+      (s, d) => {
+        val rate = when(col("lang") === "en", 80)
+          .when(col("lang") === "de", 40)
+          .otherwise(10)
+        Tables.documents(s, d)
+          .filter((col("doc_id") * 2654435761L) % 100 < rate)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"))
+          .orderBy("lang")
+      },
+      """SELECT lang, count(*) AS n_sampled
+         FROM documents
+         WHERE (doc_id * 2654435761) % 100 <
+           CASE WHEN lang = 'en' THEN 80 WHEN lang = 'de' THEN 40 ELSE 10 END
+         GROUP BY lang ORDER BY lang"""),
+
+    // SQL frontend: chained CTEs + window inside the CTE, planned by
+    // Spark SQL over temp views (complements q_sql_subquery's correlated
+    // EXISTS coverage).
+    QueryDef("q_sql_cte",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_cte")
+        Tables.customer(s, d).createOrReplaceTempView("customer_cte")
+        s.sql("""
+          WITH spend AS (
+            SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+            FROM orders_cte GROUP BY o_custkey),
+          ranked AS (
+            SELECT c.c_custkey, c.c_name, s.total,
+                   CAST(rank() OVER (ORDER BY s.total DESC, c.c_custkey) AS BIGINT) AS spend_rank
+            FROM spend s JOIN customer_cte c ON s.o_custkey = c.c_custkey)
+          SELECT c_custkey, c_name, total, spend_rank
+          FROM ranked WHERE spend_rank <= 100 ORDER BY spend_rank""")
+      },
+      """WITH spend AS (
+           SELECT o_custkey, (SUM(CAST(o_totalprice AS DECIMAL(18,2))))::DOUBLE AS total
+           FROM orders GROUP BY o_custkey),
+         ranked AS (
+           SELECT c.c_custkey, c.c_name, s.total,
+                  rank() OVER (ORDER BY s.total DESC, c.c_custkey) AS spend_rank
+           FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey)
+         SELECT c_custkey, c_name, total, spend_rank
+         FROM ranked WHERE spend_rank <= 100 ORDER BY spend_rank"""),
+
     // Sequential token packing: fill 512-token training batches per
     // language in doc_id order — batch id = tokens-before / budget. One
     // window cumsum per language partition; integer arithmetic only, so
