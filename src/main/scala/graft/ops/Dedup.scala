@@ -57,10 +57,11 @@ object Dedup {
     * byte-identical output to the naive per-document algorithm (which the
     * DuckDB oracle still expresses) while collapsing the degenerate
     * everything-matches-everything cliques that otherwise blow the bucket
-    * self-join up quadratically. The exact-Jaccard verify joins candidate
-    * pairs against the distinct-set table with no join-strategy hint: AQE
-    * broadcasts it while it fits and degrades to a shuffled digest join
-    * when the corpus outgrows a broadcast.
+    * self-join up quadratically. Candidates dedup while still 8-byte
+    * digest pairs, a slim (digest, size) ratio prefilter kills most of
+    * them, and only the survivors join the word-set arrays — via
+    * SHUFFLE_HASH, never a mandatory broadcast (the set table scales with
+    * the corpus; a forced broadcast would OOM at 100 TB).
     *
     * @param numHashes signature length (must be bands * rowsPerBand)
     * @param bands     LSH bands; candidate pairs share ≥1 band bucket
