@@ -23,7 +23,21 @@ object Joins {
     */
   def asofBackward(left: DataFrame, right: DataFrame,
                    leftKeys: Seq[String], rightKeys: Seq[String],
-                   leftTime: String, rightTime: String): DataFrame = {
+                   leftTime: String, rightTime: String): DataFrame =
+    asof(left, right, leftKeys, rightKeys, leftTime, rightTime, forward = false)
+
+  /** Forward as-of: smallest `rightTime >= leftTime` per key instead —
+    * the "next event at/after" direction (e.g. first click after an
+    * error). Same operator, time sort flipped. */
+  def asofForward(left: DataFrame, right: DataFrame,
+                  leftKeys: Seq[String], rightKeys: Seq[String],
+                  leftTime: String, rightTime: String): DataFrame =
+    asof(left, right, leftKeys, rightKeys, leftTime, rightTime, forward = true)
+
+  private def asof(left: DataFrame, right: DataFrame,
+                   leftKeys: Seq[String], rightKeys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   forward: Boolean): DataFrame = {
     val lplan = left.queryExecution.analyzed
     // fresh exprIds on the right: mandatory for self-joins
     val rAnalyzed = right.queryExecution.analyzed
@@ -41,7 +55,7 @@ object Joins {
     org.apache.spark.sql.graft.PlanBridge.ofRows(left.sparkSession,
       graft.plans.AsOfJoin(lplan, rplan,
         leftKeys.map(attr(lplan, _)), rightKeys.map(attr(rplan, _)),
-        attr(lplan, leftTime), attr(rplan, rightTime)))
+        attr(lplan, leftTime), attr(rplan, rightTime), forward))
   }
 
   /** Band (interval) equi-bucketed join: all (l, r) pairs with

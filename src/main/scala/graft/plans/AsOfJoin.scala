@@ -3,9 +3,11 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 
-/** Logical backward as-of join: for every left row, attach the single
-  * right row with equal keys and the greatest `rightTime <= leftTime`
-  * (left-outer — unmatched left rows keep nulls on the right).
+/** Logical as-of join: for every left row, attach the single right row
+  * with equal keys and — backward (`forward=false`) — the greatest
+  * `rightTime <= leftTime`, or — forward — the smallest
+  * `rightTime >= leftTime` (left-outer — unmatched left rows keep nulls
+  * on the right).
   *
   * This is the whole-operator tier of the extension ladder (SURVEY.md
   * §4.2c): Spark has no native as-of join (the usual emulations are a
@@ -27,7 +29,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean = false)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -30,7 +30,8 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    forward: Boolean)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -39,9 +40,15 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // Forward direction reuses the identical merge by flipping the time
+  // sort to DESCENDING on both sides: "greatest rtime <= ltime over
+  // ascending time" and "smallest rtime >= ltime over descending time"
+  // are the same keep-last scan.
+  private def timeDir = if (forward) Descending else Ascending
+
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, timeDir),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, timeDir))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
@@ -54,6 +61,7 @@ case class AsOfJoinExec(
     val rKeysB = rightKeys
     val lTimeB = leftTime
     val rTimeB = rightTime
+    val fwd = forward
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeysB, lOut)
@@ -93,9 +101,9 @@ case class AsOfJoinExec(
             if (rHead == null) advancing = false
             else {
               val c = keyOrd.compare(rKeyProj(rHead), lk)
+              val tCmp = timeOrd.compare(rTimeProj(rHead), lTimeProj(l))
               if (c < 0) rHead = null // right key already passed — discard
-              else if (c == 0 &&
-                  timeOrd.compare(rTimeProj(rHead), lTimeProj(l)) <= 0) {
+              else if (c == 0 && (if (fwd) tCmp >= 0 else tCmp <= 0)) {
                 matchRow = rHead.copy() // later qualifying rows overwrite
                 matchKey = lk.copy()
                 rHead = null
@@ -118,8 +126,8 @@ case class AsOfJoinExec(
   * [[graft.GraftExtensions]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }

@@ -247,6 +247,38 @@ object Relational2 {
          FROM e ASOF LEFT JOIN c ON e.user_id = c.c_user AND c.click_ts <= e.err_ts
          ORDER BY e.event_id"""),
 
+    // Forward direction of the native as-of operator: each error paired
+    // with the user's FIRST click at/after it (follow-up-action analysis).
+    QueryDef("q_join_asof_fwd",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id"),
+            date_trunc("MILLISECOND", col("ts")).as("err_ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy(col("user_id").as("c_user"),
+            date_trunc("MILLISECOND", col("ts")).as("click_ts"))
+          .agg(max("event_id").as("click_id"))
+        graft.ops.Joins.asofForward(errors, clicks,
+            Seq("user_id"), Seq("c_user"), "err_ts", "click_ts")
+          .select(col("user_id"), col("event_id"), col("err_ts"),
+            coalesce(col("click_ts"), lit("1970-01-01").cast("timestamp")).as("click_ts"),
+            coalesce(col("click_id"), lit(-1L)).as("click_id"))
+          .orderBy("event_id")
+      },
+      """WITH e AS (SELECT user_id, event_id,
+                    date_trunc('milliseconds', ts)::TIMESTAMP AS err_ts
+             FROM events WHERE event_type = 'error'),
+         c AS (SELECT user_id AS c_user,
+                    date_trunc('milliseconds', ts)::TIMESTAMP AS click_ts,
+                    max(event_id) AS click_id
+             FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+         SELECT e.user_id, e.event_id, e.err_ts,
+           COALESCE(c.click_ts, TIMESTAMP '1970-01-01') AS click_ts,
+           COALESCE(c.click_id, -1) AS click_id
+         FROM e ASOF LEFT JOIN c ON e.user_id = c.c_user AND c.click_ts >= e.err_ts
+         ORDER BY e.event_id"""),
+
     // HyperLogLog approximate distinct — sketch implementations differ
     // across engines, so no hash oracle (rows-only check); exactness is
     // cross-checked in-test against countDistinct.

@@ -41,6 +41,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Seq((1L, 10L, "a", 10L, "r10")))
   }
 
+  test("forward direction picks smallest right time >= left time") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c")).toDF("k", "t", "lv")
+    val right = Seq((1L, 12L, "r12"), (1L, 18L, "r18"), (1L, 25L, "r25")).toDF("rk", "rt", "rv")
+    val got = Joins.asofForward(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select("t", "rt", "rv").orderBy("t").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"))).toSeq
+    assert(got == Seq((10L, 12L, "r12"), (20L, 25L, "r25"), (30L, -1L, "-")))
+  }
+
   test("right rows later than every left row never match; key changes reset state") {
     val got = asof(
       l = Seq((1L, 10L, "a"), (2L, 10L, "b")),
