@@ -137,6 +137,58 @@ object Relational2 {
            'type,k' AS m_keys
          FROM events ORDER BY event_id"""),
 
+    // Higher-order map functions: transform_keys/values, map_filter,
+    // map_zip_with — rendered to deterministic strings via sorted
+    // map_entries (map iteration order is engine-specific).
+    QueryDef("q_map_fns2",
+      (s, d) => {
+        val m = map(lit("a"), col("o_totalprice"), lit("b"), col("o_totalprice") * 2)
+        val doubled = transform_values(m, (_, v) => (v.cast("decimal(18,2)") * 2).cast("double"))
+        val upper = transform_keys(m, (k, _) => org.apache.spark.sql.functions.upper(k))
+        val onlyA = map_filter(m, (k, _) => k === "a")
+        val zipped = map_zip_with(m, doubled,
+          (_, v1, v2) => (v2.cast("decimal(18,2)") - v1.cast("decimal(18,2)")).cast("double"))
+        def render(mc: org.apache.spark.sql.Column) = concat_ws("|",
+          transform(array_sort(map_entries(mc)),
+            e => concat(e.getField("key"), lit("="),
+              e.getField("value").cast("decimal(18,2)").cast("string"))))
+        Tables.orders(s, d).select(
+          col("o_orderkey"),
+          render(doubled).as("doubled_str"),
+          render(upper).as("upper_str"),
+          render(onlyA).as("only_a_str"),
+          render(zipped).as("zipped_str"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey,
+           'a=' || (CAST(o_totalprice AS DECIMAL(18,2)) * 2)::VARCHAR
+             || '|b=' || (CAST(o_totalprice * 2 AS DECIMAL(18,2)) * 2)::VARCHAR AS doubled_str,
+           'A=' || CAST(o_totalprice AS DECIMAL(18,2))::VARCHAR
+             || '|B=' || CAST(o_totalprice * 2 AS DECIMAL(18,2))::VARCHAR AS upper_str,
+           'a=' || CAST(o_totalprice AS DECIMAL(18,2))::VARCHAR AS only_a_str,
+           'a=' || (CAST(o_totalprice AS DECIMAL(18,2)) * 2 - CAST(o_totalprice AS DECIMAL(18,2)))::VARCHAR
+             || '|b=' || (CAST(o_totalprice * 2 AS DECIMAL(18,2)) * 2 - CAST(o_totalprice * 2 AS DECIMAL(18,2)))::VARCHAR AS zipped_str
+         FROM orders ORDER BY o_orderkey"""),
+
+    // DataFrameNaFunctions: fill / replace / drop over a column made
+    // nullable with nullif — the missing-data API of a cleaning pipeline.
+    QueryDef("q_na_fns",
+      (s, d) => {
+        val withNulls = Tables.orders(s, d).select(
+          col("o_orderkey"),
+          nullif(col("o_orderstatus"), lit("P")).as("status_n"),
+          nullif((col("o_custkey") % 10).cast("long"), lit(0L)).as("prio_n"))
+        withNulls.na.fill(Map("status_n" -> "MISSING", "prio_n" -> -1L))
+          .na.replace("status_n", Map("F" -> "FINAL"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey,
+           CASE COALESCE(nullif(o_orderstatus, 'P'), 'MISSING')
+             WHEN 'F' THEN 'FINAL'
+             ELSE COALESCE(nullif(o_orderstatus, 'P'), 'MISSING') END AS status_n,
+           COALESCE(nullif((o_custkey % 10)::BIGINT, 0), -1) AS prio_n
+         FROM orders ORDER BY o_orderkey"""),
+
     // Two-phase salted aggregation — the standard skew mitigation when a
     // handful of hot keys would overload single reducers: phase 1
     // aggregates (key, salt) across 16-way salt fanout, phase 2 merges
