@@ -53,6 +53,35 @@ class PlanSpec extends SparkSpec {
     assert(b.nonEmpty, "query-vector side should be a broadcast exchange")
   }
 
+  test("q_upsert_latest compacts via partial aggregation, not a window sort") {
+    // The scale claim: map-side combine shrinks the shuffle to one row
+    // per (mapper, key). A refactor to row_number().over(window) would
+    // shuffle and sort every event — catch it here.
+    val plan = planOf("q_upsert_latest")
+    val aggs = collectAll(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a }
+    assert(aggs.exists(_.aggregateExpressions.exists(
+      _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial)),
+      "expected a Partial-mode aggregate before the exchange")
+    val windows = collectAll(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.isEmpty, "latest-state compaction must not use a window")
+  }
+
+  test("native as-of join plans exactly one co-partitioning exchange per side") {
+    val plan = planOf("q_join_asof_native")
+    val asof = collectAll(plan) { case a: graft.plans.AsOfJoinExec => a }
+    assert(asof.nonEmpty, "expected AsOfJoinExec")
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // exchanges under the asof node: one per child (plus the final global
+    // orderBy exchange elsewhere in the plan)
+    val under = asof.head.children.flatMap(c =>
+      collectAll(c) { case e: ShuffleExchangeExec => e })
+    assert(under.size <= 3,
+      s"as-of children should need at most key-partitioning (+1 for the " +
+        s"clicks dedup agg), got ${under.size} exchanges")
+  }
+
   test("minhash pair pipeline carries no mandatory broadcast hint") {
     // The distinct word-set table grows with the corpus: a hard broadcast()
     // hint would OOM at scale. SHUFFLE_HASH hints are fine (shuffled joins
