@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Similarity
 
 /** Second LLM-pipeline batch: content scrubbing, latest-state compaction
   * (the upsert/merge read pattern), explicit skew-salted joins, and
@@ -85,6 +86,95 @@ object LlmOps2 {
                 o_totalprice, o_orderstatus
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
+
+    // Full KNN-graph construction: top-3 neighbors for EVERY vector (not
+    // just 5 probes like q_similarity_topk) with sign-bucket LSH
+    // candidates — the batch job that materializes the neighbor graph an
+    // embedding-dedup or curation pipeline consumes. Σ bucket² candidate
+    // pairs, per-source top-k via rank-limit window.
+    QueryDef("q_knn_graph",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        val e = Tables.embeddings(s, d)
+          .withColumn("bucket", Similarity.signBucket(col("embedding"), 4))
+        val a = e.select(col("vec_id").as("src"), col("embedding").as("emb_a"),
+          col("bucket"))
+        val b = e.select(col("vec_id").as("dst"), col("embedding").as("emb_b"),
+          col("bucket"))
+        val w = Window.partitionBy("src")
+          .orderBy(col("cosine_sim").desc, col("dst").asc)
+        a.join(b, Seq("bucket")).filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            call_function("cosine_sim", col("emb_a"), col("emb_b")).as("cosine_sim"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("src", "rn", "dst", "cosine_sim")
+          .orderBy("src", "rn")
+      },
+      s"""WITH e AS (SELECT vec_id, embedding,
+                 ${Similarity.signBucketSql("embedding", 4)}::BIGINT AS bucket
+               FROM embeddings),
+         p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                 ${Similarity.cosineSql("a.embedding", "b.embedding")} AS cosine_sim
+               FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY src
+                 ORDER BY cosine_sim DESC, dst ASC) AS rn FROM p)
+         SELECT src, rn, dst, cosine_sim FROM r WHERE rn <= 3
+         ORDER BY src, rn"""),
+
+    // Ordered funnel analysis: signup → view → click → purchase, each
+    // stage's first event strictly after the previous stage's. Four small
+    // per-user aggregates chained by join (each output is one row per
+    // user — AQE broadcasts them), NOT a single window over all events.
+    QueryDef("q_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          date_trunc("MILLISECOND", col("ts")).as("tsm"), col("event_type"))
+        val sgn = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("tsm").as("t_signup"))
+        def firstAfter(typ: String, prev: org.apache.spark.sql.DataFrame,
+                       prevCol: String, outCol: String) =
+          ev.filter(col("event_type") === typ).join(prev, Seq("user_id"))
+            .filter(col("tsm") > col(prevCol))
+            .groupBy("user_id").agg(min("tsm").as(outCol))
+        val vw = firstAfter("view", sgn, "t_signup", "t_view")
+        val ck = firstAfter("click", vw, "t_view", "t_click")
+        val pu = firstAfter("purchase", ck, "t_click", "t_purchase")
+        val depth = Seq("t_signup", "t_view", "t_click", "t_purchase")
+          .map(c => col(c).isNotNull.cast("long")).reduce(_ + _)
+        ev.select("user_id").distinct()
+          .join(sgn, Seq("user_id"), "left").join(vw, Seq("user_id"), "left")
+          .join(ck, Seq("user_id"), "left").join(pu, Seq("user_id"), "left")
+          .select(col("user_id"),
+            col("t_signup").isNotNull.as("reached_signup"),
+            col("t_view").isNotNull.as("reached_view"),
+            col("t_click").isNotNull.as("reached_click"),
+            col("t_purchase").isNotNull.as("reached_purchase"),
+            depth.as("funnel_depth"))
+          .orderBy("user_id")
+      },
+      """WITH e AS (SELECT user_id, date_trunc('milliseconds', ts)::TIMESTAMP AS tsm,
+                    event_type FROM events),
+         s AS (SELECT user_id, min(tsm) AS t_signup FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+         v AS (SELECT e.user_id, min(tsm) AS t_view FROM e JOIN s USING (user_id)
+               WHERE event_type = 'view' AND tsm > t_signup GROUP BY 1),
+         c AS (SELECT e.user_id, min(tsm) AS t_click FROM e JOIN v USING (user_id)
+               WHERE event_type = 'click' AND tsm > t_view GROUP BY 1),
+         p AS (SELECT e.user_id, min(tsm) AS t_purchase FROM e JOIN c USING (user_id)
+               WHERE event_type = 'purchase' AND tsm > t_click GROUP BY 1),
+         b AS (SELECT DISTINCT user_id FROM e)
+         SELECT b.user_id,
+           t_signup IS NOT NULL AS reached_signup,
+           t_view IS NOT NULL AS reached_view,
+           t_click IS NOT NULL AS reached_click,
+           t_purchase IS NOT NULL AS reached_purchase,
+           ((t_signup IS NOT NULL)::BIGINT + (t_view IS NOT NULL)::BIGINT
+            + (t_click IS NOT NULL)::BIGINT + (t_purchase IS NOT NULL)::BIGINT)
+             AS funnel_depth
+         FROM b LEFT JOIN s USING (user_id) LEFT JOIN v USING (user_id)
+           LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         ORDER BY b.user_id"""),
 
     // Stratified reproducible sampling: per-language keep rates (the
     // corpus-rebalancing op of a multilingual training pipeline), driven
