@@ -41,6 +41,12 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == Seq((1L, 10L, "a", 10L, "r10")))
   }
 
+  test("empty right side yields all-null matches, not an error") {
+    val got = asof(l = Seq((1L, 10L, "a"), (2L, 20L, "b")),
+      r = Seq.empty[(Long, Long, String)])
+    assert(got == Seq((1L, 10L, "a", -1L, "-"), (2L, 20L, "b", -1L, "-")))
+  }
+
   test("forward direction picks smallest right time >= left time") {
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c")).toDF("k", "t", "lv")
     val right = Seq((1L, 12L, "r12"), (1L, 18L, "r18"), (1L, 25L, "r25")).toDF("rk", "rt", "rv")
