@@ -46,7 +46,8 @@ object EventStreams {
     * O(stream). In batch the same builder degrades to a plain range
     * join — StreamingSpec asserts both modes produce identical rows. */
   def clickErrorPairs(events: DataFrame, watermark: String = "30 minutes",
-                      horizon: String = "15 minutes"): DataFrame = {
+                      horizon: String = "15 minutes",
+                      joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("value").as("c_value"))
@@ -55,10 +56,14 @@ object EventStreams {
       .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
         col("value").as("e_value"))
       .withWatermark("e_ts", watermark)
+    // leftOuter: a click with no error in its horizon emits null-matched —
+    // but only once the error-side watermark has passed the horizon end,
+    // i.e. once absence is PROVEN. Same state bound as the inner join.
     clicks.join(errors,
         col("c_user") === col("e_user") &&
           col("e_ts") >= col("c_ts") &&
-          col("e_ts") <= col("c_ts") + expr(s"interval $horizon"))
+          col("e_ts") <= col("c_ts") + expr(s"interval $horizon"),
+        joinType)
       .select(col("c_user").as("user_id"), col("c_ts"), col("e_ts"),
         col("c_value"), col("e_value"))
   }

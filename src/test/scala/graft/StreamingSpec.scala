@@ -164,4 +164,35 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id", "c_ts", "e_ts").collect().toSeq
     assert(batch.nonEmpty && streamed == batch)
   }
+
+  test("stream-stream LEFT OUTER interval join emits proven-absent rows == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val data: Seq[Ev] =
+      (0 until 30).map(i => Ev(new java.sql.Timestamp(base.getTime + i * 31 * 60000L),
+        i % 3, "click", i + 0.5)) ++
+      (0 until 10).map(i => Ev(new java.sql.Timestamp(base.getTime + i * 97 * 60000L + 30000L),
+        i % 2, "error", i + 0.25))
+
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.clickErrorPairs(mem.toDF(), watermark = "1 minute",
+        joinType = "leftOuter")
+      .writeStream.format("memory").queryName("ssjoin_outer_out")
+      .outputMode("append").start()
+    mem.addData(data)
+    q.processAllAvailable()
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 99L, "click", 0.0))
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"), 99L, "error", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ssjoin_outer_out")
+      .filter(col("user_id") =!= 99L)
+      .orderBy("user_id", "c_ts", "e_ts").collect().toSeq
+    val batch = EventStreams.clickErrorPairs(data.toDF(), joinType = "leftOuter")
+      .orderBy("user_id", "c_ts", "e_ts").collect().toSeq
+    val nullMatched = streamed.count(_.isNullAt(2))
+    assert(nullMatched > 0, "expected some clicks with proven-absent errors")
+    assert(streamed == batch)
+  }
 }
