@@ -91,6 +91,15 @@ class AlbParserSpec extends SparkSpec {
       ("Googlebot/2.1 (+http://www.google.com/bot.html)", ("Googlebot", "Other")),
       ("Mozilla/5.0 (Macintosh; Intel Mac OS X 14_5) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.5 Safari/605.1.15", ("Safari", "Mac OS X")),
       ("Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:126.0) Gecko Firefox/126.0", ("Firefox", "Ubuntu")),
+      ("Mozilla/5.0 (compatible; bingbot/2.0; +http://www.bing.com/bingbot.htm)", ("Bingbot", "Other")),
+      ("Mozilla/5.0 (compatible; AhrefsBot/7.0; +http://ahrefs.com/robot/)", ("AhrefsBot", "Other")),
+      ("Mozilla/5.0 (Linux; U; Android 10; en-US; SM-A205G) AppleWebKit/537.36 (KHTML, like Gecko) Version/4.0 Chrome/100.0.4896.58 UCBrowser/13.7.8.1320 Mobile Safari/537.36", ("UC Browser", "Android")),
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/122.0.0.0 YaBrowser/24.4.0.0 Safari/537.36", ("Yandex Browser", "Windows")),
+      ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) HeadlessChrome/118.0.0.0 Safari/537.36", ("HeadlessChrome", "Linux")),
+      ("Mozilla/5.0 (Android 14; Mobile; rv:126.0) Gecko/126.0 Firefox/126.0", ("Firefox Mobile", "Android")),
+      ("Wget/1.21.3", ("Wget", "Other")),
+      ("Mozilla/4.0 (compatible; MSIE 8.0; Windows NT 6.1)", ("IE", "Windows")),
+      ("Mozilla/5.0 (iPod touch; CPU iPhone OS 15_8 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/15.6 Mobile/15E148 Safari/604.1", ("Mobile Safari", "iOS")),
       ("some-novel-agent/1.0", ("Other", "Other")))
     val df = expected.map(_._1).toDF("ua")
     val got = df.select(
