@@ -226,6 +226,67 @@ object LlmOps2 {
          SELECT c_custkey, c_name, total, spend_rank
          FROM ranked WHERE spend_rank <= 100 ORDER BY spend_rank"""),
 
+    // End-to-end curation pipeline COMPOSED from the library's own ops:
+    // exact-dedup (keep min doc_id per content) → quality gate → per-lang
+    // sequential token packing. One lazy plan end to end — Catalyst fuses
+    // the dedup aggregate, the quality projection, and the pack window;
+    // nothing materializes between stages. The oracle chains the same
+    // three stages as CTEs.
+    QueryDef("q_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = graft.ops.Dedup.exact(docs, "doc_id", "text")
+          .select(col("keep_id").as("doc_id"))
+        val scored = docs.join(keep, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"),
+            graft.ops.TextAnalysis.qualityScore(col("text")).as("quality_score"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .filter(col("quality_score") >= 0.3)
+        val w = Window.partitionBy("lang").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        scored
+          .withColumn("tokens_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            (col("tokens_before") / 512).cast("long").as("batch_id"))
+          .orderBy("doc_id")
+      },
+      """WITH keep AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         scored AS (
+           SELECT d.doc_id, d.lang,
+             least(1.0, len(string_split(text, ' '))::DOUBLE / 100.0)
+               * (len(list_distinct(string_split(text, ' ')))::DOUBLE
+                  / len(string_split(text, ' '))) AS quality_score,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents d JOIN keep USING (doc_id)),
+         gated AS (SELECT * FROM scored WHERE quality_score >= 0.3),
+         packed AS (
+           SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             0) AS tokens_before FROM gated)
+         SELECT doc_id, lang, n_tokens, (tokens_before // 512)::BIGINT AS batch_id
+         FROM packed ORDER BY doc_id"""),
+
+    // Moving median: exact interpolated percentile as a WINDOW aggregate
+    // (verified bit-equal to DuckDB quantile_cont) over a row frame.
+    QueryDef("q_window_median",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(-2, 0)
+        Tables.orders(s, d).select(
+          col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          percentile(col("o_totalprice"), lit(0.5)).over(w).as("moving_median"),
+          count(lit(1)).over(w).as("n_in_frame"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           quantile_cont(o_totalprice, 0.5) OVER w AS moving_median,
+           count(*) OVER w AS n_in_frame
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY o_custkey, o_orderkey"""),
+
     // Sequential token packing: fill 512-token training batches per
     // language in doc_id order — batch id = tokens-before / budget. One
     // window cumsum per language partition; integer arithmetic only, so
