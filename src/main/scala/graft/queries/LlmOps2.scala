@@ -226,6 +226,46 @@ object LlmOps2 {
          SELECT c_custkey, c_name, total, spend_rank
          FROM ranked WHERE spend_rank <= 100 ORDER BY spend_rank"""),
 
+    // Semi-join reducer: when a selective dimension filter exists but the
+    // dim is too big to broadcast whole, broadcast its DISTINCT KEYS as a
+    // semi-join to prune the fact BEFORE the wide shuffle — only matching
+    // fact rows shuffle for the real join. Provably identical to the
+    // direct join (the semi-join filters exactly the rows the inner join
+    // would keep), which is what the oracle runs.
+    QueryDef("q_join_prefiltered",
+      (s, d) => {
+        val dim = Tables.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+        val dimKeys = dim.select("o_orderkey").distinct()
+        val fact = Tables.lineitem(s, d)
+          .join(dimKeys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        fact.join(dim, col("l_orderkey") === dim("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+            col("l_suppkey"), col("o_totalprice"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      },
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, o_totalprice
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""),
+
+    // Multiple COUNT(DISTINCT <different columns>) in one aggregation —
+    // Spark plans this through an Expand node (one replicated stream per
+    // distinct set) with partial aggregation on each.
+    QueryDef("q_agg_multidistinct",
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          countDistinct(col("o_orderpriority")).as("n_priorities"),
+          countDistinct(year(col("o_orderdate"))).as("n_years"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT o_orderpriority) AS n_priorities,
+           count(DISTINCT year(o_orderdate)) AS n_years,
+           count(*) AS n_orders
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""),
+
     // End-to-end curation pipeline COMPOSED from the library's own ops:
     // exact-dedup (keep min doc_id per content) → quality gate → per-lang
     // sequential token packing. One lazy plan end to end — Catalyst fuses
