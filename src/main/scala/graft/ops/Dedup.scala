@@ -261,13 +261,23 @@ object Dedup {
     * 1, 15))::BIGINT` ≡ Spark `conv(substring(md5(w),1,15),16,10)`). */
   def simHash60Md5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     simHashFp(docs, idCol, textCol,
-      w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long"), 60)
+      w => conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long"), 60,
+      hashPerVocab = true)
 
+  /** @param hashPerVocab compute the word hash once per DISTINCT word and
+    *        join back (worth it for expensive hashes like md5-hex→int;
+    *        pointless for xxhash64, which is cheaper than the join) */
   private def simHashFp(docs: DataFrame, idCol: String, textCol: String,
-                        wordHash: Column => Column, nBits: Int): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
+                        wordHash: Column => Column, nBits: Int,
+                        hashPerVocab: Boolean = false): DataFrame = {
+    val bare = docs.select(col(idCol).as("doc_id"),
       explode(wordSet(col(textCol))).as("word"))
-    val h = wordHash(col("word"))
+    val words =
+      if (hashPerVocab)
+        bare.join(bare.select("word").distinct()
+          .select(col("word"), wordHash(col("word")).as("h")), "word")
+      else bare.withColumn("h", wordHash(col("word")))
+    val h = col("h")
     val laneMask = 0x0001000100010001L
     val packExprs = (0 until 16).map(k =>
       sum(shiftrightunsigned(h, k).bitwiseAND(laneMask)).as(s"p$k"))
