@@ -87,6 +87,51 @@ object EventStreams {
       }
   }
 
+  /** Per-user running state carried by [[RunningTotalsProcessor]]. */
+  case class UserTotals(n: Long, totalCents: Long)
+
+  /** Spark 4's `transformWithState` arbitrary-state API (the successor to
+    * `mapGroupsWithState`): per-user running event counts + exact cent
+    * totals in a named `ValueState`, RocksDB-backed. Cents keep the
+    * accumulation integer-exact regardless of per-batch iterator order. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var totals:
+        org.apache.spark.sql.streaming.ValueState[UserTotals] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotals]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotals],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      val prev = if (totals.exists()) totals.get() else UserTotals(0L, 0L)
+      var n = prev.n; var cents = prev.totalCents
+      rows.foreach { case (_, c) => n += 1; cents += c }
+      totals.update(UserTotals(n, cents))
+      Iterator.single((key, n, cents))
+    }
+  }
+
+  /** [[RunningTotalsProcessor]] wired to the events frame: emits
+    * (user_id, n_events, total_cents) with state surviving micro-batches. */
+  def runningUserTotals(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** One user's open session being accumulated across micro-batches. */
   case class OpenSession(startMs: Long, lastMs: Long, n: Long, totalCents: Long)
   /** A closed session: [start, last + gap), event count, exact value sum. */

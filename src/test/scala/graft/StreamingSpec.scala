@@ -89,6 +89,45 @@ class StreamingSpec extends SparkSpec {
     assert(finalCounts == expected)
   }
 
+  test("transformWithState (Spark 4 API): running totals accumulate across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.runningUserTotals(mem.toDF())
+        .toDF("user_id", "n_events", "total_cents")
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("update").start()
+      mem.addData(evs.take(50))
+      q.processAllAvailable()
+      mem.addData(evs.drop(50))   // state must carry across micro-batches
+      q.processAllAvailable()
+      q.stop()
+
+      // last update per user == full-data batch aggregate
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val streamed = spark.table("tws_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "n_events", "total_cents")
+        .orderBy("user_id").collect().toSeq
+      val batch = evs.toDF()
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("total_cents"))
+        .orderBy("user_id").collect().toSeq
+      assert(streamed.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ==
+        batch.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer == built-in session_window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
