@@ -226,6 +226,42 @@ object LlmOps2 {
          SELECT c_custkey, c_name, total, spend_rank
          FROM ranked WHERE spend_rank <= 100 ORDER BY spend_rank"""),
 
+    // Multimodal feature extraction: a 16-bin byte-value histogram over
+    // the payload, normalized to a float feature vector — a real
+    // extractor (not a stub): histogram features are what cheap
+    // image/audio fingerprinting actually computes. Pure narrow
+    // projection; the vector is rendered via the standard floor(x·10⁶)
+    // CSV (driver compare cannot hash arrays). Bytes == chars for this
+    // ASCII corpus, so DuckDB mirrors via ascii(substring(...)).
+    QueryDef("q_multimodal_features",
+      (s, d) => {
+        val n = length(col("text"))
+        val codes = transform(sequence(lit(1), n),
+          i => floor(ascii(col("text").substr(i, lit(1))).cast("double") / 16).cast("int"))
+        val hist = (0 until 16).map(b =>
+          size(filter(codes, c => c === b)).cast("double") / n.cast("double"))
+        val featCsv = concat_ws(",", hist.map(h =>
+          floor(h * 1000000d).cast("string")): _*)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          n.cast("long").as("n_bytes"),
+          aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"),
+          featCsv.as("features_csv"))
+          .orderBy("doc_id")
+      },
+      s"""WITH c AS (
+           SELECT doc_id, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+               i -> (ascii(substring(text, i, 1)) // 16)) AS codes
+           FROM documents)
+         SELECT doc_id, n::BIGINT AS n_bytes,
+           list_reduce(list_prepend(0::BIGINT, list_transform(codes, x -> x::BIGINT)),
+             (a, b) -> a + b) AS code_sum,
+           ${(0 until 16).map(b =>
+             s"CAST(floor(len(list_filter(codes, x -> x = $b))::DOUBLE / n * 1000000.0) AS BIGINT)::VARCHAR")
+             .mkString(" || ',' || ")} AS features_csv
+         FROM c ORDER BY doc_id"""),
+
     // Semi-join reducer: when a selective dimension filter exists but the
     // dim is too big to broadcast whole, broadcast its DISTINCT KEYS as a
     // semi-join to prune the fact BEFORE the wide shuffle — only matching
