@@ -45,6 +45,37 @@ object Multimodal {
   def withPayload(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("payload", col(textCol).cast("binary"))
 
+  /** STUB resize: keep every `factor`-th byte. A real implementation
+    * would decode, scale, re-encode; the stub is deterministic so the
+    * surrounding plumbing stays oracle-checkable. */
+  def resizeStubBytes(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Partition-wise resize: payload → downsampled payload + both lengths
+    * and the resized payload's checksum. Same `mapPartitions` shape as
+    * [[decode]] (codec state per partition; payloads never shuffle). */
+  def resize(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("orig_len", LongType, nullable = false),
+      StructField("resized_len", LongType, nullable = false),
+      StructField("resized_checksum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val resized = resizeStubBytes(bytes, factor)
+          val (_, _, _, sum) = decodeStubBytes(resized)
+          Row(r.getLong(0), bytes.length.toLong, resized.length.toLong, sum)
+        }
+      }(enc)
+  }
+
   /** Partition-wise decode: binary payload → metadata struct. */
   def decode(df: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(

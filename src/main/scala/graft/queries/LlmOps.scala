@@ -556,6 +556,23 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
            md5(text) AS content_md5
          FROM documents ORDER BY doc_id"""),
 
+    // mapPartitions resize plumbing (keep every 2nd byte — the stub for
+    // decode→scale→re-encode): same per-partition codec shape as decode,
+    // verified end-to-end via the resized payload's rolling-hash checksum.
+    QueryDef("q_multimodal_resize",
+      (s, d) => Multimodal.resize(
+        Multimodal.withPayload(Tables.documents(s, d), "text"), "doc_id", 2)
+        .orderBy("doc_id"),
+      s"""WITH sub AS (
+           SELECT doc_id, length(text) AS n,
+             list_aggregate(list_transform(
+               list_filter(range(0, length(text)), i -> i % 2 = 0),
+               i -> substring(text, i + 1, 1)), 'string_agg', '') AS rs
+           FROM documents)
+         SELECT doc_id, n::BIGINT AS orig_len, length(rs)::BIGINT AS resized_len,
+           ${graft.ops.TextAnalysis.rollingHashSql("rs")} AS resized_checksum
+         FROM sub ORDER BY doc_id"""),
+
     // mapPartitions decode plumbing; checksum is the same base-31 rolling
     // hash over BYTES (== chars for this ASCII corpus) so the stub is
     // oracle-checkable end-to-end.
