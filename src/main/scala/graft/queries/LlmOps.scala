@@ -132,6 +132,44 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
            JOIN ws sx ON x.doc_id = sx.doc_id JOIN ws sy ON y.doc_id = sy.doc_id
          ORDER BY d1"""),
 
+    // MinHash-LSH over BIGRAM shingles — the n-gram granularity of the
+    // same pipeline (word-order-sensitive, unlike the unigram word-set
+    // variant): documents are pre-shingled into "w1_w2" tokens and fed
+    // through the unchanged minHashPairs operator; the oracle mirrors the
+    // identical shingling + pipeline. Lower threshold (0.8): bigram
+    // Jaccard runs below unigram Jaccard for near-dups.
+    QueryDef("q_dedup_minhash_ngram",
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        val bigrams = transform(sequence(lit(1), size(ws) - 1),
+          i => concat(element_at(ws, i), lit("_"), element_at(ws, i + 1)))
+        val shingled = Tables.documents(s, d)
+          .select(col("doc_id"), concat_ws(" ", bigrams).as("shingles"))
+        Dedup.minHashPairs(shingled, "doc_id", "shingles",
+          nHashes, nBands, 0.8).orderBy("d1", "d2")
+      },
+      s"""WITH sh AS (
+           SELECT doc_id,
+             list_distinct(list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1])) AS s
+           FROM documents),
+         w AS (SELECT doc_id, unnest(s) AS word FROM sh),
+         sig AS (SELECT doc_id, ${(0 until nHashes).map(i =>
+           s"min(md5('$i|' || word)) AS s$i").mkString(", ")} FROM w GROUP BY doc_id),
+         band AS (${(0 until nBands).map { j =>
+           val cat = (0 until nHashes / nBands).map(r =>
+             s"s${j * (nHashes / nBands) + r}").mkString(" || '|' || ")
+           s"SELECT doc_id, $j AS band_idx, md5($cat) AS bucket FROM sig"
+         }.mkString(" UNION ALL ")}),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM band x
+                  JOIN band y ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+                    AND x.doc_id < y.doc_id),
+         v AS (SELECT d1, d2,
+                 len(list_intersect(x.s, y.s))::DOUBLE
+                   / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+               FROM cand JOIN sh x ON d1 = x.doc_id JOIN sh y ON d2 = y.doc_id)
+         SELECT d1, d2, jaccard FROM v WHERE jaccard >= 0.8 ORDER BY d1, d2"""),
+
     // Keep-best dedup policy: per exact-content group, retain the highest
     // quality-score document (id-ascending tiebreak) — the production
     // alternative to keep-min-id.
