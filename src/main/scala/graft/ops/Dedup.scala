@@ -78,9 +78,18 @@ object Dedup {
     // doc → canonical word-set digest; one representative row per digest.
     // The digest is an INTERNAL join/grouping key (never surfaced), so an
     // 8-byte xxhash64 beats a 32-char md5 hex string in every shuffle.
+    //
+    // LAZY localCheckpoint: this frame fans out to members + sets, and
+    // sets again to the verify x/y sides — without materialization each
+    // consumer re-evaluates the tokenize/sort/hash pipeline from the scan
+    // (exchange reuse does not cover these branches; measured ~2 extra
+    // full evaluations). Blocks are distributed (not a broadcast), sized
+    // one row per document, and freed by the context cleaner when the
+    // plan is released.
     val byDigest = docs.select(col(idCol).as("doc_id"),
       xxhash64(concat_ws(" ", wordSet(col(textCol)))).as("digest"),
       wordSet(col(textCol)).as("ws"))
+      .localCheckpoint(eager = false)
     val members = byDigest.select("doc_id", "digest")
     val sets = byDigest.select("digest", "ws").dropDuplicates("digest")
 
@@ -97,8 +106,11 @@ object Dedup {
       .select(col("word") +: (0 until numHashes).map(i =>
         md5(concat(lit(s"$i|"), col("word")).cast("binary")).as(s"h$i")): _*)
     val sigExprs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"s$i"))
+    // lazy checkpoint: the banded-bucket frame below self-joins, and the
+    // signature aggregation would otherwise run once per join side
     val sigs = words.join(vocab, "word")
       .groupBy("digest").agg(sigExprs.head, sigExprs.tail: _*)
+      .localCheckpoint(eager = false)
 
     // Band bucket = hash of the signature slice. Bucket equality means
     // sig-slice equality, so the hash function here is pure key

@@ -143,8 +143,14 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
         val ws = split(col("text"), " ")
         val bigrams = transform(sequence(lit(1), size(ws) - 1),
           i => concat(element_at(ws, i), lit("_"), element_at(ws, i + 1)))
+        // inline() Generate barrier: minHashPairs references the text
+        // column several times (digest + word set), and CollapseProject
+        // would inline this whole shingle construction into every use —
+        // the round-1 from_csv 10×-recompute trap. The barrier pins the
+        // shingled string to ONE evaluation per row.
         val shingled = Tables.documents(s, d)
-          .select(col("doc_id"), concat_ws(" ", bigrams).as("shingles"))
+          .select(col("doc_id"),
+            inline(array(struct(concat_ws(" ", bigrams).as("shingles")))))
         Dedup.minHashPairs(shingled, "doc_id", "shingles",
           nHashes, nBands, 0.8).orderBy("d1", "d2")
       },
