@@ -324,7 +324,10 @@ object Dedup {
   private def bandedHammingPairs(fp: DataFrame, bands: Int, bandBits: Int,
                                  maxHamming: Int): DataFrame = {
     val mask = (1L << bandBits) - 1
-    val banded = fp.select(col("doc_id"), col("simhash"),
+    // lazy checkpoint: the banded frame self-joins below; without it the
+    // fingerprint aggregation runs once per join side (see minHashPairs)
+    val banded = fp.localCheckpoint(eager = false)
+      .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until bands).map(j =>
           shiftrightunsigned(col("simhash"), j * bandBits).bitwiseAND(mask)): _*)))
       .toDF("doc_id", "simhash", "band_idx", "band_val")
