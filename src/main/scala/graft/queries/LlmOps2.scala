@@ -226,6 +226,19 @@ object LlmOps2 {
          SELECT c_custkey, c_name, total, spend_rank
          FROM ranked WHERE spend_rank <= 100 ORDER BY spend_rank"""),
 
+    // Language-ID evaluation: labeled × predicted confusion counts — the
+    // quality-eval aggregate for the classifier behind q_text_langid.
+    QueryDef("q_langid_confusion",
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang").as("labeled"),
+          graft.ops.TextAnalysis.langId(col("text")).as("predicted"))
+        .groupBy("labeled", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("labeled", "predicted"),
+      s"""SELECT lang AS labeled, ${graft.ops.TextAnalysis.langIdSql("text")} AS predicted,
+           count(*) AS n
+         FROM documents GROUP BY 1, 2 ORDER BY labeled, predicted"""),
+
     // Multimodal feature extraction: a 16-bin byte-value histogram over
     // the payload, normalized to a float feature vector — a real
     // extractor (not a stub): histogram features are what cheap

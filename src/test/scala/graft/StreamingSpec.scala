@@ -204,6 +204,31 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty && streamed == batch)
   }
 
+  test("stream-static join enriches each micro-batch against a static dim") {
+    // Stream-static joins are their own execution path: no state store,
+    // the static side re-planned per micro-batch. Enrich the event stream
+    // with a static cohort dimension and compare to the batch join.
+    implicit val sqlCtx = spark.sqlContext
+    val cohorts = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma"))
+      .toDF("user_id", "cohort")
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().join(cohorts, Seq("user_id"))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("static_join_out")
+      .outputMode("complete").start()
+    mem.addData(evs)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("static_join_out")
+      .orderBy("cohort").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = evs.toDF().join(cohorts, Seq("user_id"))
+      .groupBy("cohort").agg(count(lit(1)).as("n"))
+      .orderBy("cohort").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(batch.nonEmpty && streamed == batch)
+  }
+
   test("stream-stream LEFT OUTER interval join emits proven-absent rows == batch") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
