@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimExpr, SortedIntersectSize}
+import graft.functions.{CosineSimExpr, LnIeee, SortedIntersectSize}
 
 /** Session extensions registering the engine's native Catalyst expressions
   * as SQL functions — the official injection point
@@ -23,6 +23,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimExpr(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("ln_ieee"),
+      new ExpressionInfo(classOf[LnIeee].getName, "ln_ieee"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        LnIeee(exprs.head)))
     e.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),

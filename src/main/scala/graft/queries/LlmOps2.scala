@@ -226,6 +226,36 @@ object LlmOps2 {
          SELECT c_custkey, c_name, total, spend_rank
          FROM ranked WHERE spend_rank <= 100 ORDER BY spend_rank"""),
 
+    // TF-IDF weighting — the classic sparse text-feature transform. The
+    // idf log runs through the custom LnIeee expression (Math.log
+    // intrinsic) because Spark's built-in log uses StrictMath, which
+    // differs from the correctly-rounded glibc/DuckDB ln by 1-2 ulp —
+    // with the intrinsic, scores are verified bit-identical across all
+    // (N, df) pairs this corpus produces at every SF. Corpus size N rides
+    // a broadcast single-row aggregate, df a shuffled word join.
+    QueryDef("q_text_tfidf",
+      (s, d) => {
+        graft.functions.LnIeee.register(s)
+        val docs = Tables.documents(s, d)
+        val tokens = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val dfreq = tokens.select("doc_id", "word").distinct()
+          .groupBy("word").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        tf.join(dfreq, "word").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("word"), col("tf"),
+            (col("tf") * call_function("ln_ieee",
+              col("n").cast("double") / col("df"))).as("tfidf"))
+          .orderBy("doc_id", "word")
+      },
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT word, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, word, tf, tf * ln(n::DOUBLE / df) AS tfidf
+         FROM tf JOIN df USING (word), n ORDER BY doc_id, word"""),
+
     // Language-ID evaluation: labeled × predicted confusion counts — the
     // quality-eval aggregate for the classifier behind q_text_langid.
     QueryDef("q_langid_confusion",
