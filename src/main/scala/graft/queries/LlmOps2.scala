@@ -256,6 +256,48 @@ object LlmOps2 {
          SELECT doc_id, word, tf, tf * ln(n::DOUBLE / df) AS tfidf
          FROM tf JOIN df USING (word), n ORDER BY doc_id, word"""),
 
+    // Unigram-LM negative log-likelihood per document — the
+    // perplexity-proxy quality filter: docs made of globally-rare tokens
+    // score high, boilerplate scores low. nll = -(Σ tf_w·ln p_corpus(w))/n.
+    // Same determinism recipe as q_text_entropy: per-row exact terms,
+    // word-sorted left fold, LnIeee intrinsic log.
+    QueryDef("q_text_unigram_nll",
+      (s, d) => {
+        graft.functions.LnIeee.register(s)
+        val tokens = Tables.documents(s, d).select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val corpus = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
+        val total = tokens.agg(count(lit(1)).as("total"))
+        val terms = tf.join(corpus, "word").crossJoin(broadcast(total))
+          .select(col("doc_id"), col("word"), col("tf"),
+            (col("tf") * call_function("ln_ieee",
+              col("cnt").cast("double") / col("total").cast("double"))).as("term"))
+        terms.groupBy("doc_id")
+          .agg(sum("tf").as("n"),
+            array_sort(collect_list(struct(col("word"), col("term")))).as("wt"))
+          .select(col("doc_id"), col("n"),
+            (lit(-1.0) * aggregate(
+              transform(col("wt"), e => e.getField("term")),
+              lit(0.0), (acc, x) => acc + x) / col("n").cast("double")).as("nll"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         corpus AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
+         total AS (SELECT count(*) AS total FROM t),
+         terms AS (SELECT doc_id, word, tf,
+                     tf * ln(cnt::DOUBLE / total::DOUBLE) AS term
+                   FROM tf JOIN corpus USING (word), total),
+         d AS (SELECT doc_id, sum(tf) AS n,
+                 list_sort(list(struct_pack(word := word, term := term))) AS wt
+               FROM terms GROUP BY 1)
+         SELECT doc_id, n::BIGINT AS n,
+           -1.0 * list_reduce(list_prepend(0.0,
+             list_transform(wt, e -> struct_extract(e, 'term'))),
+             (a, b) -> a + b) / n AS nll
+         FROM d ORDER BY doc_id"""),
+
     // Shannon entropy of each document's word distribution — the
     // repetitiveness/diversity quality signal. Determinism: the
     // (word, tf) pairs are sorted before a LEFT-TO-RIGHT p·ln(p) fold
