@@ -226,6 +226,42 @@ object LlmOps2 {
          SELECT c_custkey, c_name, total, spend_rank
          FROM ranked WHERE spend_rank <= 100 ORDER BY spend_rank"""),
 
+    // Benchmark decontamination: flag training docs sharing any word
+    // trigram with a benchmark/eval set (stand-in: doc_id < 20) — the
+    // n-gram-overlap contamination check every pretraining pipeline runs.
+    // Shape: explode distinct trigrams, equi-join on the trigram (the
+    // benchmark side is tiny → AQE broadcasts; at 100 TB the join is a
+    // shuffle on the trigram key, never pairwise doc×doc), count shared
+    // trigram TYPES per contaminated doc.
+    QueryDef("q_decontaminate",
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        val tri = transform(sequence(lit(1), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            element_at(ws, i + 2)))
+        val docTris = Tables.documents(s, d)
+          .select(col("doc_id"), explode(array_distinct(tri)).as("tg"))
+        val bench = docTris.filter(col("doc_id") < 20).select("tg").distinct()
+        docTris.filter(col("doc_id") >= 20)
+          .join(bench, "tg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared_trigrams"))
+          .orderBy("doc_id")
+      },
+      """WITH tris AS (
+           SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1] || ' ' ||
+                    string_split(text, ' ')[i+2]))) AS tg
+           FROM documents),
+         bench AS (SELECT DISTINCT tg FROM tris WHERE doc_id < 20)
+         SELECT doc_id, count(*) AS n_shared_trigrams
+         FROM tris JOIN bench USING (tg)
+         WHERE doc_id >= 20
+         GROUP BY doc_id ORDER BY doc_id"""),
+
     // TF-IDF weighting — the classic sparse text-feature transform. The
     // idf log runs through the custom LnIeee expression (Math.log
     // intrinsic) because Spark's built-in log uses StrictMath, which
