@@ -226,6 +226,35 @@ object LlmOps2 {
          SELECT c_custkey, c_name, total, spend_rank
          FROM ranked WHERE spend_rank <= 100 ORDER BY spend_rank"""),
 
+    // Domain-mixture weights: per-source token shares and the resampling
+    // weight needed to hit a uniform target mixture — the data-mixing
+    // computation behind pretraining corpus recipes. Exact arithmetic:
+    // token counts stay integers; shares/weights are single exact double
+    // divisions of those integers on both engines.
+    QueryDef("q_mix_weights",
+      (s, d) => {
+        val perSource = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        val totals = perSource.agg(sum("n_tokens").as("total_tokens"),
+          count(lit(1)).as("n_sources"))
+        perSource.crossJoin(broadcast(totals))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            (col("n_tokens").cast("double") / col("total_tokens")).as("actual_share"),
+            ((col("total_tokens").cast("double") / col("n_sources"))
+              / col("n_tokens")).as("uniform_weight"))
+          .orderBy("source")
+      },
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+                    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+             FROM documents GROUP BY source),
+         t AS (SELECT sum(n_tokens)::BIGINT AS total_tokens, count(*) AS n_sources FROM s)
+         SELECT source, n_docs, n_tokens,
+           n_tokens::DOUBLE / total_tokens AS actual_share,
+           (total_tokens::DOUBLE / n_sources) / n_tokens AS uniform_weight
+         FROM s, t ORDER BY source"""),
+
     // Benchmark decontamination: flag training docs sharing any word
     // trigram with a benchmark/eval set (stand-in: doc_id < 20) — the
     // n-gram-overlap contamination check every pretraining pipeline runs.
