@@ -268,8 +268,11 @@ object LlmOps2 {
         val tri = transform(sequence(lit(1), size(ws) - 2),
           i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
             element_at(ws, i + 2)))
+        // lazy checkpoint: docTris feeds both the benchmark side and the
+        // training side — without it the trigram construction runs twice
         val docTris = Tables.documents(s, d)
           .select(col("doc_id"), explode(array_distinct(tri)).as("tg"))
+          .localCheckpoint(eager = false)
         val bench = docTris.filter(col("doc_id") < 20).select("tg").distinct()
         docTris.filter(col("doc_id") >= 20)
           .join(bench, "tg")
