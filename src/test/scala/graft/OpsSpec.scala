@@ -101,6 +101,39 @@ class OpsSpec extends SparkSpec {
     assert(viaExpr == viaStub)
   }
 
+  test("sign-bucket ANN recall@3 vs brute force: chance-level on random embeddings") {
+    // Honest eval of the approximate path on THIS corpus: the synthetic
+    // embeddings are near-random, so a true top-3 neighbor lands in the
+    // same 4-bit sign bucket about as often as any vector does — recall
+    // ≈ 1/2^4. On real (clustered) embeddings neighbors correlate and
+    // sign-LSH recall rises far above chance; for isotropic data the
+    // IVF/multi-probe variants are the right dial. Both sides are
+    // deterministic, so the measured value is a stable pin: it documents
+    // the regime, and a silent drop to zero (broken bucketing) or a jump
+    // to 1.0 (accidental exact path) would both fail.
+    import graft.functions.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        Similarity.signBucket(col("embedding"), 4).as("q_bucket"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    def top3(joined: org.apache.spark.sql.DataFrame) = joined
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosine(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("q_id", "neighbor_id")
+    val exact = top3(e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id")))
+    val ann = top3(e.withColumn("bucket", Similarity.signBucket(col("embedding"), 4))
+      .join(broadcast(q), col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("q_id")))
+    val hit = exact.intersect(ann).count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall > 0.0 && recall < 0.5,
+      s"ANN recall@3 = $recall — expected chance-level (≈1/16) on random embeddings")
+  }
+
   test("multimodal decode plumbing produces typed metadata per row") {
     val got = Multimodal.decode(Multimodal.withPayload(docs, "text"), "doc_id")
       .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.checksum")
