@@ -408,6 +408,48 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
          SELECT q_id, rn, neighbor_id, bucket, cosine_sim FROM r WHERE rn <= 3
          ORDER BY q_id, rn"""),
 
+    // Multi-probe LSH ANN: each query searches its own sign bucket PLUS
+    // every 1-bit-flip neighbor bucket (5 of 16) — the standard recall
+    // repair for sign-LSH on weakly-clustered embeddings (measured
+    // chance-level recall single-bucket on this corpus, OpsSpec).
+    // Candidates ≈ 5N/16 instead of N/16; the probe fan-out rides the
+    // broadcast query side, the big side still scans once.
+    QueryDef("q_similarity_ann_multiprobe",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        val e = Tables.embeddings(s, d)
+          .withColumn("bucket", Similarity.signBucket(col("embedding"), 4))
+        val masks = Seq(0, 1, 2, 4, 8)
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            explode(array(masks.map(m =>
+              col("bucket").bitwiseXOR(lit(m))): _*)).as("probe_bucket"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+        e.join(broadcast(probes), col("bucket") === col("probe_bucket") &&
+            col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id"),
+            call_function("cosine_sim", col("embedding"), col("q_emb")).as("cosine_sim"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("q_id", "rn", "neighbor_id", "cosine_sim")
+          .orderBy("q_id", "rn")
+      },
+      s"""WITH e AS (SELECT vec_id, embedding,
+                 ${Similarity.signBucketSql("embedding", 4)}::BIGINT AS bucket
+               FROM embeddings),
+         m(mask) AS (VALUES (0), (1), (2), (4), (8)),
+         q AS (SELECT vec_id AS q_id, embedding AS q_emb,
+                 xor(bucket, mask) AS probe_bucket
+               FROM e, m WHERE vec_id < 5),
+         s AS (SELECT q_id, e.vec_id AS neighbor_id,
+                 ${Similarity.cosineSql("e.embedding", "q.q_emb")} AS cosine_sim
+               FROM e JOIN q ON e.bucket = q.probe_bucket AND e.vec_id <> q.q_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM s)
+         SELECT q_id, rn, neighbor_id, cosine_sim FROM r WHERE rn <= 3
+         ORDER BY q_id, rn"""),
+
     // IVF-style ANN — the coarse-quantization scale path the LSH variant
     // complements: assign every vector to its nearest of K centroids (here
     // a deterministic centroid pick standing in for k-means training; the
