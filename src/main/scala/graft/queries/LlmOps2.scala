@@ -122,6 +122,36 @@ object LlmOps2 {
          SELECT src, rn, dst, cosine_sim FROM r WHERE rn <= 3
          ORDER BY src, rn"""),
 
+    // Cohort retention: users grouped by first-activity week, counted in
+    // each subsequent week they remain active — the retention-matrix
+    // aggregate next to funnel/session analysis. Integer weeks only, so
+    // the oracle is exact by construction.
+    QueryDef("q_cohort_retention",
+      (s, d) => {
+        val wk = to_date(date_trunc("week", col("ts")))
+        val ev = Tables.events(s, d).select(col("user_id"), wk.as("week"))
+        val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+        ev.distinct().join(cohort, "user_id")
+          .select(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7).cast("long")
+              .as("week_offset"), col("user_id"))
+          .groupBy("cohort_week", "week_offset")
+          .agg(countDistinct("user_id").as("n_active"))
+          // DATE → TIMESTAMP for the compare (repo rule: pandas renders
+          // Spark DATE as date objects but DuckDB DATE as Timestamps)
+          .select(col("cohort_week").cast("timestamp").as("cohort_week"),
+            col("week_offset"), col("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      """WITH e AS (SELECT DISTINCT user_id,
+                    date_trunc('week', ts)::DATE AS week FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1)
+         SELECT cohort_week::TIMESTAMP AS cohort_week,
+           (datediff('day', cohort_week, week) // 7)::BIGINT AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+         FROM e JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""),
+
     // Ordered funnel analysis: signup → view → click → purchase, each
     // stage's first event strictly after the previous stage's. Four small
     // per-user aggregates chained by join (each output is one row per
