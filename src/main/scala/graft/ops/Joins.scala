@@ -58,6 +58,34 @@ object Joins {
         attr(lplan, leftTime), attr(rplan, rightTime), forward))
   }
 
+  /** Interval-OVERLAP equi-bucketed join: all (l, r) pairs whose closed
+    * integer intervals `[lStart, lEnd]` and `[rStart, rEnd]` intersect
+    * (optionally per equi-key). Both sides explode to the bucket grid
+    * their interval touches, join on (keys, bucket), apply the exact
+    * overlap predicate, and dedupe — a pair overlapping k shared buckets
+    * appears k times. Cost is O(pairs per bucket) with both sides
+    * partitioned by bucket, vs the O(|L|·|R|) nested loop Spark plans for
+    * a raw overlap predicate. Width should approximate the typical
+    * interval length: too small explodes rows, too large fattens buckets.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          keys: Seq[String],
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          width: Long): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val l = left.withColumn("_ob",
+      explode(sequence(floor(col(lStart) / width).cast("long"),
+        floor(col(lEnd) / width).cast("long"))))
+    val r = right.withColumn("_ob",
+      explode(sequence(floor(col(rStart) / width).cast("long"),
+        floor(col(rEnd) / width).cast("long"))))
+    l.join(r, Seq("_ob") ++ keys)
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("_ob")
+      .distinct()
+  }
+
   /** Band (interval) equi-bucketed join: all (l, r) pairs with
     * `r ∈ [l - width, l + width]`.
     *

@@ -122,6 +122,43 @@ object LlmOps2 {
          SELECT src, rn, dst, cosine_sim FROM r WHERE rn <= 3
          ORDER BY src, rn"""),
 
+    // Interval-overlap join: each error "impact window" [t, t+10 min]
+    // matched with every same-user click window [t, t+5 min] it
+    // intersects — ranges × ranges, the join shape point-in-band
+    // (q_join_range) cannot express. Scale path: both sides quantized to
+    // the bucket grid (Joins.intervalOverlapJoin), never a nested loop.
+    QueryDef("q_join_interval",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val secs = unix_timestamp(date_trunc("SECOND", col("ts")))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("event_id").as("err_id"),
+            secs.as("e_start"), (secs + 600).as("e_end"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            secs.as("c_start"), (secs + 300).as("c_end"))
+        graft.ops.Joins.intervalOverlapJoin(
+            errors, clicks.withColumnRenamed("c_user", "user_id"),
+            Seq("user_id"), "e_start", "e_end", "c_start", "c_end", 600L)
+          .select(col("user_id"), col("err_id"), col("click_id"),
+            (least(col("e_end"), col("c_end"))
+              - greatest(col("e_start"), col("c_start"))).as("overlap_s"))
+          .orderBy("user_id", "err_id", "click_id")
+      },
+      """WITH e AS (SELECT user_id, event_id AS err_id,
+                    epoch(date_trunc('second', ts))::BIGINT AS e_start,
+                    epoch(date_trunc('second', ts))::BIGINT + 600 AS e_end
+             FROM events WHERE event_type = 'error'),
+         c AS (SELECT user_id, event_id AS click_id,
+                    epoch(date_trunc('second', ts))::BIGINT AS c_start,
+                    epoch(date_trunc('second', ts))::BIGINT + 300 AS c_end
+             FROM events WHERE event_type = 'click')
+         SELECT e.user_id, err_id, click_id,
+           (least(e_end, c_end) - greatest(e_start, c_start)) AS overlap_s
+         FROM e JOIN c ON e.user_id = c.user_id
+           AND e_start <= c_end AND c_start <= e_end
+         ORDER BY e.user_id, err_id, click_id"""),
+
     // Cohort retention: users grouped by first-activity week, counted in
     // each subsequent week they remain active — the retention-matrix
     // aggregate next to funnel/session analysis. Integer weeks only, so
