@@ -61,12 +61,22 @@ object Joins {
   /** Interval-OVERLAP equi-bucketed join: all (l, r) pairs whose closed
     * integer intervals `[lStart, lEnd]` and `[rStart, rEnd]` intersect
     * (optionally per equi-key). Both sides explode to the bucket grid
-    * their interval touches, join on (keys, bucket), apply the exact
-    * overlap predicate, and dedupe — a pair overlapping k shared buckets
-    * appears k times. Cost is O(pairs per bucket) with both sides
-    * partitioned by bucket, vs the O(|L|·|R|) nested loop Spark plans for
-    * a raw overlap predicate. Width should approximate the typical
-    * interval length: too small explodes rows, too large fattens buckets.
+    * their interval touches and join on (keys, bucket) with the exact
+    * overlap predicate. A pair overlapping k shared buckets would appear
+    * k times, so a second predicate keeps only the FIRST shared bucket —
+    * `floor(max(lStart, rStart) / width)`, which both exploded ranges
+    * contain whenever the intervals overlap — making each qualifying
+    * pair match exactly once with no dedup step (the same trick as
+    * q_join_range_bucketed; a full-row `distinct()` here would shuffle
+    * wide payload rows AND collapse legitimately duplicate input rows).
+    * Cost is O(pairs per bucket) with both sides partitioned by bucket,
+    * vs the O(|L|·|R|) nested loop Spark plans for a raw overlap
+    * predicate. Width should approximate the typical interval length:
+    * too small explodes rows, too large fattens buckets.
+    *
+    * Naming contract: `keys` are the join columns (shared names); every
+    * OTHER left/right column name must be disjoint across the two inputs
+    * (same caveat as [[asofBackward]]) — rename upstream.
     */
   def intervalOverlapJoin(left: DataFrame, right: DataFrame,
                           keys: Seq[String],
@@ -81,9 +91,10 @@ object Joins {
       explode(sequence(floor(col(rStart) / width).cast("long"),
         floor(col(rEnd) / width).cast("long"))))
     l.join(r, Seq("_ob") ++ keys)
-      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("_ob") === floor(greatest(col(lStart), col(rStart)) / width)
+          .cast("long"))
       .drop("_ob")
-      .distinct()
   }
 
   /** Band (interval) equi-bucketed join: all (l, r) pairs with

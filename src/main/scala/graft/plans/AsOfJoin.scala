@@ -33,6 +33,21 @@ case class AsOfJoin(
     forward: Boolean = false)
   extends BinaryNode {
 
+  // Fail construction, not execution: the merge compares key/time values
+  // with orderings built from the LEFT side's types, so a type mismatch
+  // (INT vs BIGINT, TIMESTAMP vs TIMESTAMP_NTZ) would silently misread
+  // UnsafeRow bytes instead of erroring. Cast upstream to align.
+  require(leftKeys.size == rightKeys.size,
+    s"as-of join: ${leftKeys.size} left keys vs ${rightKeys.size} right keys")
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"as-of join: key type mismatch ${l.dataType} vs ${r.dataType} " +
+        s"($l vs $r) — cast one side to align")
+  }
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join: time type mismatch ${leftTime.dataType} vs " +
+      s"${rightTime.dataType} — cast one side to align")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 

@@ -20,9 +20,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Tie semantics: among right rows with equal time the LAST in the
   * (keys, time) sort order wins; callers wanting determinism must make
   * (keys, time) unique on the right (the graft query dedups to one row
-  * per key+time). Null keys/times are not special-cased: null keys
-  * compare equal to null keys (use filters upstream for SQL equi-join
-  * semantics), null times sort first and thus never beat a real match.
+  * per key+time). Null keys are not special-cased: null keys compare
+  * equal to null keys (use filters upstream for SQL equi-join
+  * semantics). Null TIMES follow SQL comparison semantics: right rows
+  * with a null time are skipped (they can never satisfy a <=/>=
+  * predicate), and a left row with a null time matches nothing and gets
+  * the null extension.
   */
 case class AsOfJoinExec(
     left: SparkPlan,
@@ -93,6 +96,10 @@ case class AsOfJoinExec(
           if (matchKey != null && keyOrd.compare(matchKey, lk) != 0) {
             matchRow = null; matchKey = null
           }
+          // SQL comparison semantics: a null left time satisfies no
+          // <=/>= predicate — emit the null extension without consuming
+          // right rows (later left rows will advance past them)
+          if (lTimeProj(l).isNullAt(0)) return outProj(joined(l, nullRight))
           var advancing = true
           while (advancing) {
             if (rHead == null && !rDone) {
@@ -101,13 +108,17 @@ case class AsOfJoinExec(
             if (rHead == null) advancing = false
             else {
               val c = keyOrd.compare(rKeyProj(rHead), lk)
-              val tCmp = timeOrd.compare(rTimeProj(rHead), lTimeProj(l))
               if (c < 0) rHead = null // right key already passed — discard
-              else if (c == 0 && (if (fwd) tCmp >= 0 else tCmp <= 0)) {
-                matchRow = rHead.copy() // later qualifying rows overwrite
-                matchKey = lk.copy()
-                rHead = null
-              } else advancing = false // right is ahead — keep for later rows
+              else if (c == 0 && rTimeProj(rHead).isNullAt(0)) {
+                rHead = null // null right time can never qualify — discard
+              } else {
+                val tCmp = timeOrd.compare(rTimeProj(rHead), lTimeProj(l))
+                if (c == 0 && (if (fwd) tCmp >= 0 else tCmp <= 0)) {
+                  matchRow = rHead.copy() // later qualifying rows overwrite
+                  matchKey = lk.copy()
+                  rHead = null
+                } else advancing = false // right ahead — keep for later rows
+              }
             }
           }
           outProj(joined(l, if (matchRow != null) matchRow else nullRight))

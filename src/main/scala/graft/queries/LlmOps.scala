@@ -141,8 +141,13 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
     QueryDef("q_dedup_minhash_ngram",
       (s, d) => {
         val ws = split(col("text"), " ")
-        val bigrams = transform(sequence(lit(1), size(ws) - 1),
-          i => concat(element_at(ws, i), lit("_"), element_at(ws, i + 1)))
+        // short-doc guard: sequence(1, 0) yields a DESCENDING [1, 0] and
+        // element_at(ws, 0) throws — single-word docs get an empty set
+        // (DuckDB's range(1, 1) is empty already, so oracles agree)
+        val bigrams = when(size(ws) >= 2,
+          transform(sequence(lit(1), size(ws) - 1),
+            i => concat(element_at(ws, i), lit("_"), element_at(ws, i + 1))))
+          .otherwise(array().cast("array<string>"))
         // inline() Generate barrier: minHashPairs references the text
         // column several times (digest + word set), and CollapseProject
         // would inline this whole shingle construction into every use —

@@ -332,9 +332,14 @@ object LlmOps2 {
     QueryDef("q_decontaminate",
       (s, d) => {
         val ws = split(col("text"), " ")
-        val tri = transform(sequence(lit(1), size(ws) - 2),
-          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
-            element_at(ws, i + 2)))
+        // short-doc guard: sequence(1, size-2) with size < 3 yields a
+        // DESCENDING sequence through index 0, which element_at rejects —
+        // sub-trigram docs contribute no trigrams (matches DuckDB range())
+        val tri = when(size(ws) >= 3,
+          transform(sequence(lit(1), size(ws) - 2),
+            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+              element_at(ws, i + 2))))
+          .otherwise(array().cast("array<string>"))
         // lazy checkpoint: docTris feeds both the benchmark side and the
         // training side — without it the trigram construction runs twice
         val docTris = Tables.documents(s, d)

@@ -72,6 +72,52 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got.forall { case (_, _, _, rt, rv) => rt == 9L && rv == "r9" })
   }
 
+  test("null right times never match; null left times get the null extension") {
+    val left = Seq((1L, Some(10L), "a"), (1L, None, "b"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, None, "rnull"), (1L, Some(8L), "r8"))
+      .toDF("rk", "rt", "rv")
+    val got = Joins.asofBackward(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select("lv", "rv").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("-")))
+      .toMap
+    // the null-time right row is skipped even though no real match would
+    // exist without it; the null-time left row matches nothing
+    assert(got == Map("a" -> "r8", "b" -> "-"))
+  }
+
+  test("null right time does not displace the absence of a real match") {
+    val got = asof(
+      l = Seq((1L, 5L, "a")),                 // t=5: r8 is in the future
+      r = Seq((1L, 8L, "r8")))
+    assert(got == Seq((1L, 5L, "a", -1L, "-")))
+    // same shape but the only candidate has a null time → still no match
+    val left = Seq((1L, 5L, "a")).toDF("k", "t", "lv")
+    val right = Seq((1L, Option.empty[Long], "rnull")).toDF("rk", "rt", "rv")
+    val r2 = Joins.asofBackward(left, right, Seq("k"), Seq("rk"), "t", "rt")
+      .select("rv").collect()
+    assert(r2.length == 1 && r2.head.isNullAt(0))
+  }
+
+  test("mismatched key or time types fail construction, not execution") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
+    val rInt = Seq((1, 8L, "r")).toDF("rk", "rt", "rv")       // INT key vs LONG
+    val e1 = intercept[IllegalArgumentException] {
+      Joins.asofBackward(left, rInt, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(e1.getMessage.contains("key type mismatch"))
+    val rTs = Seq((1L, "x", "r")).toDF("rk", "rt", "rv")      // STRING time
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.asofBackward(left, rTs, Seq("k"), Seq("rk"), "t", "rt")
+    }
+    assert(e2.getMessage.contains("time type mismatch"))
+    val e3 = intercept[IllegalArgumentException] {
+      Joins.asofBackward(left, left.toDF("rk", "rt", "rv"),
+        Seq("k", "t"), Seq("rk"), "t", "rt")
+    }
+    assert(e3.getMessage.contains("left keys"))
+  }
+
   test("physical plan is AsOfJoinExec with co-partitioned sorted children") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "lv")
     val right = Seq((1L, 8L, "r")).toDF("rk", "rt", "rv")

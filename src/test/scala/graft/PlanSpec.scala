@@ -82,6 +82,19 @@ class PlanSpec extends SparkSpec {
         s"clicks dedup agg), got ${under.size} exchanges")
   }
 
+  test("q_join_interval dedups via the first-shared-bucket predicate, not a full-row distinct") {
+    // Bucket fanout used to be collapsed with distinct() over all output
+    // columns — a wide-row shuffle at scale that also merged legitimately
+    // duplicate input rows. The fix keeps each pair's first shared bucket
+    // only, so no aggregate may sit above the bucket join.
+    val plan = planOf("q_join_interval")
+    val aggs = collectAll(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.size > 3 => a } // full-row distinct = group by every column
+    assert(aggs.isEmpty,
+      s"interval join must not dedup with a wide groupBy/distinct: $aggs")
+  }
+
   test("minhash pair pipeline carries no mandatory broadcast hint") {
     // The distinct word-set table grows with the corpus: a hard broadcast()
     // hint would OOM at scale. SHUFFLE_HASH hints are fine (shuffled joins
