@@ -63,13 +63,25 @@ object Dedup {
     * SHUFFLE_HASH, never a mandatory broadcast (the set table scales with
     * the corpus; a forced broadcast would OOM at 100 TB).
     *
+    * Skew guard (`bucketCap` > 0): a skewed shingle distribution can pile
+    * thousands of distinct sets into one (band, bucket) and the candidate
+    * self-join degenerates toward bucket² on that key. The cap keeps only
+    * the `bucketCap` sets with the SMALLEST representative doc id per
+    * (band, bucket) — deterministic, so a DuckDB oracle can mirror the
+    * rule exactly and recall effects cancel — bounding any bucket's
+    * candidate contribution at cap·(cap−1)/2. The row_number ≤ K filter
+    * plans as WindowGroupLimit (partial top-K per mapper before the
+    * shuffle), so a mega-bucket never materializes in one task's sort.
+    * 0 disables the cap (exact LSH recall — the reference semantics).
+    *
     * @param numHashes signature length (must be bands * rowsPerBand)
     * @param bands     LSH bands; candidate pairs share ≥1 band bucket
     * @param threshold exact word-set Jaccard cutoff applied to candidates
+    * @param bucketCap max distinct word-sets admitted per (band, bucket)
     */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.9): DataFrame = {
+                   threshold: Double = 0.9, bucketCap: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
@@ -121,10 +133,23 @@ object Dedup {
       val slice = (0 until rowsPerBand).map(r => col(s"s${j * rowsPerBand + r}"))
       xxhash64(concat_ws("|", slice: _*)).as(s"b$j")
     }
-    val buckets = sigs.select(col("digest") +: bandCols: _*)
+    val allBuckets = sigs.select(col("digest") +: bandCols: _*)
       .select(col("digest"),
         posexplode(array((0 until bands).map(j => col(s"b$j")): _*)))
       .toDF("digest", "band_idx", "bucket")
+    val buckets =
+      if (bucketCap <= 0) allBuckets
+      else {
+        // representative = min doc id per distinct set: an 8-byte,
+        // engine-portable, collision-free ordering for the cap
+        val reps = members.groupBy("digest").agg(min("doc_id").as("rep"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "bucket").orderBy("rep")
+        allBuckets.join(reps, "digest")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= bucketCap)
+          .select("digest", "band_idx", "bucket")
+      }
 
     // A pair colliding in k bands appears k times — dedup immediately,
     // while a candidate is still two 8-byte digests, so every downstream

@@ -47,6 +47,49 @@ v AS (SELECT d1, d2,
     s"""WITH $minhashPairCtes
 SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2"""
 
+  /** Oracle for the bucket-CAPPED minhash: mirrors the Spark pipeline at
+    * distinct-word-set granularity — group docs by canonical set, run
+    * sig/band per set, admit only the `cap` sets with smallest
+    * representative doc id per (band, bucket) (the deterministic cap rule
+    * `Dedup.minHashPairs(bucketCap)` applies), verify, then expand back
+    * to doc pairs (+ identical-set pairs at jaccard 1.0). Because both
+    * engines apply the identical cap, its recall effects cancel and the
+    * hash compare stays exact. */
+  private def minhashCappedOracle(cap: Int): String = {
+    val rows = nHashes / nBands
+    val sigCols = (0 until nHashes)
+      .map(i => s"min(md5('$i|' || word)) AS s$i").mkString(", ")
+    val bandSelects = (0 until nBands).map { j =>
+      val cat = (0 until rows).map(r => s"s${j * rows + r}").mkString(" || '|' || ")
+      s"SELECT rep, $j AS band_idx, md5($cat) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS canon
+       FROM documents),
+reps AS (SELECT canon, min(doc_id) AS rep FROM sh GROUP BY canon),
+sets AS (SELECT rep, string_split(canon, ' ') AS s FROM reps),
+w AS (SELECT rep, unnest(s) AS word FROM sets),
+sig AS (SELECT rep, $sigCols FROM w GROUP BY rep),
+band AS ($bandSelects),
+capped AS (SELECT rep, band_idx, bucket FROM band
+           QUALIFY row_number() OVER (PARTITION BY band_idx, bucket ORDER BY rep) <= $cap),
+cand AS (SELECT DISTINCT x.rep AS r1, y.rep AS r2 FROM capped x
+         JOIN capped y ON x.band_idx = y.band_idx AND x.bucket = y.bucket AND x.rep < y.rep),
+v AS (SELECT r1, r2,
+        len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+      FROM cand JOIN sets a ON r1 = a.rep JOIN sets b ON r2 = b.rep),
+mem AS (SELECT sh.doc_id, r.rep FROM sh JOIN reps r USING (canon)),
+cross_p AS (SELECT least(m1.doc_id, m2.doc_id) AS d1,
+              greatest(m1.doc_id, m2.doc_id) AS d2, jaccard
+            FROM v JOIN mem m1 ON r1 = m1.rep JOIN mem m2 ON r2 = m2.rep
+            WHERE jaccard >= $minhashThreshold),
+within AS (SELECT m1.doc_id AS d1, m2.doc_id AS d2, 1.0::DOUBLE AS jaccard
+           FROM sh m1 JOIN sh m2 ON m1.canon = m2.canon AND m1.doc_id < m2.doc_id)
+SELECT d1, d2, jaccard FROM (SELECT * FROM cross_p UNION ALL SELECT * FROM within)
+ORDER BY d1, d2"""
+  }
+
   /** Cluster oracle: same pair CTEs + recursive-CTE reachability; the
     * min-label-per-component fixpoint is algorithm-independent, so this
     * matches Spark's iterative label propagation exactly. */
@@ -98,6 +141,18 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
       (s, d) => Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
         nHashes, nBands, minhashThreshold).orderBy("d1", "d2"),
       minhashOracle),
+
+    // Bucket-size-CAPPED minhash — the skew-guarded scale twin of
+    // q_dedup_minhash (same exact/bucketed pairing as q_dedup_embcos /
+    // q_dedup_embcos_bucketed): per (band, bucket) only the 8 sets with
+    // smallest representative doc id enter candidate generation, so a
+    // degenerate shingle distribution can never push the self-join toward
+    // bucket² on a hot key. The oracle applies the identical cap, so the
+    // recall trade cancels and the compare stays hash-exact.
+    QueryDef("q_dedup_minhash_capped",
+      (s, d) => Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+        nHashes, nBands, minhashThreshold, bucketCap = 8).orderBy("d1", "d2"),
+      minhashCappedOracle(8)),
 
     // The minhash sketch as an estimator: matching-signature fraction vs
     // exact Jaccard on consecutive doc pairs — the accuracy story behind

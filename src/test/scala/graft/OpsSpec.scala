@@ -32,6 +32,29 @@ class OpsSpec extends SparkSpec {
     assert(!keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("bucket cap bounds minhash candidates on a skewed shingle corpus") {
+    // Adversarial shape: 60 DISTINCT word sets that are near-identical
+    // (40 shared words + 1 unique), so almost every pair collides in ≥1
+    // band and uncapped LSH degenerates toward bucket² — C(60,2) ≈ 1770
+    // verified pairs. With bucketCap=5 each (band, bucket) admits only
+    // the 5 sets with smallest representative id, so candidate volume is
+    // bounded per bucket regardless of how skewed the distribution is.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val skewed = (1 to 60).map(i => (i.toLong, s"$base u$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.minHashPairs(skewed, "doc_id", "text", 16, 4, 0.9)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minHashPairs(skewed, "doc_id", "text", 16, 4, 0.9,
+        bucketCap = 5)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size > 500, s"skew corpus should explode uncapped: ${uncapped.size}")
+    assert(capped.size <= 100, s"cap must bound candidates: ${capped.size}")
+    assert(capped.subsetOf(uncapped), "cap may only REMOVE pairs, never invent them")
+    // the five smallest reps are admitted to every bucket they touch, so
+    // all pairs among docs 1..5 survive the cap
+    val lowIds = (for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)).toSet
+    assert(lowIds.subsetOf(capped), s"smallest-rep pairs must survive: $capped")
+  }
+
   test("connected components merge transitive near-dup chains") {
     val words = (1 to 20).map(i => s"w$i")
     val t1 = words.mkString(" ")                              // {w1..w20}

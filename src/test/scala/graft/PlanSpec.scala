@@ -95,6 +95,14 @@ class PlanSpec extends SparkSpec {
       s"interval join must not dedup with a wide groupBy/distinct: $aggs")
   }
 
+  test("q_dedup_minhash_capped plans the bucket cap as WindowGroupLimit") {
+    // The scaladoc's skew claim: row_number ≤ K runs as partial top-K per
+    // mapper BEFORE the shuffle, so a mega-bucket never sorts in one task.
+    val wgl = collectAll(planOf("q_dedup_minhash_capped")) {
+      case w: WindowGroupLimitExec => w }
+    assert(wgl.nonEmpty, "expected WindowGroupLimit for the bucket cap")
+  }
+
   test("minhash pair pipeline carries no mandatory broadcast hint") {
     // The distinct word-set table grows with the corpus: a hard broadcast()
     // hint would OOM at scale. SHUFFLE_HASH hints are fine (shuffled joins
