@@ -208,6 +208,43 @@ object Dedup {
     if (threshold <= 1.0) cross.unionAll(within) else cross
   }
 
+  /** Paragraph-level dedup — boilerplate removal at sub-document
+    * granularity, the form real pretraining pipelines run alongside
+    * whole-document dedup: split each document on `sep`, keep only the
+    * globally FIRST instance of every distinct paragraph (first = smallest
+    * (doc id, position)), and reassemble each document from its surviving
+    * paragraphs in order. Documents whose every paragraph was seen earlier
+    * disappear from the output.
+    *
+    * Scale shape: paragraphs dedup on an 8-byte xxhash64 digest (the
+    * shuffle never carries paragraph text for grouping), the first-instance
+    * choice is a partial-agg `min(struct(id, pos))` — map-side combine
+    * shrinks each mapper's contribution to one row per distinct paragraph,
+    * the same no-window-sort argument as the upsert-latest query — and
+    * reassembly is one aggregation keyed by doc id. No driver-side state.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("doc_id", "pos", "para")
+      .withColumn("digest", xxhash64(col("para")))
+      // the digest fans out to the agg and the join-back below; without
+      // materialization both consumers re-run split+explode from the scan
+      .localCheckpoint(eager = false)
+    val firsts = paras.groupBy("digest")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("digest"), col("f.doc_id").as("doc_id"), col("f.pos").as("pos"))
+    paras.join(firsts, Seq("digest", "doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Connected components over a near-duplicate pair graph — what a dedup
     * pipeline actually needs downstream of pair generation: one canonical
     * representative (min id) per transitive duplicate cluster.

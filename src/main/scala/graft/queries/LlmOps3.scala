@@ -1,0 +1,110 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.Dedup
+
+/** Round-3 training-data-pipeline additions: sub-document (paragraph)
+  * deduplication and Gopher-style repetition quality gates.
+  *
+  * The synthetic corpus is a flat word stream (no '\n\n'), so queries
+  * that need paragraph structure derive it deterministically — every
+  * 12-word chunk is one paragraph — with the identical construction in
+  * the DuckDB oracle (Spark `slice` ≡ DuckDB `list_slice`, both
+  * clamping), keeping the compare hash-exact while the OPERATOR stays
+  * true to real use (split on a separator).
+  */
+object LlmOps3 {
+
+  private val paraWords = 12
+
+  /** Spark column: text re-chunked into '\n\n'-separated 12-word
+    * paragraphs. */
+  private def chunked(textCol: String) = {
+    val ws = split(col(textCol), " ")
+    val nChunks = ceil(size(ws) / lit(paraWords.toDouble)).cast("int")
+    concat_ws("\n\n", transform(sequence(lit(0), nChunks - 1),
+      j => concat_ws(" ", slice(ws, j * paraWords + 1, lit(paraWords)))))
+  }
+
+  /** DuckDB CTE fragment producing (doc_id, pos, para) for the same
+    * chunking. */
+  private val paraCtes =
+    s"""ws AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+px AS (SELECT doc_id, w, unnest(range(0, ceil(len(w)/$paraWords.0)::BIGINT)) AS pos FROM ws),
+para AS (SELECT doc_id, pos,
+           array_to_string(list_slice(w, pos*$paraWords+1, pos*$paraWords+$paraWords), ' ') AS para
+         FROM px)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Paragraph-level dedup — boilerplate removal: keep the globally
+    // first instance of each distinct paragraph, reassemble docs from the
+    // survivors. The 31-word synthetic vocabulary makes cross-document
+    // chunk collisions common, so the dedup genuinely bites.
+    QueryDef("q_dedup_paragraph",
+      (s, d) => {
+        val paraDocs = Tables.documents(s, d)
+          .select(col("doc_id"), chunked("text").as("text"))
+        Dedup.paragraphDedup(paraDocs, "doc_id", "text").orderBy("doc_id")
+      },
+      s"""WITH $paraCtes,
+ranked AS (SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM para),
+kept AS (SELECT doc_id, pos, para FROM ranked WHERE rn = 1)
+SELECT doc_id, string_agg(para, e'\\n\\n' ORDER BY pos) AS text_clean,
+  count(*)::BIGINT AS n_kept
+FROM kept GROUP BY doc_id ORDER BY doc_id"""),
+
+    // Gopher-style repetition/quality gates, one row per doc: duplicate
+    // word fraction, duplicate paragraph fraction (the "duplicate line
+    // fraction" analogue over the derived chunks), most-frequent-bigram
+    // share, and symbol-to-word ratio. All narrow aggregates — explode,
+    // two-level groupBy with map-side partial aggregation, then a
+    // doc-keyed join; nothing pairwise, nothing driver-side.
+    QueryDef("q_text_repetition",
+      (s, d) => {
+        val d0 = Tables.documents(s, d)
+        val ws = split(col("text"), " ")
+        val wstats = d0.select(col("doc_id"),
+          size(ws).cast("long").as("nw"),
+          size(array_distinct(ws)).cast("long").as("ndw"),
+          length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
+            .cast("long").as("ns"))
+        val nChunks = ceil(size(ws) / lit(paraWords.toDouble)).cast("int")
+        val para = d0.select(col("doc_id"),
+          explode(transform(sequence(lit(0), nChunks - 1),
+            j => concat_ws(" ", slice(ws, j * paraWords + 1, lit(paraWords))))).as("para"))
+        val pstats = para.groupBy("doc_id")
+          .agg(count(lit(1)).as("np"), countDistinct("para").as("ndp"))
+        val bg = d0.select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(ws) - 1),
+            i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))).as("b"))
+        val bstats = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("tot"))
+        wstats.join(pstats, "doc_id").join(bstats, "doc_id")
+          .select(col("doc_id"),
+            (lit(1.0) - col("ndw").cast("double") / col("nw")).as("dup_word_frac"),
+            (lit(1.0) - col("ndp").cast("double") / col("np")).as("dup_para_frac"),
+            (col("mx").cast("double") / col("tot")).as("top_bigram_share"),
+            (col("ns").cast("double") / col("nw")).as("symbol_word_ratio"))
+          .orderBy("doc_id")
+      },
+      s"""WITH $paraCtes,
+wstats AS (SELECT doc_id, len(w)::BIGINT AS nw, len(list_distinct(w))::BIGINT AS ndw,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::BIGINT AS ns
+           FROM ws),
+pstats AS (SELECT doc_id, count(*) AS np, count(DISTINCT para) AS ndp FROM para GROUP BY doc_id),
+bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b FROM ws),
+bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bstats AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY doc_id)
+SELECT w.doc_id,
+  1.0 - (ndw::DOUBLE / nw) AS dup_word_frac,
+  1.0 - (ndp::DOUBLE / np) AS dup_para_frac,
+  mx::DOUBLE / tot AS top_bigram_share,
+  ns::DOUBLE / nw AS symbol_word_ratio
+FROM wstats w JOIN pstats USING (doc_id) JOIN bstats USING (doc_id)
+ORDER BY doc_id""")
+  )
+}

@@ -55,6 +55,22 @@ class OpsSpec extends SparkSpec {
     assert(lowIds.subsetOf(capped), s"smallest-rep pairs must survive: $capped")
   }
 
+  test("paragraph dedup keeps first instance, reassembles in order, drops emptied docs") {
+    val pd = Seq(
+      (1L, "alpha beta\n\ncommon boiler\n\ngamma delta"),
+      (2L, "common boiler\n\nepsilon zeta"),   // first para seen in doc 1
+      (3L, "common boiler"),                   // ONLY boilerplate → vanishes
+      (4L, "alpha beta\n\nalpha beta")         // self-duplicate: keep pos 0 only
+    ).toDF("doc_id", "text")
+    val got = Dedup.paragraphDedup(pd, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, "alpha beta\n\ncommon boiler\n\ngamma delta", 3L),
+      (2L, "epsilon zeta", 1L)))
+    // doc 3 fully deduped away; doc 4's paragraphs were all first seen in doc 1
+  }
+
   test("connected components merge transitive near-dup chains") {
     val words = (1 to 20).map(i => s"w$i")
     val t1 = words.mkString(" ")                              // {w1..w20}
