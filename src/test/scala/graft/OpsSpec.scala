@@ -89,6 +89,25 @@ class OpsSpec extends SparkSpec {
     assert(cc(13L) == 13L)                                      // singleton
   }
 
+  test("connected components converge on a long path graph (pointer-jump path)") {
+    // a 60-node path is the worst case for per-hop propagation — the min
+    // label must travel the full diameter; pointer jumping must still
+    // reach the exact fixpoint (all labels = 1) within maxIters=20
+    val nodes = (1L to 60L).toDF("node")
+    val pathPairs = (1L until 60L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = graft.ops.Dedup.connectedComponents(nodes, pathPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 60 && got.forall(_._2 == 1L),
+      s"all nodes must label to 1: ${got.filter(_._2 != 1L).take(5).toSeq}")
+    // two disjoint paths keep distinct labels
+    val nodes2 = (1L to 10L).toDF("node")
+    val twoPaths = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)) ++
+      Seq((6L, 7L), (7L, 8L), (8L, 9L), (9L, 10L))).toDF("d1", "d2")
+    val got2 = graft.ops.Dedup.connectedComponents(nodes2, twoPaths)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 5L).forall(got2(_) == 1L) && (6L to 10L).forall(got2(_) == 6L))
+  }
+
   test("simhash: identical texts get identical fingerprints, hamming 0") {
     val fp = Dedup.simHash64(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
