@@ -132,6 +132,76 @@ object EventStreams {
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
 
+  /** The single buffered dimension row [[AsOfEnrichProcessor]] keeps per
+    * key: latest update timestamp (ms) + its exact cent value. */
+  case class AsOfUpd(tsMs: Long, cents: Long)
+
+  /** Streaming as-of enrichment — the `transformWithState` twin of the
+    * native batch [[graft.plans.AsOfJoinExec]] operator: facts are
+    * enriched with the LATEST dimension update at-or-before their event
+    * time. State is ONE buffered update row per key (the same O(1)-memory
+    * argument as the batch merge: each update is visited once, only the
+    * current best is retained) — so state size is O(keys), independent of
+    * stream length, with no watermark needed to bound it.
+    *
+    * Ordering contract: within a micro-batch rows are sorted by
+    * (event time, updates-before-facts at ties — as-of is `<=`, so a
+    * same-timestamp update is visible to the fact). ACROSS micro-batches
+    * per-key update order must be non-decreasing for strict as-of
+    * semantics: an update arriving after a later-timestamped fact was
+    * already emitted cannot retroactively re-enrich it (the standard
+    * streaming-enrichment trade; late updates only affect later facts —
+    * stale-but-monotone, never time-travel).
+    */
+  class AsOfEnrichProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Boolean, Long), (Long, Long, Option[Long], Option[Long])] {
+    @transient private var latest:
+        org.apache.spark.sql.streaming.ValueState[AsOfUpd] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      latest = getHandle.getValueState[AsOfUpd]("latest",
+        org.apache.spark.sql.Encoders.product[AsOfUpd],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Boolean, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Option[Long], Option[Long])] = {
+      // ts asc; at equal ts updates (is_upd=true) sort before facts
+      val sorted = rows.toSeq.sortBy(r => (r._2, !r._3))
+      var cur = if (latest.exists()) Option(latest.get()) else None
+      val out = Seq.newBuilder[(Long, Long, Option[Long], Option[Long])]
+      sorted.foreach { case (_, ts, isUpd, cents) =>
+        if (isUpd) { if (cur.forall(_.tsMs <= ts)) cur = Some(AsOfUpd(ts, cents)) }
+        else out += ((key, ts, cur.map(_.tsMs), cur.map(_.cents)))
+      }
+      cur.foreach(latest.update)
+      out.result().iterator
+    }
+  }
+
+  /** [[AsOfEnrichProcessor]] wired to the events frame: every "error"
+    * fact gains the same user's latest preceding "click" (ms timestamps,
+    * exact integer cents). Emits (user_id, err_ts_ms, click_ts_ms,
+    * click_cents) with the click fields null when no click precedes. */
+  def asOfEnrichLatestClick(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long, Option[Long], Option[Long])] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.filter(col("event_type").isin("click", "error"))
+      .select(col("user_id").cast("long"),
+        unix_millis(col("ts")),
+        col("event_type") === "click",
+        (col("value").cast("decimal(18,2)") * 100).cast("long"))
+      .as[(Long, Long, Boolean, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new AsOfEnrichProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** One user's open session being accumulated across micro-batches. */
   case class OpenSession(startMs: Long, lastMs: Long, n: Long, totalCents: Long)
   /** A closed session: [start, last + gap), event count, exact value sum. */

@@ -192,6 +192,30 @@ class OpsSpec extends SparkSpec {
       s"ANN recall@3 = $recall — expected chance-level (≈1/16) on random embeddings")
   }
 
+  test("approx_count_distinct stays within 5% of exact on the q_agg_approx groups") {
+    // q_agg_approx is rows-only at the driver gate (per-engine HLL
+    // sketches differ) — this pins its accuracy claim quantitatively:
+    // default rsd = 0.05, so each group's estimate must sit within ±5%
+    // of the exact distinct count (the same data the query runs on).
+    val li = Tables.lineitem(spark, sf)
+    val both = li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        countDistinct(col("l_suppkey")).as("exact_supps"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val flag = r.getString(0)
+      val (ap, ep) = (r.getLong(1), r.getLong(2))
+      val (as_, es) = (r.getLong(3), r.getLong(4))
+      assert(math.abs(ap - ep).toDouble / ep <= 0.05,
+        s"$flag parts: approx=$ap exact=$ep off by ${math.abs(ap - ep).toDouble / ep}")
+      assert(math.abs(as_ - es).toDouble / es <= 0.05,
+        s"$flag supps: approx=$as_ exact=$es off by ${math.abs(as_ - es).toDouble / es}")
+    }
+  }
+
   test("multimodal decode plumbing produces typed metadata per row") {
     val got = Multimodal.decode(Multimodal.withPayload(docs, "text"), "doc_id")
       .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.checksum")

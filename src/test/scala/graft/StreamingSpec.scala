@@ -128,6 +128,59 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming as-of enrichment (transformWithState) == native batch as-of join") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // clicks (even i) and errors (odd i) interleaved, strictly
+      // increasing ts per user; user 3 has errors but never clicks
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val data = (0 until 60).map { i =>
+        Ev(new java.sql.Timestamp(base.getTime + i * 60000L), i % 3,
+          if (i % 2 == 0) "click" else "error", (i % 10) + 0.25)
+      } :+ Ev(new java.sql.Timestamp(base.getTime + 99 * 60000L), 3L, "error", 1.0)
+
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.asOfEnrichLatestClick(mem.toDF())
+        .toDF("user_id", "err_ts_ms", "click_ts_ms", "click_cents")
+        .writeStream.format("memory").queryName("asof_enrich_out")
+        .outputMode("append").start()
+      // ts-ordered across micro-batches — the documented ordering contract
+      mem.addData(data.take(30))
+      q.processAllAvailable()
+      mem.addData(data.drop(30))   // state must carry the buffered click over
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("asof_enrich_out")
+        .orderBy("user_id", "err_ts_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+
+      val df = data.toDF()
+      val errors = df.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_millis(col("ts")).as("err_ts_ms"))
+      val clicks = df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), unix_millis(col("ts")).as("click_ts_ms"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("click_cents"))
+      val batch = graft.ops.Joins.asofBackward(errors, clicks,
+          Seq("user_id"), Seq("c_user"), "err_ts_ms", "click_ts_ms")
+        .select("user_id", "err_ts_ms", "click_ts_ms", "click_cents")
+        .orderBy("user_id", "err_ts_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer == built-in session_window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
