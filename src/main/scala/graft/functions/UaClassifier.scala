@@ -30,15 +30,32 @@ object UaClassifier {
     ("Googlebot", Seq("Googlebot"), Seq.empty),
     ("Bingbot", Seq("bingbot"), Seq.empty),
     ("AhrefsBot", Seq("AhrefsBot"), Seq.empty),
-    ("Edge", Seq("Edg"), Seq.empty),
+    ("DuckDuckBot", Seq("DuckDuckBot"), Seq.empty),
+    ("YandexBot", Seq("YandexBot"), Seq.empty),
+    ("Applebot", Seq("Applebot"), Seq.empty),          // carries Safari/ + Version/
+    ("SemrushBot", Seq("SemrushBot"), Seq.empty),
+    ("PetalBot", Seq("PetalBot"), Seq.empty),
+    ("Facebook Crawler", Seq("facebookexternalhit"), Seq.empty),
+    ("Slackbot", Seq("Slackbot"), Seq.empty),
+    ("Edge", Seq("Edg"), Seq.empty),                   // also matches EdgiOS/EdgA
     ("Samsung Internet", Seq("SamsungBrowser/"), Seq.empty),
     ("Opera Mobile", Seq("OPR/", "Mobile"), Seq.empty),
     ("Opera", Seq("OPR/"), Seq.empty),
     ("UC Browser", Seq("UCBrowser/"), Seq.empty),
     ("Yandex Browser", Seq("YaBrowser/"), Seq.empty),
+    ("Vivaldi", Seq("Vivaldi/"), Seq.empty),
+    ("Whale", Seq("Whale/"), Seq.empty),
+    ("QQ Browser", Seq("MQQBrowser/"), Seq.empty),
+    ("Amazon Silk", Seq("Silk/"), Seq.empty),
+    ("Electron", Seq("Electron/"), Seq.empty),
     ("HeadlessChrome", Seq("HeadlessChrome"), Seq.empty),
+    ("PhantomJS", Seq("PhantomJS"), Seq.empty),
+    ("Chromium", Seq("Chromium/"), Seq.empty),
+    ("Chrome Mobile iOS", Seq("CriOS/"), Seq.empty),   // Chrome on iOS: no Chrome/ token
+    ("Firefox iOS", Seq("FxiOS/"), Seq.empty),         // Firefox on iOS: no Firefox/ token
     ("Chrome Mobile", Seq("Chrome/", "Mobile"), Seq.empty),
     ("Chrome", Seq("Chrome/"), Seq.empty),
+    ("Seamonkey", Seq("Seamonkey"), Seq.empty),
     ("Firefox Mobile", Seq("Firefox/", "Mobile"), Seq("Seamonkey")),
     ("Firefox", Seq("Firefox/"), Seq("Seamonkey")),
     ("Mobile Safari", Seq("Safari/", "Mobile"), Seq.empty),
@@ -48,6 +65,9 @@ object UaClassifier {
     ("curl", Seq("curl/"), Seq.empty),
     ("Wget", Seq("Wget/"), Seq.empty),
     ("Python Requests", Seq("python-requests"), Seq.empty),
+    ("Go HTTP Client", Seq("Go-http-client"), Seq.empty),
+    ("OkHttp", Seq("okhttp"), Seq.empty),
+    ("Apache HttpClient", Seq("Apache-HttpClient"), Seq.empty),
   )
 
   val osRules: Seq[(String, Seq[String], Seq[String])] = Seq(
@@ -58,8 +78,18 @@ object UaClassifier {
     ("iOS", Seq("iPod"), Seq.empty),
     ("Mac OS X", Seq("Mac OS X"), Seq.empty),
     ("Chrome OS", Seq("CrOS"), Seq.empty),
+    ("BlackBerry", Seq("BB10"), Seq.empty),
+    ("BlackBerry", Seq("BlackBerry"), Seq.empty),
+    ("KaiOS", Seq("KAIOS/"), Seq.empty),
+    ("Symbian", Seq("SymbianOS"), Seq.empty),
     ("Android", Seq("Android"), Seq.empty),
+    ("Tizen", Seq("Tizen"), Seq.empty),                // before Linux: smart-TV UAs carry both
+    ("webOS", Seq("Web0S"), Seq.empty),                // LG spells it with a zero
+    ("webOS", Seq("webOS"), Seq.empty),
     ("Ubuntu", Seq("Ubuntu"), Seq.empty),
+    ("FreeBSD", Seq("FreeBSD"), Seq.empty),
+    ("OpenBSD", Seq("OpenBSD"), Seq.empty),
+    ("NetBSD", Seq("NetBSD"), Seq.empty),
     ("Linux", Seq("Linux"), Seq.empty),
   )
 

@@ -105,6 +105,100 @@ SELECT w.doc_id,
   mx::DOUBLE / tot AS top_bigram_share,
   ns::DOUBLE / nw AS symbol_word_ratio
 FROM wstats w JOIN pstats USING (doc_id) JOIN bstats USING (doc_id)
-ORDER BY doc_id""")
+ORDER BY doc_id"""),
+
+    // Corpus-wide n-gram vocabulary statistics — the counting pass behind
+    // tokenizer training and frequency-based filtering: top 50 bigrams by
+    // total occurrences with their document frequencies. Shape: explode,
+    // one partially-aggregated groupBy on the bigram (count + distinct
+    // doc via Catalyst's expand), global top-k as TakeOrdered — the
+    // shuffle carries (bigram, counts), never documents.
+    QueryDef("q_vocab_ngrams",
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        val bigrams = when(size(ws) >= 2,
+          transform(sequence(lit(1), size(ws) - 1),
+            i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(bigrams).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("n_total"),
+            countDistinct("doc_id").as("n_docs"))
+          .orderBy(col("n_total").desc, col("bigram").asc)
+          .limit(50)
+      },
+      """WITH bg AS (
+           SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+           FROM documents)
+         SELECT bigram, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+         FROM bg GROUP BY bigram
+         ORDER BY n_total DESC, bigram ASC LIMIT 50"""),
+
+    // Sliding token-window chunking (size 32, stride 24 → 8-token
+    // overlap) — how documents become embedding-model inputs: every
+    // window starts at k·stride, the last window begins before the text
+    // runs out, short docs yield exactly one chunk. Integer window-count
+    // arithmetic is mirrored exactly; slices clamp identically.
+    QueryDef("q_text_chunks",
+      (s, d) => {
+        val size32 = 32; val stride = 24
+        val ws = split(col("text"), " ")
+        val overflow = greatest(size(ws) - size32, lit(0)).cast("double")
+        val nWins = (floor((overflow + (stride - 1)) / stride) + 1).cast("int")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), nWins - 1),
+              k => concat_ws(" ", slice(ws, k * stride + 1, lit(size32))))))
+          .toDF("doc_id", "chunk_idx", "chunk_text")
+          .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+            col("chunk_text"),
+            size(split(col("chunk_text"), " ")).cast("long").as("n_tokens"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         nw AS (SELECT doc_id, w,
+                  1 + (greatest(len(w) - 32, 0) + 23) // 24 AS n_wins FROM ws),
+         ch AS (SELECT doc_id, w, unnest(range(0, n_wins)) AS k FROM nw)
+         SELECT doc_id, k::BIGINT AS chunk_idx,
+           array_to_string(list_slice(w, k*24 + 1, k*24 + 32), ' ') AS chunk_text,
+           len(list_slice(w, k*24 + 1, k*24 + 32))::BIGINT AS n_tokens
+         FROM ch ORDER BY doc_id, chunk_idx"""),
+
+    // Incremental-ingest dedup — the nightly-batch shape: 20% of docs
+    // (doc_id % 10 < 2, SF-stable) arrive as the NEW batch and each gets
+    // a verdict against the standing corpus: exact-content dup of the
+    // corpus, dup within the batch (a smaller-id batch doc has the same
+    // content), or keep. Digest-keyed joins only — the corpus side
+    // shrinks to distinct 16-byte digests, never documents; verdicts are
+    // a left join + a partial-agg min per digest.
+    QueryDef("q_dedup_incremental",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        val isNew = col("doc_id") % 10 < 2
+        val corpus = docs.filter(!isNew).select("h").distinct()
+          .withColumn("in_corpus", lit(1))
+        val batch = docs.filter(isNew)
+        val firsts = batch.groupBy("h").agg(min("doc_id").as("first_id"))
+        batch.join(corpus, Seq("h"), "left")
+          .join(firsts, "h")
+          .select(col("doc_id"), col("h").as("content_md5"),
+            when(col("in_corpus").isNotNull, "dup_corpus")
+              .when(col("doc_id") =!= col("first_id"), "dup_batch")
+              .otherwise("keep").as("verdict"))
+          .orderBy("doc_id")
+      },
+      """WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
+         corpus AS (SELECT DISTINCT h FROM docs WHERE doc_id % 10 >= 2),
+         batch AS (SELECT doc_id, h FROM docs WHERE doc_id % 10 < 2),
+         firsts AS (SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h)
+         SELECT b.doc_id, b.h AS content_md5,
+           CASE WHEN b.h IN (SELECT h FROM corpus) THEN 'dup_corpus'
+                WHEN b.doc_id <> f.first_id THEN 'dup_batch'
+                ELSE 'keep' END AS verdict
+         FROM batch b JOIN firsts f USING (h)
+         ORDER BY b.doc_id""")
   )
 }

@@ -100,6 +100,32 @@ class AlbParserSpec extends SparkSpec {
       ("Wget/1.21.3", ("Wget", "Other")),
       ("Mozilla/4.0 (compatible; MSIE 8.0; Windows NT 6.1)", ("IE", "Windows")),
       ("Mozilla/5.0 (iPod touch; CPU iPhone OS 15_8 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/15.6 Mobile/15E148 Safari/604.1", ("Mobile Safari", "iOS")),
+      ("Mozilla/5.0 (compatible; DuckDuckBot-Https/1.1; https://duckduckgo.com/duckduckbot)", ("DuckDuckBot", "Other")),
+      ("Mozilla/5.0 (compatible; YandexBot/3.0; +http://yandex.com/bots)", ("YandexBot", "Other")),
+      ("Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/16.4 Safari/605.1.15 (Applebot/0.1; +http://www.apple.com/go/applebot)", ("Applebot", "Mac OS X")),
+      ("Mozilla/5.0 (compatible; SemrushBot/7~bl; +http://www.semrush.com/bot.html)", ("SemrushBot", "Other")),
+      ("Mozilla/5.0 (Linux; Android 7.0;) AppleWebKit/537.36 (KHTML, like Gecko) Mobile Safari/537.36 (compatible; PetalBot;+https://webmaster.petalsearch.com/site/petalbot)", ("PetalBot", "Android")),
+      ("facebookexternalhit/1.1 (+http://www.facebook.com/externalhit_uatext.php)", ("Facebook Crawler", "Other")),
+      ("Slackbot-LinkExpanding 1.0 (+https://api.slack.com/robots)", ("Slackbot", "Other")),
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 Vivaldi/6.7", ("Vivaldi", "Windows")),
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/122.0.0.0 Whale/3.25.232.19 Safari/537.36", ("Whale", "Windows")),
+      ("Mozilla/5.0 (Linux; U; Android 13; zh-cn; 2211133C) AppleWebKit/533.1 (KHTML, like Gecko) Version/4.0 Chrome/90.0.4430.210 MQQBrowser/13.6 Mobile Safari/537.36", ("QQ Browser", "Android")),
+      ("Mozilla/5.0 (Linux; Android 9; KFMAWI) AppleWebKit/537.36 (KHTML, like Gecko) Silk/126.2.5 like Chrome/126.0.6478.71 Safari/537.36", ("Amazon Silk", "Android")),
+      ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) my-app/2.1.0 Chrome/120.0.6099.291 Electron/28.2.6 Safari/537.36", ("Electron", "Windows")),
+      ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/534.34 (KHTML, like Gecko) PhantomJS/2.1.1 Safari/534.34", ("PhantomJS", "Linux")),
+      ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chromium/124.0.6367.60 Chrome/124.0.6367.60 Safari/537.36", ("Chromium", "Linux")),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_4_1 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) CriOS/124.0.6367.111 Mobile/15E148 Safari/604.1", ("Chrome Mobile iOS", "iOS")),
+      ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_4 like Mac OS X) AppleWebKit/605.1.15 (KHTML, like Gecko) FxiOS/125.1 Mobile/15E148 Safari/605.1.15", ("Firefox iOS", "iOS")),
+      ("Mozilla/5.0 (X11; Linux x86_64; rv:52.0) Gecko/20100101 Firefox/52.0 Seamonkey/2.49.1", ("Seamonkey", "Linux")),
+      ("Go-http-client/2.0", ("Go HTTP Client", "Other")),
+      ("okhttp/4.12.0", ("OkHttp", "Other")),
+      ("Apache-HttpClient/4.5.14 (Java/17.0.10)", ("Apache HttpClient", "Other")),
+      ("Mozilla/5.0 (BB10; Touch) AppleWebKit/537.35+ (KHTML, like Gecko) Version/10.3.3.3216 Mobile Safari/537.35+", ("Mobile Safari", "BlackBerry")),
+      ("Mozilla/5.0 (Mobile; LYF/F300B/LYF-F300B-001-02-15-130119; Android; rv:48.0) Gecko/48.0 Firefox/48.0 KAIOS/2.5", ("Firefox Mobile", "KaiOS")),
+      ("Mozilla/5.0 (SMART-TV; LINUX; Tizen 6.5) AppleWebKit/537.36 (KHTML, like Gecko) Version/6.5 TV Safari/537.36", ("Safari", "Tizen")),
+      ("Mozilla/5.0 (Web0S; Linux/SmartTV) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/87.0.4280.88 Safari/537.36 WebAppManager", ("Chrome", "webOS")),
+      ("Mozilla/5.0 (X11; FreeBSD amd64; rv:126.0) Gecko/20100101 Firefox/126.0", ("Firefox", "FreeBSD")),
+      ("Mozilla/5.0 (SymbianOS/9.4; Series60/5.0 NokiaN97-1/20.0.019) AppleWebKit/525 (KHTML, like Gecko) BrowserNG/7.1.4", ("Other", "Symbian")),
       ("some-novel-agent/1.0", ("Other", "Other")))
     val df = expected.map(_._1).toDF("ua")
     val got = df.select(
