@@ -33,6 +33,14 @@ object Similarity {
       when(element_at(a, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** [[signBucket]] over dimensions [offset, offset+nBits) — the per-table
+    * code for multi-table LSH, where each table hashes a DIFFERENT slice
+    * of the vector so tables fail independently and recall compounds. */
+  def signBucketAt(a: Column, nBits: Int, offset: Int): Column =
+    (0 until nBits).map { i =>
+      when(element_at(a, offset + i + 1) > 0f, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Squared L2 distance, same left-fold determinism contract as [[dot]]. */
   def l2sq(a: Column, b: Column): Column =
     aggregate(
@@ -55,5 +63,10 @@ object Similarity {
   def signBucketSql(a: String, nBits: Int): String =
     (0 until nBits).map { i =>
       s"(CASE WHEN $a[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def signBucketAtSql(a: String, nBits: Int, offset: Int): String =
+    (0 until nBits).map { i =>
+      s"(CASE WHEN $a[${offset + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 }

@@ -1,8 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.Similarity
 import graft.ops.Dedup
 
 /** Round-3 training-data-pipeline additions: sub-document (paragraph)
@@ -199,6 +201,95 @@ ORDER BY doc_id"""),
                 WHEN b.doc_id <> f.first_id THEN 'dup_batch'
                 ELSE 'keep' END AS verdict
          FROM batch b JOIN firsts f USING (h)
-         ORDER BY b.doc_id""")
+         ORDER BY b.doc_id"""),
+
+    // Multi-TABLE LSH ANN — the third member of the recall ladder
+    // (single bucket → multi-probe → multi-table): L=4 independent hash
+    // tables, each sign-hashing a DIFFERENT 4-dim slice of the vector, so
+    // a near neighbor is a candidate if it co-buckets in ANY table —
+    // tables fail independently and recall compounds as 1-(1-r)^L.
+    // Candidate pairs dedup BEFORE the cosine kernel (each pair scored
+    // once no matter how many tables it collided in); the probe side
+    // rides a broadcast, the corpus scans once per table via explode.
+    QueryDef("q_similarity_ann_multitable",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        val nTables = 4
+        val e0 = Tables.embeddings(s, d)
+        val tabBuckets = array((0 until nTables).map(t =>
+          Similarity.signBucketAt(col("embedding"), 4, t * 4)): _*)
+        val e = e0.select(col("vec_id"), posexplode(tabBuckets))
+          .toDF("vec_id", "tbl", "bucket")
+        val q = e0.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), posexplode(tabBuckets))
+          .toDF("q_id", "q_tbl", "q_bucket")
+        val cand = e.join(broadcast(q),
+            col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+              col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("neighbor_id")).distinct()
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
+        cand
+          .join(e0.select(col("vec_id").as("neighbor_id"), col("embedding")),
+            "neighbor_id")
+          .join(broadcast(e0.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))), "q_id")
+          .select(col("q_id"), col("neighbor_id"),
+            call_function("cosine_sim", col("embedding"), col("q_emb")).as("cosine_sim"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("q_id", "rn", "neighbor_id", "cosine_sim")
+          .orderBy("q_id", "rn")
+      },
+      s"""WITH tab AS (${(0 until 4).map(t =>
+             s"SELECT vec_id, $t AS tbl, ${Similarity.signBucketAtSql("embedding", 4, t * 4)}::BIGINT AS bucket FROM embeddings")
+           .mkString(" UNION ALL ")}),
+         q AS (SELECT vec_id AS q_id, tbl AS q_tbl, bucket AS q_bucket FROM tab WHERE vec_id < 5),
+         cand AS (SELECT DISTINCT q_id, e.vec_id AS neighbor_id
+                  FROM tab e JOIN q ON e.tbl = q.q_tbl AND e.bucket = q.q_bucket
+                    AND e.vec_id <> q.q_id),
+         sc AS (SELECT q_id, neighbor_id,
+                  ${Similarity.cosineSql("n.embedding", "qe.embedding")} AS cosine_sim
+                FROM cand JOIN embeddings n ON neighbor_id = n.vec_id
+                  JOIN embeddings qe ON q_id = qe.vec_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM sc)
+         SELECT q_id, rn, neighbor_id, cosine_sim FROM r WHERE rn <= 3
+         ORDER BY q_id, rn"""),
+
+    // Per-key skew diagnostic — the operational pass you run BEFORE
+    // choosing salting/AQE-skew settings on a 100 TB join: top-20 heavy
+    // hitter users by event count, each with its share of total traffic
+    // and the running cumulative share. One partial-agg groupBy, a
+    // single-row broadcast total, and a 20-row window — nothing scans
+    // twice, nothing collects.
+    QueryDef("q_events_heavyhitters",
+      (s, d) => {
+        val counts = Tables.events(s, d)
+          .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        val total = counts.agg(sum("n_events").as("total")).select("total")
+        val w = Window.orderBy(col("n_events").desc, col("user_id").asc)
+        counts
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 20)
+          .crossJoin(broadcast(total))
+          .withColumn("share", col("n_events").cast("double") / col("total"))
+          .withColumn("cum_share",
+            sum(col("n_events")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double") / col("total"))
+          .select("rnk", "user_id", "n_events", "share", "cum_share")
+          .orderBy("rnk")
+      },
+      """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+         t AS (SELECT sum(n_events)::BIGINT AS total FROM c),
+         r AS (SELECT user_id, n_events,
+                 row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rnk,
+                 sum(n_events) OVER (ORDER BY n_events DESC, user_id ASC
+                   ROWS UNBOUNDED PRECEDING) AS cum
+               FROM c)
+         SELECT rnk, user_id, n_events,
+           n_events::DOUBLE / total AS share,
+           cum::DOUBLE / total AS cum_share
+         FROM r, t WHERE rnk <= 20 ORDER BY rnk""")
   )
 }

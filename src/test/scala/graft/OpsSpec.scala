@@ -190,6 +190,29 @@ class OpsSpec extends SparkSpec {
     val recall = hit.toDouble / exact.count()
     assert(recall > 0.0 && recall < 0.5,
       s"ANN recall@3 = $recall — expected chance-level (≈1/16) on random embeddings")
+
+    // multi-TABLE LSH (4 tables over disjoint 4-dim slices): table 0 IS
+    // the single-bucket hash, so its candidate set is a strict superset —
+    // recall can only improve, and expected coverage rises from 1/16 to
+    // 1-(15/16)^4 ≈ 0.23. Pin the ordering plus a sane band.
+    val tabBuckets = array((0 until 4).map(t =>
+      Similarity.signBucketAt(col("embedding"), 4, t * 4)): _*)
+    val eT = e.select(col("vec_id"), col("embedding"), posexplode(tabBuckets))
+      .toDF("vec_id", "embedding", "tbl", "bucket")
+    val qT = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        posexplode(tabBuckets))
+      .toDF("q_id", "q_emb", "q_tbl", "q_bucket")
+    val multi = top3(eT.join(broadcast(qT),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+          col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id", "embedding", "q_emb").distinct())
+    val hitM = exact.intersect(multi).count()
+    val recallM = hitM.toDouble / exact.count()
+    assert(recallM >= recall,
+      s"multi-table recall $recallM must be ≥ single-bucket $recall (superset)")
+    assert(recallM > 0.05 && recallM < 0.7,
+      s"multi-table recall@3 = $recallM — expected ≈0.23 coverage on random embeddings")
   }
 
   test("approx_count_distinct stays within 5% of exact on the q_agg_approx groups") {
