@@ -290,6 +290,62 @@ ORDER BY doc_id"""),
          SELECT rnk, user_id, n_events,
            n_events::DOUBLE / total AS share,
            cum::DOUBLE / total AS cum_share
-         FROM r, t WHERE rnk <= 20 ORDER BY rnk""")
+         FROM r, t WHERE rnk <= 20 ORDER BY rnk"""),
+
+    // Token-count histogram — corpus observability: distribution of doc
+    // lengths in buckets of 10 tokens. One partial-agg groupBy over a
+    // derived bucket key; the pass every pipeline runs before choosing
+    // chunk sizes and packing budgets.
+    QueryDef("q_text_histogram",
+      (s, d) => {
+        val n = size(split(col("text"), " "))
+        Tables.documents(s, d)
+          .select((floor(n / 10) * 10).cast("long").as("bucket_lo"))
+          .groupBy("bucket_lo")
+          .agg(count(lit(1)).as("n_docs"))
+          .select(col("bucket_lo"), (col("bucket_lo") + 9).as("bucket_hi"),
+            col("n_docs"))
+          .orderBy("bucket_lo")
+      },
+      """SELECT (len(string_split(text, ' ')) // 10 * 10)::BIGINT AS bucket_lo,
+           (len(string_split(text, ' ')) // 10 * 10 + 9)::BIGINT AS bucket_hi,
+           count(*) AS n_docs
+         FROM documents GROUP BY 1, 2 ORDER BY bucket_lo"""),
+
+    // Truncation-duplicate detection — the "same doc, cut short" dup
+    // class exact dedup misses and Jaccard under-scores: a doc whose full
+    // text is a STRICT prefix of another doc's text. Candidates bucket on
+    // an md5 of the first 8 tokens (prefix pairs MUST share it), verify
+    // with starts_with, and each truncated doc reports the smallest
+    // superseding doc id. Bounded like all the LSH ops: Σbucket², never
+    // N². Docs shorter than the 8-token key are excluded by contract
+    // (their prefix relation can't share the bucket key; the exact-dedup
+    // path owns sub-key-length docs) — the oracle applies the same bound.
+    QueryDef("q_dedup_prefix",
+      (s, d) => {
+        val ws = split(col("text"), " ")
+        val docs = Tables.documents(s, d)
+          .filter(size(ws) >= 8)
+          .select(col("doc_id"), col("text"),
+            md5(concat_ws(" ", slice(ws, 1, 8)).cast("binary")).as("pk"))
+          .localCheckpoint(eager = false)
+        docs.as("a").join(docs.as("b"), Seq("pk"))
+          .filter(col("a.doc_id") =!= col("b.doc_id") &&
+            length(col("b.text")) > length(col("a.text")) &&
+            col("b.text").startsWith(concat(col("a.text"), lit(" "))))
+          .groupBy(col("a.doc_id").as("truncated_id"))
+          .agg(min(col("b.doc_id")).as("superseded_by"),
+            count(lit(1)).as("n_supersets"))
+          .orderBy("truncated_id")
+      },
+      """WITH d AS (SELECT doc_id, text,
+             md5(array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')) AS pk
+           FROM documents WHERE len(string_split(text, ' ')) >= 8)
+         SELECT a.doc_id AS truncated_id, min(b.doc_id) AS superseded_by,
+           count(*) AS n_supersets
+         FROM d a JOIN d b ON a.pk = b.pk AND a.doc_id <> b.doc_id
+           AND length(b.text) > length(a.text)
+           AND starts_with(b.text, a.text || ' ')
+         GROUP BY a.doc_id ORDER BY truncated_id""")
   )
 }

@@ -85,4 +85,55 @@ class PropertySpec extends SparkSpec {
       size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
+
+  test("intervalOverlapJoin == naive overlap predicate join, across widths") {
+    // exactness of the bucket-grid decomposition: for random closed
+    // intervals and several grid widths (including widths far from the
+    // typical interval length), the equi-bucketed join must produce the
+    // identical multiset of pairs as the naive O(L·R) predicate join —
+    // each pair exactly once (first-shared-bucket rule), duplicates in
+    // the INPUT preserved.
+    val ls = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(1000).toLong; (i.toLong, s, s + rnd.nextInt(120)) }
+    val rs = Seq.tabulate(60) { i =>
+      val s = rnd.nextInt(1000).toLong; (i.toLong, s, s + rnd.nextInt(40)) }
+    val left = ls.toDF("lid", "ls", "le")
+    val right = rs.toDF("rid", "rs", "re")
+    val naive = left.crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    for (width <- Seq(7L, 50L, 300L, 5000L)) {
+      val bucketed = graft.ops.Joins.intervalOverlapJoin(
+          left, right, Seq.empty, "ls", "le", "rs", "re", width)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sorted.toSeq
+      assert(bucketed == naive, s"width=$width: bucket join diverged " +
+        s"(${bucketed.size} vs ${naive.size} pairs)")
+    }
+  }
+
+  test("paragraphDedup is idempotent and token-conserving") {
+    // running dedup on its own output changes nothing (every surviving
+    // paragraph instance is already the globally-first of its content),
+    // and the surviving paragraph count equals the number of DISTINCT
+    // paragraphs in the input.
+    val texts = Seq.tabulate(40) { i =>
+      val paras = Seq.fill(1 + rnd.nextInt(4))(
+        Seq.fill(3)(s"w${rnd.nextInt(6)}").mkString(" "))
+      (i.toLong, paras.mkString("\n\n"))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val once = graft.ops.Dedup.paragraphDedup(df, "doc_id", "text")
+    val onceRows = once.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val twice = graft.ops.Dedup.paragraphDedup(
+        once.select(col("doc_id"), col("text_clean").as("text")), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(twice == onceRows, "paragraphDedup must be idempotent")
+    val distinctParas = texts.flatMap(_._2.split("\n\n")).distinct.size
+    assert(onceRows.map(_._3).sum == distinctParas.toLong,
+      "survivors must equal distinct paragraph count")
+  }
 }
