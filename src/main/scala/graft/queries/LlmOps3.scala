@@ -267,7 +267,11 @@ ORDER BY doc_id"""),
       (s, d) => {
         val counts = Tables.events(s, d)
           .groupBy("user_id").agg(count(lit(1)).as("n_events"))
-        val total = counts.agg(sum("n_events").as("total")).select("total")
+        // Σ per-user counts == plain count(*): the single-row total comes
+        // from a shuffle-free count-star scan instead of re-running the
+        // per-user aggregation a second time (exchange reuse does not
+        // cover the post-agg sum — verified in the plan)
+        val total = Tables.events(s, d).agg(count(lit(1)).as("total"))
         val w = Window.orderBy(col("n_events").desc, col("user_id").asc)
         counts
           .withColumn("rnk", row_number().over(w).cast("long"))
@@ -281,7 +285,7 @@ ORDER BY doc_id"""),
           .orderBy("rnk")
       },
       """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
-         t AS (SELECT sum(n_events)::BIGINT AS total FROM c),
+         t AS (SELECT count(*)::BIGINT AS total FROM events),
          r AS (SELECT user_id, n_events,
                  row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rnk,
                  sum(n_events) OVER (ORDER BY n_events DESC, user_id ASC

@@ -471,6 +471,23 @@ object Relational {
         .orderBy("nk"),
       """SELECT c_nationkey AS nk FROM customer
          EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk"""),
+
+    // Bag-semantics set ops — distinct OPERATORS from the set versions
+    // above: multiplicities subtract/min instead of collapsing, planned
+    // as aggregate-count + generate rather than a distinct-based join.
+    QueryDef("q_except_all",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .exceptAll(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+      """SELECT c_nationkey AS nk FROM customer
+         EXCEPT ALL SELECT s_nationkey FROM supplier ORDER BY nk"""),
+
+    QueryDef("q_intersect_all",
+      (s, d) => Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        .intersectAll(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
+        .orderBy("nk"),
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY nk"""),
   )
 
   /** ANSI-safe double parse: regex-guarded cast, null on failure —
