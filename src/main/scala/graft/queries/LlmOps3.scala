@@ -62,52 +62,51 @@ FROM kept GROUP BY doc_id ORDER BY doc_id"""),
     // Gopher-style repetition/quality gates, one row per doc: duplicate
     // word fraction, duplicate paragraph fraction (the "duplicate line
     // fraction" analogue over the derived chunks), most-frequent-bigram
-    // share, and symbol-to-word ratio. All narrow aggregates — explode,
-    // two-level groupBy with map-side partial aggregation, then a
-    // doc-keyed join; nothing pairwise, nothing driver-side.
+    // share, and symbol-to-word ratio. Per-DOCUMENT metrics need no
+    // explode and no shuffle at all: everything is an array expression in
+    // ONE narrow codegen'd projection (the bigram mode via
+    // distinct→filter-count, O(d·n) per row on short docs) — the shape
+    // that scans 100 TB exactly once with zero cross-node traffic.
     QueryDef("q_text_repetition",
       (s, d) => {
-        val d0 = Tables.documents(s, d)
         val ws = split(col("text"), " ")
-        val wstats = d0.select(col("doc_id"),
-          size(ws).cast("long").as("nw"),
-          size(array_distinct(ws)).cast("long").as("ndw"),
-          length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))
-            .cast("long").as("ns"))
         val nChunks = ceil(size(ws) / lit(paraWords.toDouble)).cast("int")
-        val para = d0.select(col("doc_id"),
-          explode(transform(sequence(lit(0), nChunks - 1),
-            j => concat_ws(" ", slice(ws, j * paraWords + 1, lit(paraWords))))).as("para"))
-        val pstats = para.groupBy("doc_id")
-          .agg(count(lit(1)).as("np"), countDistinct("para").as("ndp"))
-        val bg = d0.select(col("doc_id"),
-          explode(transform(sequence(lit(1), size(ws) - 1),
-            i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))).as("b"))
-        val bstats = bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("tot"))
-        wstats.join(pstats, "doc_id").join(bstats, "doc_id")
-          .select(col("doc_id"),
-            (lit(1.0) - col("ndw").cast("double") / col("nw")).as("dup_word_frac"),
-            (lit(1.0) - col("ndp").cast("double") / col("np")).as("dup_para_frac"),
-            (col("mx").cast("double") / col("tot")).as("top_bigram_share"),
-            (col("ns").cast("double") / col("nw")).as("symbol_word_ratio"))
+        val paras = transform(sequence(lit(0), nChunks - 1),
+          j => concat_ws(" ", slice(ws, j * paraWords + 1, lit(paraWords))))
+        val bg = when(size(ws) >= 2,
+          transform(sequence(lit(1), size(ws) - 1),
+            i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        // inline() barrier: ws/paras/bg are each referenced several times
+        // below and CollapseProject would clone the construction per use
+        val staged = Tables.documents(s, d).select(col("doc_id"), col("text"),
+          inline(array(struct(ws.as("ws"), paras.as("paras"), bg.as("bg")))))
+        val mode = array_max(transform(array_distinct(col("bg")),
+          x => size(filter(col("bg"), y => y === x))))
+        staged.select(col("doc_id"),
+            (lit(1.0) - size(array_distinct(col("ws"))).cast("double")
+              / size(col("ws"))).as("dup_word_frac"),
+            (lit(1.0) - size(array_distinct(col("paras"))).cast("double")
+              / size(col("paras"))).as("dup_para_frac"),
+            (mode.cast("double") / size(col("bg"))).as("top_bigram_share"),
+            (length(regexp_replace(col("text"), "[A-Za-z0-9 ]", "")).cast("double")
+              / size(col("ws"))).as("symbol_word_ratio"))
           .orderBy("doc_id")
       },
-      s"""WITH $paraCtes,
-wstats AS (SELECT doc_id, len(w)::BIGINT AS nw, len(list_distinct(w))::BIGINT AS ndw,
-             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::BIGINT AS ns
-           FROM ws),
-pstats AS (SELECT doc_id, count(*) AS np, count(DISTINCT para) AS ndp FROM para GROUP BY doc_id),
-bg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS b FROM ws),
-bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
-bstats AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY doc_id)
-SELECT w.doc_id,
-  1.0 - (ndw::DOUBLE / nw) AS dup_word_frac,
-  1.0 - (ndp::DOUBLE / np) AS dup_para_frac,
-  mx::DOUBLE / tot AS top_bigram_share,
-  ns::DOUBLE / nw AS symbol_word_ratio
-FROM wstats w JOIN pstats USING (doc_id) JOIN bstats USING (doc_id)
-ORDER BY doc_id"""),
+      s"""WITH st AS (SELECT doc_id, text, string_split(text, ' ') AS w,
+         list_transform(range(0, (len(string_split(text, ' ')) + ${paraWords - 1}) // $paraWords),
+           j -> array_to_string(list_slice(string_split(text, ' '),
+             j*$paraWords + 1, j*$paraWords + $paraWords), ' ')) AS paras,
+         list_transform(range(1, len(string_split(text, ' '))),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]) AS bg
+       FROM documents)
+SELECT doc_id,
+  1.0 - (len(list_distinct(w))::DOUBLE / len(w)) AS dup_word_frac,
+  1.0 - (len(list_distinct(paras))::DOUBLE / len(paras)) AS dup_para_frac,
+  list_max(list_transform(list_distinct(bg),
+    x -> len(list_filter(bg, y -> y = x))))::DOUBLE / len(bg) AS top_bigram_share,
+  length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE / len(w) AS symbol_word_ratio
+FROM st ORDER BY doc_id"""),
 
     // Corpus-wide n-gram vocabulary statistics — the counting pass behind
     // tokenizer training and frequency-based filtering: top 50 bigrams by
