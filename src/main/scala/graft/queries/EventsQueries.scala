@@ -29,6 +29,23 @@ object EventsQueries {
            (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total_value
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""),
 
+    // Windowed top-1 (busiest event_type per hour) — the CHAINED
+    // stateful-aggregation builder (count per (window, type) → arg-max
+    // per window); StreamingSpec proves append-mode streaming equals this
+    // batch result, and the oracle pins the deterministic tie-break
+    // (count desc, type asc).
+    QueryDef("q_window_toptype",
+      (s, d) => EventStreams.topTypePerHour(Tables.events(s, d))
+        .orderBy("window_start"),
+      """WITH c AS (
+           SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start, event_type,
+             count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                 ORDER BY n_events DESC, event_type ASC) AS rn FROM c)
+         SELECT window_start, event_type AS top_type, n_events AS top_n
+         FROM r WHERE rn = 1 ORDER BY window_start"""),
+
     // Sliding (hopping) windows: 1h length, 30min hop — every event lands
     // in exactly two windows; the oracle enumerates both grid-aligned
     // starts per event (Spark aligns hops to the epoch, as does the

@@ -38,6 +38,36 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Windowed top-1: the busiest event_type per 1-hour window — CHAINED
+    * stateful aggregations (count per (window, type) → arg-max per
+    * window), the window-on-window pattern Structured Streaming supports
+    * for append mode since the multiple-stateful-operator work: the first
+    * aggregation's window column carries event-time, so the second
+    * aggregation closes (and emits exactly one winner) when the watermark
+    * passes the window end. Ties break to the lexicographically smallest
+    * type via the (count, reversed-type) composite — deterministic in
+    * both batch and streaming. */
+  def topTypePerHour(events: DataFrame, watermark: String = "30 minutes"): DataFrame = {
+    val counts = events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    // max_by on a composite struct: higher count wins; equal counts pick
+    // the SMALLEST event_type (struct comparison is lexicographic, so the
+    // type string is compared descending via a reversed sort key — built
+    // from unicode-complement is overkill here: use min_by on (negated
+    // count, type) instead, which orders exactly (count desc, type asc)
+    val winner = min_by(
+      struct(col("event_type"), col("n_events")),
+      struct((-col("n_events")).as("neg"), col("event_type")))
+    counts
+      .groupBy(col("window"))
+      .agg(winner.as("top"))
+      .select(col("window.start").as("window_start"),
+        col("top.event_type").as("top_type"),
+        col("top.n_events").as("top_n"))
+  }
+
   /** Stream-stream interval join: each click paired with the same user's
     * errors landing within `horizon` AFTER it. Both sides are watermarked,
     * which is what lets Structured Streaming BOUND the join state: a

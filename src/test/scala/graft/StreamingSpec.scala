@@ -128,6 +128,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("chained stateful aggs: windowed top-type, streaming (append) == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.topTypePerHour(mem.toDF(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("toptype_out")
+      .outputMode("append").start()
+    mem.addData(evs)
+    q.processAllAvailable()
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("toptype_out")
+      .filter(col("top_type") =!= "late")
+      .orderBy("window_start").collect().toSeq
+    val batch = EventStreams.topTypePerHour(evs.toDF())
+      .orderBy("window_start").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming as-of enrichment (transformWithState) == native batch as-of join") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
