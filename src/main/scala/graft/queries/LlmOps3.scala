@@ -349,6 +349,36 @@ FROM st ORDER BY doc_id"""),
          FROM d a JOIN d b ON a.pk = b.pk AND a.doc_id <> b.doc_id
            AND length(b.text) > length(a.text)
            AND starts_with(b.text, a.text || ' ')
-         GROUP BY a.doc_id ORDER BY truncated_id""")
+         GROUP BY a.doc_id ORDER BY truncated_id"""),
+
+    // Per-group QUANTILE-threshold filtering — adaptive curation: each
+    // language keeps its docs at/above its own 25th percentile of token
+    // count (fixed thresholds — q_curation_pipeline — misbehave across
+    // heterogeneous languages/domains). Thresholds are one tiny
+    // per-group aggregate broadcast back over the corpus; Spark
+    // `percentile` is bit-equal to DuckDB `quantile_cont` (verified
+    // corpus-wide in round 1).
+    QueryDef("q_quality_quantile_filter",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .localCheckpoint(eager = false)  // feeds thresholds AND the filter pass
+        val th = toks.groupBy("lang")
+          .agg(expr("percentile(n_tok, 0.25)").as("p25"),
+            count(lit(1)).as("n_total"))
+        val kept = toks.join(broadcast(th.select("lang", "p25")), "lang")
+          .filter(col("n_tok") >= col("p25"))
+          .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        th.join(kept, "lang")
+          .select("lang", "p25", "n_total", "n_kept")
+          .orderBy("lang")
+      },
+      """WITH t AS (SELECT lang, len(string_split(text, ' '))::BIGINT AS n_tok FROM documents),
+         th AS (SELECT lang, quantile_cont(n_tok, 0.25) AS p25, count(*) AS n_total
+                FROM t GROUP BY lang),
+         k AS (SELECT t.lang, count(*) AS n_kept FROM t JOIN th USING (lang)
+               WHERE n_tok >= p25 GROUP BY t.lang)
+         SELECT lang, p25, n_total, n_kept FROM th JOIN k USING (lang)
+         ORDER BY lang""")
   )
 }
