@@ -379,6 +379,42 @@ FROM st ORDER BY doc_id"""),
          k AS (SELECT t.lang, count(*) AS n_kept FROM t JOIN th USING (lang)
                WHERE n_tok >= p25 GROUP BY t.lang)
          SELECT lang, p25, n_total, n_kept FROM th JOIN k USING (lang)
-         ORDER BY lang""")
+         ORDER BY lang"""),
+
+    // CDC MERGE — a correction batch applied to the orders snapshot:
+    // every 7th order gets a whole-row status correction, every 13th
+    // spawns an insert (negated key). One full-outer shuffle join on the
+    // key; updates replace matched rows entirely, unmatched updates
+    // insert, unmatched base rows pass through.
+    QueryDef("q_merge_upsert",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_custkey")
+        val corrections = base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("X").as("o_orderstatus"),
+            lit(-1L).as("o_custkey"))
+        // key 0 is excluded: -0 == 0 would collide with key 0's own
+        // correction and break the unique-update-keys contract
+        val inserts = base.filter(col("o_orderkey") % 13 === 0 &&
+            col("o_orderkey") =!= 0)
+          .select((-col("o_orderkey")).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), lit(-2L).as("o_custkey"))
+        graft.ops.Merge.upsert(base, corrections.unionAll(inserts),
+            Seq("o_orderkey"))
+          .orderBy("o_orderkey")
+      },
+      """WITH b AS (SELECT o_orderkey, o_orderstatus, o_custkey FROM orders),
+         u AS (SELECT o_orderkey, 'X' AS o_orderstatus, -1::BIGINT AS o_custkey
+                 FROM b WHERE o_orderkey % 7 = 0
+               UNION ALL
+               SELECT -o_orderkey, 'N', -2::BIGINT FROM b
+                 WHERE o_orderkey % 13 = 0 AND o_orderkey <> 0)
+         SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus
+                ELSE b.o_orderstatus END AS o_orderstatus,
+           CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_custkey
+                ELSE b.o_custkey END AS o_custkey
+         FROM b FULL OUTER JOIN u ON b.o_orderkey = u.o_orderkey
+         ORDER BY o_orderkey""")
   )
 }

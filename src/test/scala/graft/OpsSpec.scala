@@ -215,6 +215,26 @@ class OpsSpec extends SparkSpec {
       s"multi-table recall@3 = $recallM — expected ≈0.23 coverage on random embeddings")
   }
 
+  test("merge upsert: whole-row replace, insert, passthrough — nulls included") {
+    val base = Seq((1L, Some("a"), 10L), (2L, Some("b"), 20L), (3L, Some("c"), 30L))
+      .toDF("k", "v", "n")
+    val updates = Seq((2L, Option.empty[String], 99L),  // update to NULL must win
+                      (4L, Some("d"), 40L))             // insert
+      .toDF("k", "v", "n")
+    val got = graft.ops.Merge.upsert(base, updates, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, Some("a"), 10L),   // passthrough
+      (2L, None, 99L),        // whole-row replace — null column NOT coalesced away
+      (3L, Some("c"), 30L),
+      (4L, Some("d"), 40L))) // insert
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Merge.upsert(base, updates.select("v", "k", "n"), Seq("k"))
+    }
+    assert(e.getMessage.contains("schemas must match"))
+  }
+
   test("approx_count_distinct stays within 5% of exact on the q_agg_approx groups") {
     // q_agg_approx is rows-only at the driver gate (per-engine HLL
     // sketches differ) — this pins its accuracy claim quantitatively:
