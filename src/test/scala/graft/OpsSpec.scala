@@ -259,6 +259,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ops tolerate empty inputs: empty in, empty out, no exceptions") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.minHashPairs(emptyDocs, "doc_id", "text", 16, 4, 0.9).count() == 0)
+    assert(Dedup.minHashPairs(emptyDocs, "doc_id", "text", 16, 4, 0.9,
+      bucketCap = 4).count() == 0)
+    assert(Dedup.paragraphDedup(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.simHash64(emptyDocs, "doc_id", "text").count() == 0)
+    val emptyNodes = Seq.empty[Long].toDF("node")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("d1", "d2")
+    assert(graft.ops.Dedup.connectedComponents(emptyNodes, emptyPairs).count() == 0)
+    // nodes without edges still label themselves
+    val loneNodes = Seq(5L, 9L).toDF("node")
+    val lone = graft.ops.Dedup.connectedComponents(loneNodes, emptyPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lone == Map(5L -> 5L, 9L -> 9L))
+    val emptyIv = Seq.empty[(Long, Long, Long)].toDF("id", "s", "e")
+    assert(graft.ops.Joins.intervalOverlapJoin(
+      emptyIv, emptyIv.toDF("id2", "s2", "e2"),
+      Seq.empty, "s", "e", "s2", "e2", 10L).count() == 0)
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val got = graft.ops.Merge.upsert(base, base.limit(0), Seq("k")).collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
+  }
+
   test("multimodal decode plumbing produces typed metadata per row") {
     val got = Multimodal.decode(Multimodal.withPayload(docs, "text"), "doc_id")
       .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.checksum")
