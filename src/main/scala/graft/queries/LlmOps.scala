@@ -356,8 +356,13 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
     QueryDef("q_text_jaccard",
       (s, d) => {
         val ws = col("ws")
-        val bigrams = transform(sequence(lit(1), size(ws) - 1),
-          i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
+        // short-doc guard: sequence(1, 0) yields a DESCENDING [1, 0] and
+        // element_at(ws, 0) throws — single-word docs get an empty set
+        // (DuckDB's range(1, 1) is empty already, so oracles agree)
+        val bigrams = when(size(ws) >= 2,
+          transform(sequence(lit(1), size(ws) - 1),
+            i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+          .otherwise(array().cast("array<string>"))
         val sets = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
           .select(col("doc_id"), array_distinct(bigrams).as("sset"))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.Similarity
-import graft.ops.Dedup
+import graft.ops.{Dedup, RuntimeFilters}
 
 /** Round-3 training-data-pipeline additions: sub-document (paragraph)
   * deduplication and Gopher-style repetition quality gates.
@@ -174,14 +174,25 @@ FROM st ORDER BY doc_id"""),
     // content), or keep. Digest-keyed joins only — the corpus side
     // shrinks to distinct 16-byte digests, never documents; verdicts are
     // a left join + a partial-agg min per digest.
+    //
+    // The standing-corpus side is bloom-pruned by the batch's digests
+    // BEFORE its distinct() shuffle: at the real 100 TB asymmetry
+    // (standing corpus ≫ nightly batch) the corpus-side shuffle is the
+    // whole cost of this query, and a batch-keyed sketch deletes all of
+    // it except true matches + ~3% false positives. No false negatives,
+    // and pruned rows would have null-extended out of the left join
+    // anyway, so the result is provably unchanged (oracle hash agrees).
     QueryDef("q_dedup_incremental",
       (s, d) => {
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
         val isNew = col("doc_id") % 10 < 2
-        val corpus = docs.filter(!isNew).select("h").distinct()
-          .withColumn("in_corpus", lit(1))
         val batch = docs.filter(isNew)
+        val corpus = RuntimeFilters
+          .bloomPruned(docs.filter(!isNew), col("h"), batch, col("h"),
+            expectedItems = 100000L)
+          .select("h").distinct()
+          .withColumn("in_corpus", lit(1))
         val firsts = batch.groupBy("h").agg(min("doc_id").as("first_id"))
         batch.join(corpus, Seq("h"), "left")
           .join(firsts, "h")

@@ -357,5 +357,22 @@ object Relational2 {
            quantile_cont(l_quantity, 0.9) AS p90_qty,
            quantile_cont(l_extendedprice, 0.25) AS p25_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // Approximate-percentile sketch — the 100 TB twin of q_agg_percentile:
+    // exact interpolated percentiles need every group's values sorted in
+    // one place, a Greenwald-Khanna sketch aggregates in a single pass
+    // with bounded memory and a mergeable partial state (rank error
+    // ≤ n/accuracy). Sketches differ per engine (DuckDB approx_quantile
+    // is t-digest), so rows-only at the gate; accuracy vs the exact twin
+    // is pinned quantitatively in OpsSpec (same pattern as q_agg_approx).
+    QueryDef("q_agg_percentile_approx",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
+          expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25_price"))
+        .orderBy("l_returnflag"),
+      None),
   )
 }

@@ -259,6 +259,35 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("approx_percentile stays within 1% of the exact percentile per group") {
+    // q_agg_percentile_approx is rows-only at the driver gate (per-engine
+    // sketch layouts differ) — this pins its accuracy claim: with
+    // accuracy=10000 the GK sketch's rank error is ≤ n/10000, which on
+    // these group sizes must land the returned value within 1% of the
+    // exact interpolated percentile (relative, with an absolute floor for
+    // near-zero quantities).
+    val li = Tables.lineitem(spark, sf)
+    val both = li.groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("am"),
+        expr("percentile(l_quantity, 0.5)").as("em"),
+        expr("approx_percentile(l_quantity, 0.9, 10000)").as("a9"),
+        expr("percentile(l_quantity, 0.9)").as("e9"),
+        expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("ap"),
+        expr("percentile(l_extendedprice, 0.25)").as("ep"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val flag = r.getString(0)
+      def ck(a: Double, e: Double, what: String): Unit =
+        assert(math.abs(a - e) <= math.max(0.01 * math.abs(e), 1.0),
+          s"$flag $what: approx=$a exact=$e")
+      ck(r.getDouble(1), r.getDouble(2), "median_qty")
+      ck(r.getDouble(3), r.getDouble(4), "p90_qty")
+      ck(r.getDouble(5), r.getDouble(6), "p25_price")
+    }
+  }
+
   test("ops tolerate empty inputs: empty in, empty out, no exceptions") {
     val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.exact(emptyDocs, "doc_id", "text").count() == 0)

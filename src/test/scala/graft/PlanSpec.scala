@@ -115,4 +115,24 @@ class PlanSpec extends SparkSpec {
     }
     assert(bcast.isEmpty, s"expected no broadcast hints, found: $bcast")
   }
+
+  test("q_dedup_incremental bloom-prunes the standing corpus before its shuffle") {
+    // The batch-keyed sketch must sit on the corpus side as a Filter
+    // BELOW the distinct()'s exchange — pruning after the shuffle would
+    // move the bytes it exists to delete. FilterExec's condition renders
+    // the expression as might_contain(scalar-subquery#...).
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = planOf("q_dedup_incremental")
+    val bloomFilters = collectAll(plan) {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f }
+    assert(bloomFilters.nonEmpty, "expected a might_contain bloom prefilter")
+    // below-the-exchange check: some exchange in the plan has the bloom
+    // filter inside its subtree
+    val underExchange = collectAll(plan) { case e: ShuffleExchangeExec => e }
+      .exists(e => collectAll(e) {
+        case f: FilterExec if f.condition.toString.contains("might_contain") => f
+      }.nonEmpty)
+    assert(underExchange, "bloom prefilter must run before the corpus shuffle")
+  }
 }
