@@ -22,13 +22,16 @@ object JdbcSink {
 
   /** Appends `df` and returns the number of rows written.
     *
-    * The row count rides the write itself as an `observe()` metric, so the
-    * input plan is NOT re-executed to count (a separate `count()` would
-    * re-run the whole upstream pipeline and could disagree with what was
-    * written if the source changed between jobs). The only extra job is
-    * the empty-guard probe, a LIMIT-1 scan that short-circuits at the
-    * first row — required because the reference skips the write entirely
-    * (no table auto-creation) on empty input.
+    * The upstream pipeline is evaluated EXACTLY ONCE: the coalesced frame
+    * is persist()-marked, so the empty-guard probe (required because the
+    * reference skips the write entirely — no table auto-creation — on
+    * empty input) materializes only partition 0 into the cache, and the
+    * write job reuses that block and computes the remaining partitions,
+    * each exactly once. A heavy upstream (joins, dedup, aggregation) no
+    * longer runs twice, and probe and write cannot disagree if the source
+    * changes between jobs — both read the same cached partitions. The
+    * row count rides the write itself as an `observe()` metric above the
+    * cache (never a separate `count()` job).
     *
     * Not transactional across partitions: each partition commits its own
     * JDBC batch, so a mid-write task failure can leave earlier partitions'
@@ -41,20 +44,23 @@ object JdbcSink {
   def append(df: DataFrame, url: String, table: String,
              props: Properties = new Properties(),
              maxConnections: Int = 8): Long = {
-    if (df.isEmpty) {
-      log.warn(s"JdbcSink: empty DataFrame — skipping append to $table")
-      0L
-    } else try {
-      val obs = org.apache.spark.sql.Observation()
-      df.coalesce(maxConnections)
-        .observe(obs, org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)).as("rows_written"))
-        .write.mode("append").jdbc(url, table, props)
-      obs.get("rows_written").asInstanceOf[Long]
+    val mat = df.coalesce(maxConnections)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (mat.isEmpty) {
+        log.warn(s"JdbcSink: empty DataFrame — skipping append to $table")
+        0L
+      } else {
+        val obs = org.apache.spark.sql.Observation()
+        mat.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows_written"))
+          .write.mode("append").jdbc(url, table, props)
+        obs.get("rows_written").asInstanceOf[Long]
+      }
     } catch {
       case e: Exception =>
         log.error(s"JdbcSink: append to $table failed: ${e.getMessage}")
         0L
-    }
+    } finally mat.unpersist(blocking = false)
   }
 }

@@ -39,4 +39,21 @@ class JdbcSinkSpec extends SparkSpec {
     val ex = intercept[Exception](spark.read.jdbc(url, "sink_t2", props).collect())
     assert(ex != null)
   }
+
+  test("upstream pipeline evaluates exactly once (empty probe shares the write's cache)") {
+    // The empty-guard probe must not re-run the upstream pipeline: the
+    // coalesced frame is persist()-marked, the probe unrolls partition 0
+    // into the cache, and the write job reuses it. An accumulator bumped
+    // per upstream row therefore ends at EXACTLY the row count — the old
+    // LIMIT-1 pre-job would push it past that by re-evaluating rows the
+    // write then computed again.
+    val acc = spark.sparkContext.longAccumulator("upstream_row_evals")
+    val base = spark.range(0, 1000, 1, 4).as[Long]
+      .map { x => acc.add(1); (x, "n" + x) }
+      .toDF("id", "name")
+    assert(JdbcSink.append(base, url, "sink_t3", props) == 1000L)
+    assert(spark.read.jdbc(url, "sink_t3", props).count() == 1000L)
+    assert(acc.value == 1000L,
+      s"upstream evaluated ${acc.value} row-computations for 1000 rows")
+  }
 }
