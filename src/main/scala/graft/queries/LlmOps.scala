@@ -264,16 +264,17 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
 
     // Transitive dedup clustering over the minhash pair graph: every doc
     // labeled with its component's min doc_id — the keep/drop decision
-    // surface of a production dedup pipeline.
+    // surface of a production dedup pipeline. Runs CC at DIGEST
+    // granularity (Dedup.dedupClusters): identical word sets are cliques
+    // in the doc-level graph, so the digest graph carries 21× fewer
+    // edges for the same components; the oracle still states the
+    // fixpoint over the doc-level pair graph (algorithm-independent).
     QueryDef("q_dedup_cluster",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val pairs = Dedup.minHashPairs(docs, "doc_id", "text",
-          nHashes, nBands, minhashThreshold)
-        val labels = Dedup.connectedComponents(
-          docs.select(col("doc_id").as("node")), pairs)
+        val labels = Dedup.dedupClusters(Tables.documents(s, d),
+          "doc_id", "text", nHashes, nBands, minhashThreshold)
         val w = Window.partitionBy("cluster_rep")
-        labels.select(col("node").as("doc_id"), col("cluster_rep"),
+        labels.select(col("doc_id"), col("cluster_rep"),
           count(lit(1)).over(w).as("cluster_size"))
           .orderBy("doc_id")
       },

@@ -9,11 +9,21 @@ object BenchOne {
     spark.sparkContext.setLogLevel("ERROR")
     val name = args(0)
     val fn = SparkEntry.queries(name)
+    // mirror Bench: release cache/checkpoint blocks between runs so each
+    // run measures the same cold-block, warm-JIT state the driver sees
+    def releaseState(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+    }
     fn(spark, "/root/testdata/sf0.001").count()  // warmup
+    releaseState()
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()
       fn(spark, "/root/testdata/sf0.1").count()
-      println(f"[benchone] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseState()
+      println(f"[benchone] $name run $i: $dt%.2f s")
     }
     spark.stop()
   }

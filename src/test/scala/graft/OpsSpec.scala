@@ -108,6 +108,23 @@ class OpsSpec extends SparkSpec {
     assert((1L to 5L).forall(got2(_) == 1L) && (6L to 10L).forall(got2(_) == 6L))
   }
 
+  test("digest-level dedupClusters equals doc-level CC over minHashPairs") {
+    // the scale shortcut (CC over digest reps, members expanded at the
+    // end) must be label-for-label identical to running CC on the full
+    // doc-level pair graph — same components, same min-doc_id reps
+    val corpus = Tables.documents(spark, sf)
+    val pairs = Dedup.minHashPairs(corpus, "doc_id", "text", 16, 4, 0.9)
+    val docLevel = Dedup.connectedComponents(
+      corpus.select(col("doc_id").as("node")), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val digestLevel = Dedup.dedupClusters(corpus, "doc_id", "text", 16, 4, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(digestLevel.size == docLevel.size)
+    val diffs = docLevel.collect {
+      case (d, lbl) if digestLevel(d) != lbl => (d, lbl, digestLevel(d)) }
+    assert(diffs.isEmpty, s"label mismatches: ${diffs.take(5)}")
+  }
+
   test("simhash: identical texts get identical fingerprints, hamming 0") {
     val fp = Dedup.simHash64(docs, "doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap

@@ -20,6 +20,12 @@ object ProfCluster {
     graft.functions.SortedIntersectSize.register(spark)
 
     val docs = Tables.documents(spark, dir)
+    val t2 = System.nanoTime()
+    val clusters = graft.ops.Dedup.dedupClusters(docs, "doc_id", "text", 16, 4, 0.9)
+    val m = clusters.groupBy("cluster_rep").count().count()
+    println(f"dedupClusters (digest-level): $m components in " +
+      f"${(System.nanoTime() - t2) / 1e9}%.2f s")
+
     val t0 = System.nanoTime()
     val pairs = graft.ops.Dedup.minHashPairs(docs, "doc_id", "text", 16, 4, 0.9)
       .persist()
@@ -28,7 +34,7 @@ object ProfCluster {
     val labels = graft.ops.Dedup.connectedComponents(
       docs.select(col("doc_id").as("node")), pairs)
     val n = labels.groupBy("cluster_rep").count().count()
-    println(f"cc: $n components in ${(System.nanoTime() - t1) / 1e9}%.2f s " +
+    println(f"doc-level cc: $n components in ${(System.nanoTime() - t1) / 1e9}%.2f s " +
       f"(total ${(System.nanoTime() - t0) / 1e9}%.2f s)")
     spark.stop()
   }
