@@ -7,7 +7,8 @@ object SparkEntry {
       graft.queries.Relational2.defs ++ graft.queries.Relational3.defs ++
       graft.queries.Functions.defs ++
       graft.queries.EventsQueries.defs ++ graft.queries.LlmOps.defs ++
-      graft.queries.LlmOps2.defs ++ graft.queries.LlmOps3.defs
+      graft.queries.LlmOps2.defs ++ graft.queries.LlmOps3.defs ++
+      graft.queries.LlmOps4.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full ALB parse pipeline over the synthetic line corpus. */

@@ -276,6 +276,32 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("trained-IVF recall@5 beats untrained chance by concentrating neighbors") {
+    // k-means training is what turns IVF from chance-level (nprobe/K =
+    // 2/8 on random data with arbitrary centroids) into a usable index:
+    // Lloyd's iterations pull co-located vectors into the same list, so
+    // most true top-5 neighbors land in the 2 probed lists. Both sides
+    // are deterministic — the measured recall is a stable pin.
+    import graft.functions.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosine(col("embedding"), col("q_emb")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("q_id", "neighbor_id")
+    val trained = SparkEntry.queries("q_similarity_ivf_trained")(spark, sf)
+      .select("q_id", "neighbor_id")
+    val hit = exact.intersect(trained).count()
+    val recall = hit.toDouble / exact.count()
+    assert(recall >= 0.5,
+      s"trained-IVF recall@5 = $recall — expected well above nprobe/K = 0.25")
+  }
+
   test("approx_percentile stays within 1% of the exact percentile per group") {
     // q_agg_percentile_approx is rows-only at the driver gate (per-engine
     // sketch layouts differ) — this pins its accuracy claim: with
