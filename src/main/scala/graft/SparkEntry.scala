@@ -5,6 +5,7 @@ object SparkEntry {
   private def all: Seq[graft.queries.QueryDef] =
     graft.queries.EtlQueries.defs ++ graft.queries.Relational.defs ++
       graft.queries.Relational2.defs ++ graft.queries.Relational3.defs ++
+      graft.queries.Relational4.defs ++
       graft.queries.Functions.defs ++
       graft.queries.EventsQueries.defs ++ graft.queries.LlmOps.defs ++
       graft.queries.LlmOps2.defs ++ graft.queries.LlmOps3.defs ++

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Classic TPC-H-shape analytics over the synthetic warehouse tables —
+  * the multi-join aggregate workload a "complete engine" claim has to
+  * carry end-to-end (scan → selective filters → dimension joins →
+  * grouped money math → top-k), exercised as ONE pipeline per query
+  * rather than the per-operator micro-queries elsewhere in the registry.
+  *
+  * Money math runs in integer CENTS: sources are 2-decimal quantities
+  * stored as doubles, so `floor(x·100 + 0.5)` recovers the exact cent
+  * value (the double sits within ~1e-9 of it, and both engines share
+  * IEEE multiply/add/floor bit-for-bit), products like
+  * price·(100−disc)·(100+tax) stay exact BIGINT arithmetic in any
+  * aggregation order, and one final double division scales back. This
+  * sidesteps both DECIMAL-cast tie rounding on computed doubles (the
+  * engines' double→DECIMAL paths differ by one scale-ulp) and the
+  * DECIMAL→DOUBLE 2^53 scaled-sum limit (BIGINT→DOUBLE is uniform
+  * IEEE nearest in both engines at any magnitude).
+  */
+object Relational4 {
+
+  /** Exact cent count of a 2-decimal quantity stored as double. */
+  private def cents(c: Column): Column =
+    floor(c * lit(100) + lit(0.5)).cast("long")
+  private def centsSql(c: String): String =
+    s"floor($c * 100 + 0.5)::BIGINT"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1 shape — pricing summary report: one full scan, no joins,
+    // eight aggregates per (returnflag, linestatus) including the
+    // discounted and taxed money columns. Pure map-side-combine
+    // aggregation: the shuffle carries 6 groups × 8 partials no matter
+    // the corpus size; the scan prunes to the 7 referenced columns and
+    // the shipdate predicate pushes into parquet.
+    QueryDef("q_tpch_pricing",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(cents(col("l_quantity"))).as("sq"),
+          sum(cents(col("l_extendedprice"))).as("sb"),
+          sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))).as("sd"),
+          sum(cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount")))
+            * (lit(100) + cents(col("l_tax")))).as("sc"),
+          sum(cents(col("l_discount"))).as("sdisc"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          (col("sq").cast("double") / 100).as("sum_qty"),
+          (col("sb").cast("double") / 100).as("sum_base_price"),
+          (col("sd").cast("double") / 1e4).as("sum_disc_price"),
+          (col("sc").cast("double") / 1e6).as("sum_charge"),
+          ((col("sq").cast("double") / 100) / col("count_order")).as("avg_qty"),
+          ((col("sb").cast("double") / 100) / col("count_order")).as("avg_price"),
+          ((col("sdisc").cast("double") / 100) / col("count_order")).as("avg_disc"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      s"""SELECT l_returnflag, l_linestatus,
+           sum(${centsSql("l_quantity")})::DOUBLE / 100 AS sum_qty,
+           sum(${centsSql("l_extendedprice")})::DOUBLE / 100 AS sum_base_price,
+           sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}))::DOUBLE / 1e4 AS sum_disc_price,
+           sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+             * (100 + ${centsSql("l_tax")}))::DOUBLE / 1e6 AS sum_charge,
+           (sum(${centsSql("l_quantity")})::DOUBLE / 100) / count(*) AS avg_qty,
+           (sum(${centsSql("l_extendedprice")})::DOUBLE / 100) / count(*) AS avg_price,
+           (sum(${centsSql("l_discount")})::DOUBLE / 100) / count(*) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus"""),
+
+    // TPC-H Q3 shape — shipping priority: the classic customer ⋈ orders
+    // ⋈ lineitem funnel with date predicates on both fact sides, top-10
+    // unshipped orders by revenue. The segment-filtered customer side is
+    // keys-only and AQE-broadcastable; revenue aggregates per order
+    // BEFORE the top-k, so the sort sees one row per order, not per
+    // line item; TakeOrdered(10) never materializes a global sort.
+    QueryDef("q_tpch_shipping",
+      (s, d) => {
+        val cut = lit("1998-07-01").cast("timestamp")
+        val c = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val o = Tables.orders(s, d).filter(col("o_orderdate") < cut)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+          .select(col("l_orderkey"),
+            (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+              .as("rev"))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(sum(col("rev")).as("revc"))
+          .select(col("l_orderkey"),
+            (col("revc").cast("double") / 1e4).as("revenue"),
+            col("o_orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("o_orderdate").asc,
+            col("l_orderkey").asc)
+          .limit(10)
+      },
+      s"""SELECT l_orderkey,
+           sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}))::DOUBLE / 1e4 AS revenue,
+           o_orderdate, o_orderpriority
+         FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-07-01'
+           AND l_shipdate > TIMESTAMP '1998-07-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+         LIMIT 10"""),
+
+    // TPC-H Q5 shape — local supplier volume: the six-table star join
+    // (region → nation → customer/supplier → orders → lineitem) with the
+    // local-supply predicate c_nationkey = s_nationkey, revenue per
+    // nation. region/nation broadcast (25 rows); the fact joins shuffle
+    // on their natural keys; revenue in exact cents.
+    QueryDef("q_tpch_localsupp",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")), col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")
+        val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+          (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+            .as("rev"))
+        val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(col("rev")).as("revc"))
+          .select(col("n_name"), (col("revc").cast("double") / 1e4).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      s"""SELECT n_name,
+           sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}))::DOUBLE / 1e4 AS revenue
+         FROM region JOIN nation ON n_regionkey = r_regionkey
+           JOIN supplier ON s_nationkey = n_nationkey
+           JOIN customer ON c_nationkey = s_nationkey
+           JOIN orders ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name ASC"""),
+
+    // TPC-H Q10 shape — returned-item reporting: which customers
+    // returned the most revenue in a quarter. Fact-side filters first
+    // (returnflag + order quarter), revenue per customer, top 20 —
+    // the rank sees one row per customer, the money math stays integer.
+    QueryDef("q_tpch_returns",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1999-04-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+              .as("rev"))
+        val c = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(sum(col("rev")).as("revc"))
+          .select(col("c_custkey"), col("c_name"),
+            (col("revc").cast("double") / 1e4).as("revenue"),
+            col("c_acctbal"), col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      s"""SELECT c_custkey, c_name,
+           sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}))::DOUBLE / 1e4 AS revenue,
+           c_acctbal, n_name
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1999-01-01'
+           AND o_orderdate < TIMESTAMP '1999-04-01'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey ASC
+         LIMIT 20"""),
+  )
+}

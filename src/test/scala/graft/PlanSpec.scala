@@ -116,6 +116,32 @@ class PlanSpec extends SparkSpec {
     assert(bcast.isEmpty, s"expected no broadcast hints, found: $bcast")
   }
 
+  test("TPC-H pack: pushdown, pruning, broadcasts, and top-k without a global sort") {
+    // Q1 shape: shipdate predicate reaches the parquet scan; unreferenced
+    // money columns are pruned
+    val pricing = collectAll(planOf("q_tpch_pricing")) {
+      case s: FileSourceScanExec => s }.head
+    assert(pricing.metadata("PushedFilters").contains("l_shipdate"),
+      s"expected shipdate pushdown, got ${pricing.metadata("PushedFilters")}")
+    assert(!pricing.metadata("ReadSchema").contains("l_suppkey"),
+      "Q1 must prune join keys it never touches")
+    // Q3 shape: the top-10 runs as TakeOrderedAndProject, never a global sort
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val ship = planOf("q_tpch_shipping")
+    assert(collectAll(ship) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "expected TakeOrderedAndProject for LIMIT 10")
+    // Q5 shape: the 25-row nation×region dimension rides a broadcast, and
+    // the six-table join contains no cartesian product
+    val local = planOf("q_tpch_localsupp")
+    assert(collectAll(local) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "expected the nation dimension broadcast")
+    assert(collectAll(local) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      collectAll(local) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty,
+      "six-table star join must stay equi-join only")
+  }
+
   test("q_dedup_incremental bloom-prunes the standing corpus before its shuffle") {
     // The batch-keyed sketch must sit on the corpus side as a Filter
     // BELOW the distinct()'s exchange — pruning after the shuffle would
