@@ -32,11 +32,13 @@ object Dedup {
       .select("keep_id", "n_copies", "content_md5")
 
   /** Distinct word-set shingles per doc, SORTED (unigram granularity;
-    * callers can pre-transform `textCol` for n-gram shingling). Sorting
-    * costs once per document and unlocks merge-based intersection in the
+    * callers can pre-transform `textCol` for n-gram shingling, or pass
+    * an already-tokenized `array<string>` column with
+    * `tokenized = true` and skip the split). Sorting costs once per
+    * document and unlocks merge-based intersection in the
     * pair-verification inner loop. */
-  private def wordSet(textCol: Column): Column =
-    array_sort(array_distinct(split(textCol, " ")))
+  private def wordSet(textCol: Column, tokenized: Boolean = false): Column =
+    array_sort(array_distinct(if (tokenized) textCol else split(textCol, " ")))
 
   /** MinHash signature frame: (doc_id, s0..s{n-1}) — the reusable sketch
     * underlying [[minHashPairs]]; exposed for estimator-style consumers. */
@@ -81,9 +83,11 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 16, bands: Int = 4,
-                   threshold: Double = 0.9, bucketCap: Int = 0): DataFrame = {
+                   threshold: Double = 0.9, bucketCap: Int = 0,
+                   tokenized: Boolean = false): DataFrame = {
     val (members, verified) =
-      minHashDigestPairs(docs, idCol, textCol, numHashes, bands, threshold, bucketCap)
+      minHashDigestPairs(docs, idCol, textCol, numHashes, bands, threshold,
+        bucketCap, tokenized)
     // expand digests back to document pairs:
     // (a) cross-digest verified pairs → all member cross products
     val cross = verified
@@ -113,7 +117,8 @@ object Dedup {
     * adding zero information beyond "same digest ⇒ same cluster". */
   def minHashDigestPairs(docs: DataFrame, idCol: String, textCol: String,
                          numHashes: Int = 16, bands: Int = 4,
-                         threshold: Double = 0.9, bucketCap: Int = 0)
+                         threshold: Double = 0.9, bucketCap: Int = 0,
+                         tokenized: Boolean = false)
       : (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
@@ -132,8 +137,8 @@ object Dedup {
     // one row per document, and freed by the context cleaner when the
     // plan is released.
     val byDigest = docs.select(col(idCol).as("doc_id"),
-      xxhash64(concat_ws(" ", wordSet(col(textCol)))).as("digest"),
-      wordSet(col(textCol)).as("ws"))
+      xxhash64(concat_ws(" ", wordSet(col(textCol), tokenized))).as("digest"),
+      wordSet(col(textCol), tokenized).as("ws"))
       .localCheckpoint(eager = false)
     val members = byDigest.select("doc_id", "digest")
     val sets = byDigest.select("digest", "ws").dropDuplicates("digest")

@@ -203,16 +203,18 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
           transform(sequence(lit(1), size(ws) - 1),
             i => concat(element_at(ws, i), lit("_"), element_at(ws, i + 1))))
           .otherwise(array().cast("array<string>"))
-        // inline() Generate barrier: minHashPairs references the text
+        // inline() Generate barrier: minHashPairs references the shingle
         // column several times (digest + word set), and CollapseProject
-        // would inline this whole shingle construction into every use —
-        // the round-1 from_csv 10×-recompute trap. The barrier pins the
-        // shingled string to ONE evaluation per row.
+        // would inline this whole construction into every use — the
+        // round-1 from_csv 10×-recompute trap. The barrier pins the
+        // bigram ARRAY to one evaluation per row, and `tokenized = true`
+        // hands it to minHashPairs as-is — no flattening to a giant
+        // shingle string that the operator would immediately re-split.
         val shingled = Tables.documents(s, d)
           .select(col("doc_id"),
-            inline(array(struct(concat_ws(" ", bigrams).as("shingles")))))
+            inline(array(struct(bigrams.as("shingles")))))
         Dedup.minHashPairs(shingled, "doc_id", "shingles",
-          nHashes, nBands, 0.8).orderBy("d1", "d2")
+          nHashes, nBands, 0.8, tokenized = true).orderBy("d1", "d2")
       },
       s"""WITH sh AS (
            SELECT doc_id,

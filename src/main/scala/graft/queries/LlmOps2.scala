@@ -335,11 +335,21 @@ object LlmOps2 {
         // short-doc guard: sequence(1, size-2) with size < 3 yields a
         // DESCENDING sequence through index 0, which element_at rejects —
         // sub-trigram docs contribute no trigrams (matches DuckDB range())
+        // trigrams reduce to 8-byte xxhash64 digests BEFORE the explode:
+        // the result is a count of shared trigram TYPES, so any
+        // collision-free identity key gives the same answer (the ≤31³
+        // possible trigrams of this corpus put a collision at ~2e-11 —
+        // the same digest-identity argument minHashPairs rests on), and
+        // digests shrink the checkpointed/joined/distinct'd rows ~3×
+        // vs 18-char trigram strings. The oracle keeps joining the
+        // strings themselves — algorithm-independent fixpoint.
+        // (multi-arg xxhash64 seed-chains the three words — no trigram
+        // string is ever allocated)
         val tri = when(size(ws) >= 3,
           transform(sequence(lit(1), size(ws) - 2),
-            i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1),
+            i => xxhash64(element_at(ws, i), element_at(ws, i + 1),
               element_at(ws, i + 2))))
-          .otherwise(array().cast("array<string>"))
+          .otherwise(array().cast("array<bigint>"))
         // lazy checkpoint: docTris feeds both the benchmark side and the
         // training side — without it the trigram construction runs twice
         val docTris = Tables.documents(s, d)
