@@ -32,23 +32,45 @@ object Bench {
       catch { case _: Throwable => }
     }
     releaseState()
-    // A failed query records -1.0, NOT its elapsed wall time: a crash must
+    // Identical code swung q_dedup_cluster 13.05s -> 8.51s between two driver
+    // runs (GC, page cache, host contention), so a single sample cannot grade
+    // a per-query target. Each query runs REPS times (default 3) with state
+    // release + forced GC between samples; the reported figure is the median.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // A failed sample records -1.0, NOT its elapsed wall time: a crash must
     // be distinguishable from a fast success in the emitted JSON.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-               catch { case e: Throwable =>
-                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      releaseState()
-      name -> (if (ok) elapsed else -1.0)
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        releaseState()
+        System.gc()
+        if (ok) elapsed else -1.0
+      }
+      name -> samples
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    // Any failed sample marks the query failed: a crash that reproduces on
+    // only some repetitions is still a crash.
+    val medians = results.map { case (k, ss) =>
+      k -> (if (ss.exists(_ < 0)) -1.0 else median(ss))
+    }
+    val qs = medians.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => s"\"$k\"" }
+    val repsJson = results.map { case (k, ss) =>
+      s"\"" + k + "\":" + ss.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = medians.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = medians.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

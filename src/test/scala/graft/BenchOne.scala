@@ -23,6 +23,7 @@ object BenchOne {
       fn(spark, "/root/testdata/sf0.1").count()
       val dt = (System.nanoTime() - t0) / 1e9
       releaseState()
+      System.gc()
       println(f"[benchone] $name run $i: $dt%.2f s")
     }
     spark.stop()
