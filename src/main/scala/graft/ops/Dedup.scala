@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   *   - [[simHash64]] + [[simHashPairs]]: 64-bit SimHash with banded
   *     hamming-candidate join — same LSH shape, bit-level similarity.
   *
-  * Hash choice: [[minHashPairs]] defaults to md5 (SQL-portable so the
-  * DuckDB oracle can mirror the exact algorithm); production would switch
-  * `hashFn` to xxhash64 (8× cheaper) without changing the dataflow —
-  * [[simHash64]] uses xxhash64 natively.
+  * Hash choice: [[minHashPairs]] keys its permutations off md5 truncated
+  * to 60 bits and read as a BIGINT (SQL-portable — DuckDB mirrors it as
+  * `('0x' || substring(md5(w), 1, 15))::BIGINT`, the same trick the
+  * simhash oracle uses). Fixed-length lowercase hex sorts identically to
+  * its numeric value, so the BIGINT min IS the hex-prefix min, and the
+  * signature aggregation/shuffle carries 8-byte longs instead of 32-char
+  * strings; production would switch to xxhash64 (no hex detour at all)
+  * without changing the dataflow — [[simHash64]] does exactly that.
   */
 object Dedup {
 
@@ -40,6 +44,15 @@ object Dedup {
   private def wordSet(textCol: Column, tokenized: Boolean = false): Column =
     array_sort(array_distinct(if (tokenized) textCol else split(textCol, " ")))
 
+  /** Seed-i permutation hash of a word: md5's first 15 hex chars (60
+    * bits) as a BIGINT. Lexicographic order on fixed-length lowercase hex
+    * equals numeric order, so `min` over these longs picks the same
+    * winner as `min` over the hex prefixes — and the oracle reproduces
+    * the value exactly with `('0x' || substring(md5(...), 1, 15))::BIGINT`. */
+  private def permHash(i: Int, word: Column): Column =
+    conv(substring(md5(concat(lit(s"$i|"), word).cast("binary")), 1, 15),
+      16, 10).cast("long")
+
   /** MinHash signature frame: (doc_id, s0..s{n-1}) — the reusable sketch
     * underlying [[minHashPairs]]; exposed for estimator-style consumers. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
@@ -47,7 +60,7 @@ object Dedup {
     val words = docs.select(col(idCol).as("doc_id"),
       explode(wordSet(col(textCol))).as("word"))
     val sigExprs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("word")).cast("binary"))).as(s"s$i"))
+      min(permHash(i, col("word"))).as(s"s$i"))
     words.groupBy("doc_id").agg(sigExprs.head, sigExprs.tail: _*)
   }
 
@@ -146,15 +159,17 @@ object Dedup {
     // distinct (digest, word) pairs drive the signature aggregation
     val words = sets.select(col("digest"), explode(col("ws")).as("word"))
 
-    // numHashes independent permutations simulated by seed-prefixed md5.
-    // The md5 depends on (seed, word) only, so hash once per DISTINCT
+    // numHashes independent permutations simulated by seed-prefixed md5,
+    // truncated to 60-bit BIGINTs ([[permHash]]) so the per-digest min
+    // aggregation and its shuffle move 8-byte longs, not 32-char hex.
+    // The hash depends on (seed, word) only, so hash once per DISTINCT
     // vocabulary word and join back — occurrences outnumber the
     // vocabulary by orders of magnitude (Heaps' law), so this trades
     // 16 md5s per occurrence for one unhinted join (AQE broadcasts the
     // vocab while it fits, shuffles when it doesn't).
     val vocab = words.select("word").distinct()
       .select(col("word") +: (0 until numHashes).map(i =>
-        md5(concat(lit(s"$i|"), col("word")).cast("binary")).as(s"h$i")): _*)
+        permHash(i, col("word")).as(s"h$i")): _*)
     val sigExprs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"s$i"))
     // lazy checkpoint: the banded-bucket frame below self-joins, and the
     // signature aggregation would otherwise run once per join side
@@ -217,16 +232,25 @@ object Dedup {
 
     // Exact-Jaccard verify on the survivors, via the codegen'd two-pointer
     // merge (sorted_intersect_size), not the hash-building
-    // array_intersect. The word-set joins are SHUFFLE_HASH, not broadcast:
+    // array_intersect. The verify side ships each word as one xxhash64
+    // LONG, not its UTF8 bytes: |∩| is invariant under a collision-free
+    // identity map (≈(|A|·|B|)/2⁶⁴ collision odds per pair), so the
+    // string-set oracle still matches bit-for-bit while the candidate-pair
+    // joins shuffle packed 8-byte elements and the merge compares longs.
+    // The word-set joins are SHUFFLE_HASH, not broadcast:
     // the distinct-set table scales with the corpus (a mandatory broadcast
     // would OOM at 100 TB), and hash beats sort-merge because neither side
     // benefits from sorted output. Arrays are attached only to ratio-
-    // surviving pairs, each exactly once per side.
-    val sa = size(col("x.ws")); val sb = size(col("y.ws"))
-    val inter = call_function("sorted_intersect_size", col("x.ws"), col("y.ws"))
+    // surviving pairs, each exactly once per side. Lazy checkpoint: the
+    // frame feeds both join sides — one dedup shuffle, not two.
+    val setsH = sets.select(col("digest"),
+      array_sort(transform(col("ws"), w => xxhash64(w))).as("wh"))
+      .localCheckpoint(eager = false)
+    val sa = size(col("x.wh")); val sb = size(col("y.wh"))
+    val inter = call_function("sorted_intersect_size", col("x.wh"), col("y.wh"))
     val verified = ratioOk
-      .join(sets.as("x").hint("SHUFFLE_HASH"), col("g1") === col("x.digest"))
-      .join(sets.as("y").hint("SHUFFLE_HASH"), col("g2") === col("y.digest"))
+      .join(setsH.as("x").hint("SHUFFLE_HASH"), col("g1") === col("x.digest"))
+      .join(setsH.as("y").hint("SHUFFLE_HASH"), col("g2") === col("y.digest"))
       .select(col("g1"), col("g2"),
         (inter.cast("double") / (sa + sb - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)

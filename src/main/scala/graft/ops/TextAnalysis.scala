@@ -25,6 +25,32 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(text, " ")
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Adjacent-word bigrams "w1<sep>w2" of a token array, empty for
+    * sub-bigram docs. Built as `zip_with` over two slices of the array —
+    * measured ~7× cheaper per row than walking `sequence(1, n-1)` with
+    * two bounds-checked `element_at` calls per index (ProfShingle), and
+    * the slice window is inherently safe where `sequence(1, 0)` descends
+    * through index 0 and throws. */
+  def bigrams(ws: Column, sep: String): Column =
+    when(size(ws) >= 2,
+      zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => concat(a, lit(sep), b)))
+      .otherwise(array().cast("array<string>"))
+
+  /** 8-byte identity digests of adjacent-word TRIGRAMS, empty for
+    * sub-trigram docs. The digest chains two xxhash64 calls over the
+    * three words ((w1,w2) then (h,w3)) — an injective-in-practice key
+    * that never allocates the trigram string; same zip_with/slice shape
+    * (and the same safety argument) as [[bigrams]]. */
+  def trigramDigests(ws: Column): Column =
+    when(size(ws) >= 3,
+      zip_with(
+        zip_with(slice(ws, lit(1), size(ws) - 2), slice(ws, lit(2), size(ws) - 2),
+          (a, b) => xxhash64(a, b)),
+        slice(ws, lit(3), size(ws) - 2),
+        (h, c) => xxhash64(h, c)))
+      .otherwise(array().cast("array<bigint>"))
+
   def hitCount(text: Column, words: Seq[String]): Column =
     size(filter(tokens(text), w => w.isin(words: _*))).cast("long")
 

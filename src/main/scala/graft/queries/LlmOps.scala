@@ -23,12 +23,20 @@ object LlmOps {
   private val nBands = 4
   private val minhashThreshold = 0.9
 
+  /** The permutation hash both engines share: md5's first 15 hex chars
+    * (60 bits) read as a BIGINT — Spark computes
+    * `conv(substring(md5(...), 1, 15), 16, 10)::LONG` ([[graft.ops.Dedup]]),
+    * and fixed-length lowercase hex sorts identically to its numeric
+    * value, so the BIGINT min is the hex-prefix min on both sides. */
+  private def sigCol(i: Int): String =
+    s"min(('0x' || substring(md5('$i|' || word), 1, 15))::BIGINT) AS s$i"
+
   /** Shared CTE chain computing the minhash-LSH verified pairs (`v`). */
   private def minhashPairCtes: String = {
     val rows = nHashes / nBands
-    val sigCols = (0 until nHashes).map(i => s"min(md5('$i|' || word)) AS s$i").mkString(", ")
+    val sigCols = (0 until nHashes).map(sigCol).mkString(", ")
     val bandSelects = (0 until nBands).map { j =>
-      val cat = (0 until rows).map(r => s"s${j * rows + r}").mkString(" || '|' || ")
+      val cat = (0 until rows).map(r => s"s${j * rows + r}::VARCHAR").mkString(" || '|' || ")
       s"SELECT doc_id, $j AS band_idx, md5($cat) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
     s"""w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
@@ -57,10 +65,9 @@ SELECT d1, d2, jaccard FROM v WHERE jaccard >= $minhashThreshold ORDER BY d1, d2
     * hash compare stays exact. */
   private def minhashCappedOracle(cap: Int): String = {
     val rows = nHashes / nBands
-    val sigCols = (0 until nHashes)
-      .map(i => s"min(md5('$i|' || word)) AS s$i").mkString(", ")
+    val sigCols = (0 until nHashes).map(sigCol).mkString(", ")
     val bandSelects = (0 until nBands).map { j =>
-      val cat = (0 until rows).map(r => s"s${j * rows + r}").mkString(" || '|' || ")
+      val cat = (0 until rows).map(r => s"s${j * rows + r}::VARCHAR").mkString(" || '|' || ")
       s"SELECT rep, $j AS band_idx, md5($cat) AS bucket FROM sig"
     }.mkString(" UNION ALL ")
     s"""WITH sh AS (SELECT doc_id,
@@ -177,7 +184,7 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
           .orderBy("d1")
       },
       s"""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
-         sig AS (SELECT doc_id, ${(0 until 16).map(i => s"min(md5('$i|' || word)) AS s$i").mkString(", ")} FROM w GROUP BY doc_id),
+         sig AS (SELECT doc_id, ${(0 until 16).map(sigCol).mkString(", ")} FROM w GROUP BY doc_id),
          ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM documents)
          SELECT x.doc_id AS d1, y.doc_id AS d2,
            (${(0 until 16).map(i => s"CASE WHEN x.s$i = y.s$i THEN 1 ELSE 0 END").mkString(" + ")})::DOUBLE / 16 AS est_jaccard,
@@ -196,13 +203,11 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
     QueryDef("q_dedup_minhash_ngram",
       (s, d) => {
         val ws = split(col("text"), " ")
-        // short-doc guard: sequence(1, 0) yields a DESCENDING [1, 0] and
-        // element_at(ws, 0) throws — single-word docs get an empty set
-        // (DuckDB's range(1, 1) is empty already, so oracles agree)
-        val bigrams = when(size(ws) >= 2,
-          transform(sequence(lit(1), size(ws) - 1),
-            i => concat(element_at(ws, i), lit("_"), element_at(ws, i + 1))))
-          .otherwise(array().cast("array<string>"))
+        // zip_with/slice construction (short-doc-safe, ~7× cheaper than
+        // an index walk — the shingling IS this query's cost floor);
+        // single-word docs get an empty set (DuckDB's range(1, 1) is
+        // empty already, so oracles agree)
+        val bigrams = TextAnalysis.bigrams(ws, "_")
         // inline() Generate barrier: minHashPairs references the shingle
         // column several times (digest + word set), and CollapseProject
         // would inline this whole construction into every use — the
@@ -222,11 +227,11 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
                i -> string_split(text, ' ')[i] || '_' || string_split(text, ' ')[i+1])) AS s
            FROM documents),
          w AS (SELECT doc_id, unnest(s) AS word FROM sh),
-         sig AS (SELECT doc_id, ${(0 until nHashes).map(i =>
-           s"min(md5('$i|' || word)) AS s$i").mkString(", ")} FROM w GROUP BY doc_id),
+         sig AS (SELECT doc_id, ${(0 until nHashes).map(sigCol).mkString(", ")}
+           FROM w GROUP BY doc_id),
          band AS (${(0 until nBands).map { j =>
            val cat = (0 until nHashes / nBands).map(r =>
-             s"s${j * (nHashes / nBands) + r}").mkString(" || '|' || ")
+             s"s${j * (nHashes / nBands) + r}::VARCHAR").mkString(" || '|' || ")
            s"SELECT doc_id, $j AS band_idx, md5($cat) AS bucket FROM sig"
          }.mkString(" UNION ALL ")}),
          cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM band x
@@ -359,13 +364,9 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
     QueryDef("q_text_jaccard",
       (s, d) => {
         val ws = col("ws")
-        // short-doc guard: sequence(1, 0) yields a DESCENDING [1, 0] and
-        // element_at(ws, 0) throws — single-word docs get an empty set
-        // (DuckDB's range(1, 1) is empty already, so oracles agree)
-        val bigrams = when(size(ws) >= 2,
-          transform(sequence(lit(1), size(ws) - 1),
-            i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-          .otherwise(array().cast("array<string>"))
+        // zip_with/slice bigrams: short-doc-safe, single-word docs get an
+        // empty set (DuckDB's range(1, 1) is empty already — oracles agree)
+        val bigrams = TextAnalysis.bigrams(ws, " ")
         val sets = Tables.documents(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("ws"))
           .select(col("doc_id"), array_distinct(bigrams).as("sset"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Similarity
+import graft.ops.TextAnalysis
 
 /** Second LLM-pipeline batch: content scrubbing, latest-state compaction
   * (the upsert/merge read pattern), explicit skew-salted joins, and
@@ -332,9 +333,6 @@ object LlmOps2 {
     QueryDef("q_decontaminate",
       (s, d) => {
         val ws = split(col("text"), " ")
-        // short-doc guard: sequence(1, size-2) with size < 3 yields a
-        // DESCENDING sequence through index 0, which element_at rejects —
-        // sub-trigram docs contribute no trigrams (matches DuckDB range())
         // trigrams reduce to 8-byte xxhash64 digests BEFORE the explode:
         // the result is a count of shared trigram TYPES, so any
         // collision-free identity key gives the same answer (the ≤31³
@@ -343,13 +341,9 @@ object LlmOps2 {
         // digests shrink the checkpointed/joined/distinct'd rows ~3×
         // vs 18-char trigram strings. The oracle keeps joining the
         // strings themselves — algorithm-independent fixpoint.
-        // (multi-arg xxhash64 seed-chains the three words — no trigram
-        // string is ever allocated)
-        val tri = when(size(ws) >= 3,
-          transform(sequence(lit(1), size(ws) - 2),
-            i => xxhash64(element_at(ws, i), element_at(ws, i + 1),
-              element_at(ws, i + 2))))
-          .otherwise(array().cast("array<bigint>"))
+        // zip_with/slice construction: short-doc-safe, no trigram string
+        // or index array allocated (see TextAnalysis.trigramDigests).
+        val tri = TextAnalysis.trigramDigests(ws)
         // lazy checkpoint: docTris feeds both the benchmark side and the
         // training side — without it the trigram construction runs twice
         val docTris = Tables.documents(s, d)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.Similarity
-import graft.ops.{Dedup, RuntimeFilters}
+import graft.ops.{Dedup, RuntimeFilters, TextAnalysis}
 
 /** Round-3 training-data-pipeline additions: sub-document (paragraph)
   * deduplication and Gopher-style repetition quality gates.
@@ -73,10 +73,7 @@ FROM kept GROUP BY doc_id ORDER BY doc_id"""),
         val nChunks = ceil(size(ws) / lit(paraWords.toDouble)).cast("int")
         val paras = transform(sequence(lit(0), nChunks - 1),
           j => concat_ws(" ", slice(ws, j * paraWords + 1, lit(paraWords))))
-        val bg = when(size(ws) >= 2,
-          transform(sequence(lit(1), size(ws) - 1),
-            i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-          .otherwise(array().cast("array<string>"))
+        val bg = TextAnalysis.bigrams(ws, " ")
         // inline() barrier: ws/paras/bg are each referenced several times
         // below and CollapseProject would clone the construction per use
         val staged = Tables.documents(s, d).select(col("doc_id"), col("text"),
@@ -117,10 +114,7 @@ FROM st ORDER BY doc_id"""),
     QueryDef("q_vocab_ngrams",
       (s, d) => {
         val ws = split(col("text"), " ")
-        val bigrams = when(size(ws) >= 2,
-          transform(sequence(lit(1), size(ws) - 1),
-            i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
-          .otherwise(array().cast("array<string>"))
+        val bigrams = TextAnalysis.bigrams(ws, " ")
         Tables.documents(s, d)
           .select(col("doc_id"), explode(bigrams).as("bigram"))
           .groupBy("bigram")
