@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -17,37 +17,65 @@ object LlmOps4 {
   private val dims = 64
   private val iters = 3
 
+  /** Per-row nearest-centroid id over DRIVER-HELD centroids: the K
+    * distances are inlined as literal-array expressions and the argmin is
+    * `least` over (dist, cid) structs — a narrow codegen'd projection, no
+    * cross join, no per-vector shuffle. Ties break toward the smaller
+    * cid, matching both the old min_by(struct(dist, cid)) and the
+    * oracle's `ORDER BY dist ASC, cid ASC`. */
+  private def nearestCid(cents: Seq[(Long, Seq[Double])]): Column = {
+    val ds = cents.map { case (cid, cvec) =>
+      struct(Similarity.l2sq(col("embedding"), typedlit(cvec)).as("dist"),
+        lit(cid).as("cid"))
+    }
+    (if (ds.size == 1) ds.head else least(ds: _*)).getField("cid")
+  }
+
+  /** One fused Lloyd's round: assign (narrow projection via
+    * [[nearestCid]]) + per-dimension mean in a SINGLE aggregation — the
+    * round's only shuffle carries K×dims partially-aggregated rows
+    * regardless of corpus size. Fixed-point BIGINT sums keep the result
+    * bit-deterministic (see q_cluster_kmeans). */
+  private def roundUpdate(e: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    // the getField-on-struct argmin must resolve in its own Project: in a
+    // select that also carries a generator, analysis extracts the field
+    // before CreateStruct's name placeholders resolve and sees col1/col2
+    e.select(nearestCid(cents).as("cid"), col("embedding"))
+      .select(col("cid"), posexplode(col("embedding")))
+      .toDF("cid", "pos", "v")
+      .groupBy("cid", "pos")
+      .agg(sum(floor(col("v").cast("double") * lit(1e8)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"),
+        ((col("s").cast("double") / lit(1e8)) / col("n")).as("c"), col("n"))
+
+  /** Pull a round's K×dims update rows back to the driver as centroid
+    * vectors. The collect moves MODEL state (≤ K·dims doubles — fixed,
+    * never corpus-scaled), which is the canonical distributed-Lloyd's
+    * structure: centroids live on the driver between rounds and each
+    * round is one scan + one tiny aggregation, instead of a lazily
+    * checkpointed frame lineage re-broadcast per round. */
+  private def collectCentroids(upd: DataFrame): Seq[(Long, Seq[Double])] =
+    upd.select(col("cid"), col("pos"), col("c")).collect()
+      .groupBy(_.getLong(0)).toSeq
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.sortBy(_._1)
+
   /** Lloyd's training loop shared by q_cluster_kmeans and the trained
-    * IVF search: returns (final centroid frame (cid, cvec), final
-    * update rows (cid, pos, c, n)). See q_cluster_kmeans for the
-    * shuffle-shape and determinism analysis. */
-  private def kmeansTrain(e: DataFrame): (DataFrame, DataFrame) = {
-    var cents: DataFrame = e.filter(col("vec_id") < kCents)
+    * IVF search: runs `iters` fused rounds and returns the FINAL round's
+    * update frame lazily (so the query's own evaluation is the last
+    * round; rounds 1..iters-1 have already collected their K×dims
+    * updates). See q_cluster_kmeans for determinism analysis. */
+  private def kmeansLastUpdate(e: DataFrame): DataFrame = {
+    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < kCents)
       .select(col("vec_id").as("cid"),
         transform(col("embedding"), x => x.cast("double")).as("cvec"))
-    var lastUpd: DataFrame = null
-    for (_ <- 1 to iters) {
-      val assigned = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cid"),
-          Similarity.l2sq(col("embedding"), col("cvec")).as("dist"))
-        .groupBy("vec_id")
-        .agg(min_by(struct(col("cid"), col("embedding")),
-          struct(col("dist"), col("cid"))).as("best"))
-        .select(col("best.cid").as("cid"), col("best.embedding").as("embedding"))
-      lastUpd = assigned
-        .select(col("cid"), posexplode(col("embedding")))
-        .toDF("cid", "pos", "v")
-        .groupBy("cid", "pos")
-        .agg(sum(floor(col("v").cast("double") * lit(1e8)).cast("long")).as("s"),
-          count(lit(1)).as("n"))
-        .select(col("cid"), col("pos"),
-          ((col("s").cast("double") / lit(1e8)) / col("n")).as("c"), col("n"))
-      cents = lastUpd.groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          s0 => s0.getField("c")).as("cvec"))
-        .localCheckpoint(eager = false)
-    }
-    (cents, lastUpd)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    for (_ <- 1 until iters)
+      cents = collectCentroids(roundUpdate(e, cents))
+    roundUpdate(e, cents)
   }
 
   /** DuckDB mirror of [[kmeansTrain]]: CTE list `e, c0, a1..u$iters,
@@ -77,19 +105,15 @@ ${(1 to iters).map(round).mkString(",\n")}"""
   val defs: Seq[QueryDef] = Seq(
 
     // Lloyd's k-means over the embedding corpus: K=8 centroids seeded
-    // deterministically (vec_id < 8), 3 assign/update rounds. Per round:
-    //   - ASSIGN: N×K distances via a broadcast cross join against the
-    //     K-row centroid frame, nearest centroid as a partial-aggregating
-    //     min(struct(dist, cid)) — the shuffle carries one row per
-    //     vector, never the N×K distance matrix (same shape as
-    //     q_similarity_ivf's assignment and q_agg_salted's two-phase agg).
-    //   - UPDATE: per-dimension mean via posexplode → partial-agg
-    //     fixed-point BIGINT sums keyed (cid, pos) — K×dims rows of
-    //     shuffle traffic regardless of corpus size — reassembled into
-    //     centroid arrays.
-    // Each round's centroid frame is lazily localCheckpoint'd (the CC
-    // pattern): it feeds the next round's cross join and would otherwise
-    // re-evaluate the whole prefix once per downstream reference.
+    // deterministically (vec_id < 8), 3 FUSED assign+update rounds. Per
+    // round the assignment is a narrow per-row expression (the K
+    // centroids ride along as literal arrays — [[nearestCid]]) feeding
+    // directly into the per-dimension mean aggregation, so each round is
+    // ONE scan and ONE shuffle of K×dims partially-aggregated rows
+    // regardless of corpus size; centroids return to the driver between
+    // rounds as K·dims doubles of model state (the canonical distributed
+    // Lloyd's loop — no broadcast-join of a recomputed centroid lineage,
+    // no per-vector argmin shuffle, no checkpoint chain).
     //
     // Determinism: float components widen to DOUBLE (exact), then
     // quantize to 8-decimal fixed point (`floor(v·1e8)` — double mul and
@@ -105,9 +129,8 @@ ${(1 to iters).map(round).mkString(",\n")}"""
     // this corpus; the seeded init keeps all 8 populated).
     QueryDef("q_cluster_kmeans",
       (s, d) => {
-        val (_, lastUpd) =
-          kmeansTrain(Tables.embeddings(s, d).select("vec_id", "embedding"))
-        lastUpd.select(col("cid"), col("pos").cast("long").as("pos"),
+        kmeansLastUpdate(Tables.embeddings(s, d).select("vec_id", "embedding"))
+          .select(col("cid"), col("pos").cast("long").as("pos"),
             col("c"), col("n"))
           .orderBy("cid", "pos")
       },
@@ -130,23 +153,20 @@ FROM u$iters ORDER BY cid, pos"""),
       (s, d) => {
         graft.functions.CosineSimExpr.register(s)
         val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-        val (cents, _) = kmeansTrain(e)
-        val dists = (src: DataFrame) =>
-          src.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("embedding"), col("cid"),
-              Similarity.l2sq(col("embedding"), col("cvec")).as("dist"))
-        val assigned = dists(e)
-          .groupBy("vec_id")
-          .agg(min_by(struct(col("cid"), col("embedding")),
-            struct(col("dist"), col("cid"))).as("best"))
-          .select(col("vec_id"), col("best.embedding").as("embedding"),
-            col("best.cid").as("cid"))
-        val aw = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
-        val probes = dists(e.filter(col("vec_id") < 5))
-          .withColumn("arn", row_number().over(aw))
-          .filter(col("arn") <= 2)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("cid"))
+        val cents = collectCentroids(kmeansLastUpdate(e))
+        // assignment + probe selection are both narrow projections over
+        // the literal trained centroids — no cross join, no window, no
+        // shuffle until the probe-bucket scoring join itself
+        val assigned = e.select(col("vec_id"), col("embedding"),
+          nearestCid(cents).as("cid"))
+        val distArr = array_sort(array(cents.map { case (cid, cvec) =>
+          struct(Similarity.l2sq(col("embedding"), typedlit(cvec)).as("dist"),
+            lit(cid).as("cid"))
+        }: _*))
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            explode(slice(distArr, 1, 2)).as("pr"))
+          .select(col("q_id"), col("q_emb"), col("pr.cid").as("cid"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("q_id")
           .orderBy(col("cosine_sim").desc, col("neighbor_id").asc)
