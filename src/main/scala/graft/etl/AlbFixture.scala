@@ -72,10 +72,14 @@ object AlbFixture {
       (k % 250).cast("string"), lit("."), (k % 97).cast("string"))
     val clientPort = concat(ip, lit(":"), (lit(1024) + k % 50000).cast("string"))
 
-    val s1 = when(k % 11 === 0, lit("-1"))
-      .otherwise(format_string("%.3f", (k % 50) / 1000.0))
-    val s2 = format_string("%.3f", (k % 300) / 1000.0)
-    val s3 = when(k % 13 === 0, lit("-")).otherwise(format_string("%.3f", (k % 7) / 1000.0))
+    // "%.3f" via DECIMAL(10,3): for i/1000 doubles the HALF_UP 3-decimal
+    // rounding recovers i/1000 exactly on both engines, and the decimal
+    // cast renders identically to printf while skipping the per-row Java
+    // Formatter (measured ~0.4s of the fixture build at sf0.1)
+    def f3(c: Column): Column = c.cast("decimal(10,3)").cast("string")
+    val s1 = when(k % 11 === 0, lit("-1")).otherwise(f3((k % 50) / 1000.0))
+    val s2 = f3((k % 300) / 1000.0)
+    val s3 = when(k % 13 === 0, lit("-")).otherwise(f3((k % 7) / 1000.0))
 
     val elbStatus = caseOf(k % 5, statuses)
     val backendStatus = when(k % 7 === 0, lit("-")).otherwise(elbStatus)

@@ -114,7 +114,9 @@ object AlbLogParser {
     // coalesce(try_to_timestamp(fmt1), try_to_timestamp(fmt2)) throws and
     // catches a JVM exception internally for EVERY no-fraction row, which
     // dominates parse cost at scale.
-    val noZ = regexp_replace(t(1), "Z$", "")
+    // strip a trailing Z without a per-row regex (this runs on every line)
+    val noZ = when(t(1).endsWith("Z"),
+      t(1).substr(lit(1), length(t(1)) - 1)).otherwise(t(1))
     val norm = when(noZ.contains("."), noZ).otherwise(concat(noZ, lit(".000000")))
     val tsUtc = when(t(1).endsWith("Z"),
       try_to_timestamp(norm, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))

@@ -10,87 +10,316 @@ import org.apache.spark.sql.functions._
   * Spark-first design: instead of a row-at-a-time UDF we use a `when(...)`
   * ladder over substring predicates — pure Catalyst expressions, fully
   * whole-stage-codegen'd, and therefore distributable with zero serialization
-  * overhead. The ladder is declared once as data ([[rules]]) and compiled to
-  * BOTH a Spark `Column` and an equivalent ANSI-SQL `CASE` chain so the
-  * DuckDB oracle applies byte-identical semantics.
+  * overhead. The ladder is declared once as data ([[browserRules]]/[[osRules]])
+  * and compiled to BOTH a Spark `Column` and an equivalent ANSI-SQL `CASE`
+  * chain so the DuckDB oracle applies byte-identical semantics; a property
+  * spec re-interprets the same rule data in plain Scala and pins the Spark
+  * compilation rule-for-rule (AlbParserSpec).
   *
-  * This intentionally covers the dominant families only (the reference's
-  * library knows thousands of obscure agents); unknown agents map to "Other",
-  * empty/"-" to "Unknown" — matching the reference's default handling at
+  * Family names and token choices follow the public uap-core project's
+  * conventions (the database behind the reference's `user_agents` library),
+  * re-expressed as substring tests — ~190 browser + ~60 OS families covering
+  * bots, in-app webviews, vendor mobile browsers, Chromium/Gecko/WebKit
+  * derivatives, HTTP tooling, consoles, and smart-TV platforms. Long-tail
+  * agents the reference's library can still name map to "Other"; empty/"-"
+  * to "Unknown" — matching the reference's default handling at
   * `/root/reference/etl_elb_log_to_mysql.py:110-112`.
+  *
+  * Evaluation cost: the when-ladder short-circuits at the first hit, and the
+  * sections are frequency-ordered AFTER the bot block (bots must precede the
+  * Chrome family — evergreen Googlebot carries "Chrome/"). A mainstream
+  * Chrome/Safari agent therefore walks the bot tokens once (~60 cheap
+  * `contains` calls on a ~120-byte string) and exits in the first browser
+  * section it can match; only unclassifiable agents walk the full ladder.
   */
 object UaClassifier {
 
   /** (family, substrings that must ALL appear, substrings that must NOT appear).
     * First match wins — order matters throughout: bots precede browsers
-    * (evergreen Googlebot carries "Chrome/"), Edge/Opera/Samsung/Yandex
-    * precede Chrome (they all carry "Chrome/"), mobile variants precede
-    * their desktop base family. */
+    * (evergreen Googlebot carries "Chrome/"), in-app webviews and
+    * Chromium-derivative browsers (Edge/Opera/Samsung/Yandex/…) precede
+    * Chrome (they all carry "Chrome/"), mobile variants precede their
+    * desktop base family. */
   val browserRules: Seq[(String, Seq[String], Seq[String])] = Seq(
+    // ---- search-engine crawlers ----------------------------------------
     ("Googlebot", Seq("Googlebot"), Seq.empty),
+    ("AdsBot-Google", Seq("AdsBot-Google"), Seq.empty),
+    ("Mediapartners-Google", Seq("Mediapartners-Google"), Seq.empty),
+    ("APIs-Google", Seq("APIs-Google"), Seq.empty),
+    ("FeedFetcher-Google", Seq("FeedFetcher-Google"), Seq.empty),
+    ("Storebot-Google", Seq("Storebot-Google"), Seq.empty),
+    ("GoogleOther", Seq("GoogleOther"), Seq.empty),
+    ("Google-Read-Aloud", Seq("Google-Read-Aloud"), Seq.empty),
+    ("Lighthouse", Seq("Chrome-Lighthouse"), Seq.empty),
     ("Bingbot", Seq("bingbot"), Seq.empty),
-    ("AhrefsBot", Seq("AhrefsBot"), Seq.empty),
+    ("BingPreview", Seq("BingPreview"), Seq.empty),
+    ("Yahoo! Slurp", Seq("Slurp"), Seq.empty),
     ("DuckDuckBot", Seq("DuckDuckBot"), Seq.empty),
     ("YandexBot", Seq("YandexBot"), Seq.empty),
     ("Applebot", Seq("Applebot"), Seq.empty),          // carries Safari/ + Version/
-    ("SemrushBot", Seq("SemrushBot"), Seq.empty),
+    ("Baiduspider", Seq("Baiduspider"), Seq.empty),
+    ("Sogou Spider", Seq("Sogou web spider"), Seq.empty),
+    ("360Spider", Seq("360Spider"), Seq.empty),
+    ("YisouSpider", Seq("YisouSpider"), Seq.empty),
+    ("Bytespider", Seq("Bytespider"), Seq.empty),
     ("PetalBot", Seq("PetalBot"), Seq.empty),
+    ("SeznamBot", Seq("SeznamBot"), Seq.empty),
+    ("Mail.Ru Bot", Seq("Mail.RU_Bot"), Seq.empty),
+    ("Naver Yeti", Seq("Yeti/"), Seq.empty),
+    ("coccocbot", Seq("coccocbot"), Seq.empty),
+    ("Qwantify", Seq("Qwantify"), Seq.empty),
+    // ---- SEO / data crawlers -------------------------------------------
+    ("AhrefsBot", Seq("AhrefsBot"), Seq.empty),
+    ("SemrushBot", Seq("SemrushBot"), Seq.empty),
+    ("MJ12bot", Seq("MJ12bot"), Seq.empty),
+    ("DotBot", Seq("DotBot"), Seq.empty),
+    ("BLEXBot", Seq("BLEXBot"), Seq.empty),
+    ("Exabot", Seq("Exabot"), Seq.empty),
+    ("MegaIndex", Seq("MegaIndex"), Seq.empty),
+    ("SerpstatBot", Seq("SerpstatBot"), Seq.empty),
+    ("DataForSeoBot", Seq("DataForSeoBot"), Seq.empty),
+    ("ZoominfoBot", Seq("ZoominfoBot"), Seq.empty),
+    ("Rogerbot", Seq("rogerbot"), Seq.empty),
+    ("Screaming Frog", Seq("Screaming Frog SEO Spider"), Seq.empty),
+    ("SiteAuditBot", Seq("SiteAuditBot"), Seq.empty),
+    ("Barkrowler", Seq("Barkrowler"), Seq.empty),
+    // ---- AI / LLM crawlers ----------------------------------------------
+    ("GPTBot", Seq("GPTBot"), Seq.empty),
+    ("ChatGPT-User", Seq("ChatGPT-User"), Seq.empty),
+    ("OAI-SearchBot", Seq("OAI-SearchBot"), Seq.empty),
+    ("ClaudeBot", Seq("ClaudeBot"), Seq.empty),
+    ("Claude-Web", Seq("Claude-Web"), Seq.empty),
+    ("anthropic-ai", Seq("anthropic-ai"), Seq.empty),
+    ("PerplexityBot", Seq("PerplexityBot"), Seq.empty),
+    ("cohere-ai", Seq("cohere-ai"), Seq.empty),
+    ("Amazonbot", Seq("Amazonbot"), Seq.empty),
+    ("Meta-ExternalAgent", Seq("meta-externalagent"), Seq.empty),
+    ("Diffbot", Seq("Diffbot"), Seq.empty),
+    ("CCBot", Seq("CCBot"), Seq.empty),
+    // ---- archive / social preview / monitoring --------------------------
+    ("ia_archiver", Seq("ia_archiver"), Seq.empty),
+    ("archive.org_bot", Seq("archive.org_bot"), Seq.empty),
+    ("Heritrix", Seq("heritrix"), Seq.empty),
     ("Facebook Crawler", Seq("facebookexternalhit"), Seq.empty),
+    ("Twitterbot", Seq("Twitterbot"), Seq.empty),
+    ("LinkedInBot", Seq("LinkedInBot"), Seq.empty),
+    ("Pinterestbot", Seq("Pinterestbot"), Seq.empty),
+    ("WhatsApp", Seq("WhatsApp"), Seq.empty),
+    ("TelegramBot", Seq("TelegramBot"), Seq.empty),
+    ("Discordbot", Seq("Discordbot"), Seq.empty),
     ("Slackbot", Seq("Slackbot"), Seq.empty),
+    ("redditbot", Seq("redditbot"), Seq.empty),
+    ("SkypeUriPreview", Seq("SkypeUriPreview"), Seq.empty),
+    ("Embedly", Seq("Embedly"), Seq.empty),
+    ("UptimeRobot", Seq("UptimeRobot"), Seq.empty),
+    ("Pingdom", Seq("Pingdom"), Seq.empty),
+    ("StatusCake", Seq("StatusCake"), Seq.empty),
+    ("Site24x7", Seq("Site24x7"), Seq.empty),
+    ("NewRelicPinger", Seq("NewRelicPinger"), Seq.empty),
+    ("Datadog", Seq("Datadog"), Seq.empty),
+    // ---- in-app webviews & vendor mobile browsers (before Chrome) -------
+    ("WeChat", Seq("MicroMessenger/"), Seq.empty),
+    ("Baidu App", Seq("baiduboxapp"), Seq.empty),
+    ("Baidu Browser", Seq("BIDUBrowser"), Seq.empty),
+    ("Sogou Mobile", Seq("SogouMobileBrowser"), Seq.empty),
+    ("Sogou Explorer", Seq("MetaSr"), Seq.empty),
+    ("Quark", Seq("Quark/"), Seq.empty),
+    ("Mi Browser", Seq("MiuiBrowser/"), Seq.empty),
+    ("Mint Browser", Seq("Mint Browser/"), Seq.empty),
+    ("Huawei Browser", Seq("HuaweiBrowser/"), Seq.empty),
+    ("HeyTap Browser", Seq("HeyTapBrowser/"), Seq.empty),
+    ("Vivo Browser", Seq("VivoBrowser/"), Seq.empty),
+    ("UC Browser", Seq("UCBrowser/"), Seq.empty),
+    ("UC Browser", Seq("UCWEB"), Seq.empty),
+    ("QQ Browser Mobile", Seq("MQQBrowser/"), Seq.empty),
+    ("QQ Browser", Seq("QQBrowser/"), Seq.empty),
+    ("QQ", Seq("QQ/"), Seq.empty),
+    ("Facebook", Seq("FBAV/"), Seq.empty),
+    ("Facebook", Seq("FB_IAB"), Seq.empty),
+    ("Instagram", Seq("Instagram"), Seq.empty),
+    ("TikTok", Seq("musical_ly"), Seq.empty),
+    ("TikTok", Seq("BytedanceWebview"), Seq.empty),
+    ("LINE", Seq("Line/"), Seq.empty),
+    ("KakaoTalk", Seq("KAKAOTALK"), Seq.empty),
+    ("DingTalk", Seq("DingTalk"), Seq.empty),
+    ("Snapchat", Seq("Snapchat"), Seq.empty),
+    ("Pinterest", Seq("Pinterest/"), Seq.empty),
+    ("Weibo", Seq("Weibo"), Seq.empty),
+    ("Google", Seq("GSA/"), Seq.empty),                // Google Search App iOS
+    ("Naver", Seq("NAVER(inapp"), Seq.empty),
+    ("DuckDuckGo", Seq("DuckDuckGo/"), Seq.empty),
+    ("Ecosia", Seq("Ecosia"), Seq.empty),
+    // ---- Chromium-derivative browsers (before Chrome) --------------------
     ("Edge", Seq("Edg"), Seq.empty),                   // also matches EdgiOS/EdgA
     ("Samsung Internet", Seq("SamsungBrowser/"), Seq.empty),
+    ("Opera Mini", Seq("Opera Mini/"), Seq.empty),
+    ("Opera Touch", Seq("OPT/"), Seq.empty),
     ("Opera Mobile", Seq("OPR/", "Mobile"), Seq.empty),
     ("Opera", Seq("OPR/"), Seq.empty),
-    ("UC Browser", Seq("UCBrowser/"), Seq.empty),
+    ("Opera", Seq("Opera/"), Seq.empty),               // legacy Presto
     ("Yandex Browser", Seq("YaBrowser/"), Seq.empty),
     ("Vivaldi", Seq("Vivaldi/"), Seq.empty),
     ("Whale", Seq("Whale/"), Seq.empty),
-    ("QQ Browser", Seq("MQQBrowser/"), Seq.empty),
+    ("Brave", Seq("Brave/"), Seq.empty),               // pre-2020 builds only
+    ("Maxthon", Seq("Maxthon"), Seq.empty),
+    ("Iron", Seq("Iron/"), Seq.empty),
+    ("Epic", Seq("Epic/"), Seq.empty),
+    ("Comodo Dragon", Seq("Comodo_Dragon"), Seq.empty),
+    ("Avast Secure Browser", Seq("Avast/"), Seq.empty),
+    ("AVG Secure Browser", Seq("AVG/"), Seq.empty),
+    ("Coc Coc", Seq("coc_coc_browser"), Seq.empty),
+    ("2345 Explorer", Seq("2345Explorer"), Seq.empty),
+    ("LieBao", Seq("LBBROWSER"), Seq.empty),
+    ("LieBao", Seq("LieBaoFast"), Seq.empty),
+    ("360 Browser", Seq("360SE"), Seq.empty),
+    ("360 Browser", Seq("360EE"), Seq.empty),
     ("Amazon Silk", Seq("Silk/"), Seq.empty),
+    ("Slack", Seq("Slack/"), Seq.empty),               // desktop app shell
+    ("Discord", Seq("Discord/"), Seq.empty),
+    ("Microsoft Teams", Seq("Teams/"), Seq.empty),
+    ("VS Code", Seq("Code/"), Seq.empty),
     ("Electron", Seq("Electron/"), Seq.empty),
     ("HeadlessChrome", Seq("HeadlessChrome"), Seq.empty),
     ("PhantomJS", Seq("PhantomJS"), Seq.empty),
     ("Chromium", Seq("Chromium/"), Seq.empty),
+    // ---- Chrome family ----------------------------------------------------
     ("Chrome Mobile iOS", Seq("CriOS/"), Seq.empty),   // Chrome on iOS: no Chrome/ token
     ("Firefox iOS", Seq("FxiOS/"), Seq.empty),         // Firefox on iOS: no Firefox/ token
     ("Chrome Mobile", Seq("Chrome/", "Mobile"), Seq.empty),
     ("Chrome", Seq("Chrome/"), Seq.empty),
+    // ---- Gecko family (before Firefox: all carry Firefox/ or Gecko) -------
     ("Seamonkey", Seq("Seamonkey"), Seq.empty),
+    ("Thunderbird", Seq("Thunderbird/"), Seq.empty),
+    ("Pale Moon", Seq("PaleMoon/"), Seq.empty),
+    ("Waterfox", Seq("Waterfox"), Seq.empty),
+    ("Iceweasel", Seq("Iceweasel"), Seq.empty),
+    ("IceCat", Seq("IceCat"), Seq.empty),
+    ("Cyberfox", Seq("Cyberfox"), Seq.empty),
+    ("Firefox Focus", Seq("Focus/"), Seq.empty),
+    ("Firefox Mobile", Seq("Fennec/"), Seq.empty),
+    ("Camino", Seq("Camino"), Seq.empty),
     ("Firefox Mobile", Seq("Firefox/", "Mobile"), Seq("Seamonkey")),
     ("Firefox", Seq("Firefox/"), Seq("Seamonkey")),
+    // ---- WebKit-misc (before Safari: all carry WebKit/Safari tokens) ------
+    ("Epiphany", Seq("Epiphany/"), Seq.empty),
+    ("Konqueror", Seq("Konqueror"), Seq.empty),
+    ("Midori", Seq("Midori"), Seq.empty),
+    ("Falkon", Seq("Falkon/"), Seq.empty),
+    ("qutebrowser", Seq("qutebrowser"), Seq.empty),
+    ("OmniWeb", Seq("OmniWeb"), Seq.empty),
+    ("iCab", Seq("iCab"), Seq.empty),
+    ("Arora", Seq("Arora"), Seq.empty),
+    ("NetFront", Seq("NetFront"), Seq.empty),
+    ("Nokia Browser", Seq("NokiaBrowser"), Seq.empty),
+    ("Nokia Browser", Seq("BrowserNG"), Seq.empty),
+    ("Obigo", Seq("Obigo"), Seq.empty),
+    ("Dolfin", Seq("Dolfin"), Seq.empty),
+    ("Puffin", Seq("Puffin"), Seq.empty),
+    ("Sleipnir", Seq("Sleipnir"), Seq.empty),
     ("Mobile Safari", Seq("Safari/", "Mobile"), Seq.empty),
     ("Safari", Seq("Safari/", "Version/"), Seq.empty),
+    // ---- IE / legacy -------------------------------------------------------
+    ("IE Mobile", Seq("IEMobile"), Seq.empty),
     ("IE", Seq("Trident/"), Seq.empty),
     ("IE", Seq("MSIE"), Seq.empty),
+    ("Netscape", Seq("Netscape"), Seq.empty),
+    // ---- HTTP clients / tooling -------------------------------------------
     ("curl", Seq("curl/"), Seq.empty),
     ("Wget", Seq("Wget/"), Seq.empty),
     ("Python Requests", Seq("python-requests"), Seq.empty),
+    ("Python-urllib", Seq("Python-urllib"), Seq.empty),
+    ("aiohttp", Seq("aiohttp"), Seq.empty),
+    ("Scrapy", Seq("Scrapy"), Seq.empty),
     ("Go HTTP Client", Seq("Go-http-client"), Seq.empty),
     ("OkHttp", Seq("okhttp"), Seq.empty),
     ("Apache HttpClient", Seq("Apache-HttpClient"), Seq.empty),
+    ("Jakarta Commons-HttpClient", Seq("Jakarta Commons-HttpClient"), Seq.empty),
+    ("Java", Seq("Java/"), Seq.empty),
+    ("libwww-perl", Seq("libwww-perl"), Seq.empty),
+    ("PHP", Seq("PHP/"), Seq.empty),
+    ("Guzzle", Seq("GuzzleHttp"), Seq.empty),
+    ("axios", Seq("axios/"), Seq.empty),
+    ("node-fetch", Seq("node-fetch"), Seq.empty),
+    ("Dart", Seq("Dart/"), Seq.empty),
+    ("Postman", Seq("PostmanRuntime"), Seq.empty),
+    ("Insomnia", Seq("insomnia"), Seq.empty),
+    ("HTTPie", Seq("HTTPie"), Seq.empty),
+    ("PowerShell", Seq("PowerShell"), Seq.empty),
+    ("Faraday", Seq("Faraday"), Seq.empty),
+    ("RestSharp", Seq("RestSharp"), Seq.empty),
+    ("Feedly", Seq("Feedly"), Seq.empty),
+    ("VLC", Seq("VLC/"), Seq.empty),
+    ("iTunes", Seq("iTunes/"), Seq.empty),
+    // ---- text-mode / niche -------------------------------------------------
+    ("Lynx", Seq("Lynx/"), Seq.empty),
+    ("w3m", Seq("w3m/"), Seq.empty),
+    ("ELinks", Seq("ELinks"), Seq.empty),
+    ("Links", Seq("Links ("), Seq.empty),
+    ("NetSurf", Seq("NetSurf"), Seq.empty),
+    ("Dillo", Seq("Dillo"), Seq.empty),
   )
 
   val osRules: Seq[(String, Seq[String], Seq[String])] = Seq(
     ("Windows Phone", Seq("Windows Phone"), Seq.empty),
+    ("Windows CE", Seq("Windows CE"), Seq.empty),
     ("Windows", Seq("Windows NT"), Seq.empty),
+    ("Windows", Seq("Windows 98"), Seq.empty),
+    ("Windows", Seq("Windows 95"), Seq.empty),
+    ("tvOS", Seq("AppleTV"), Seq.empty),               // before iOS/Mac: TV UAs
+    ("tvOS", Seq("tvOS"), Seq.empty),
     ("iOS", Seq("iPhone"), Seq.empty),
     ("iOS", Seq("iPad"), Seq.empty),
     ("iOS", Seq("iPod"), Seq.empty),
     ("Mac OS X", Seq("Mac OS X"), Seq.empty),
     ("Chrome OS", Seq("CrOS"), Seq.empty),
+    ("Chromecast", Seq("CrKey"), Seq.empty),           // before Android/Linux
     ("BlackBerry", Seq("BB10"), Seq.empty),
     ("BlackBerry", Seq("BlackBerry"), Seq.empty),
     ("KaiOS", Seq("KAIOS/"), Seq.empty),
     ("Symbian", Seq("SymbianOS"), Seq.empty),
+    ("HarmonyOS", Seq("HarmonyOS"), Seq.empty),        // before Android: dual-token UAs
+    ("OpenHarmony", Seq("OpenHarmony"), Seq.empty),
+    ("GoogleTV", Seq("GoogleTV"), Seq.empty),          // before Android/Linux
     ("Android", Seq("Android"), Seq.empty),
     ("Tizen", Seq("Tizen"), Seq.empty),                // before Linux: smart-TV UAs carry both
     ("webOS", Seq("Web0S"), Seq.empty),                // LG spells it with a zero
     ("webOS", Seq("webOS"), Seq.empty),
+    ("Sailfish", Seq("Sailfish"), Seq.empty),          // before Linux
+    ("MeeGo", Seq("MeeGo"), Seq.empty),
+    ("Maemo", Seq("Maemo"), Seq.empty),
+    ("Bada", Seq("Bada"), Seq.empty),
+    ("Roku", Seq("Roku"), Seq.empty),                  // before Linux
+    ("PlayStation", Seq("PlayStation"), Seq.empty),
+    ("Nintendo", Seq("Nintendo"), Seq.empty),
+    ("Fuchsia", Seq("Fuchsia"), Seq.empty),
+    // Linux distros that brand the UA (before generic Linux)
     ("Ubuntu", Seq("Ubuntu"), Seq.empty),
+    ("Fedora", Seq("Fedora"), Seq.empty),
+    ("Debian", Seq("Debian"), Seq.empty),
+    ("CentOS", Seq("CentOS"), Seq.empty),
+    ("Red Hat", Seq("Red Hat"), Seq.empty),
+    ("SUSE", Seq("SUSE"), Seq.empty),
+    ("Gentoo", Seq("Gentoo"), Seq.empty),
+    ("Slackware", Seq("Slackware"), Seq.empty),
+    ("Linux Mint", Seq("Linux Mint"), Seq.empty),
+    ("Mageia", Seq("Mageia"), Seq.empty),
+    ("Manjaro", Seq("Manjaro"), Seq.empty),
+    // Unixes
     ("FreeBSD", Seq("FreeBSD"), Seq.empty),
     ("OpenBSD", Seq("OpenBSD"), Seq.empty),
     ("NetBSD", Seq("NetBSD"), Seq.empty),
+    ("DragonFly", Seq("DragonFly"), Seq.empty),
+    ("Solaris", Seq("SunOS"), Seq.empty),
+    ("AIX", Seq("AIX"), Seq.empty),
+    ("HP-UX", Seq("HP-UX"), Seq.empty),
+    ("IRIX", Seq("IRIX"), Seq.empty),
     ("Linux", Seq("Linux"), Seq.empty),
+    // exotics
+    ("Haiku", Seq("Haiku"), Seq.empty),
+    ("BeOS", Seq("BeOS"), Seq.empty),
+    ("AmigaOS", Seq("AmigaOS"), Seq.empty),
+    ("RISC OS", Seq("RISC OS"), Seq.empty),
+    ("QNX", Seq("QNX"), Seq.empty),
   )
 
   private def isBlank(ua: Column): Column = ua.isNull || ua === "" || ua === "-"
@@ -111,6 +340,16 @@ object UaClassifier {
 
   /** OS family as a codegen'd Column expression. */
   def osFamily(ua: Column): Column = ladder(ua, osRules, "Other")
+
+  /** Plain-Scala interpreter of the SAME rule data — the test reference
+    * implementation that pins the Column/SQL compilations rule-for-rule. */
+  def interpret(ua: String, rules: Seq[(String, Seq[String], Seq[String])],
+                fallback: String): String =
+    if (ua == null || ua.isEmpty || ua == "-") "Unknown"
+    else rules.collectFirst {
+      case (family, pos, neg)
+          if pos.forall(ua.contains) && !neg.exists(ua.contains) => family
+    }.getOrElse(fallback)
 
   // ---- SQL twin (DuckDB oracle) ------------------------------------------
 

@@ -109,7 +109,7 @@ class AlbParserSpec extends SparkSpec {
       ("Slackbot-LinkExpanding 1.0 (+https://api.slack.com/robots)", ("Slackbot", "Other")),
       ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/124.0.0.0 Safari/537.36 Vivaldi/6.7", ("Vivaldi", "Windows")),
       ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/122.0.0.0 Whale/3.25.232.19 Safari/537.36", ("Whale", "Windows")),
-      ("Mozilla/5.0 (Linux; U; Android 13; zh-cn; 2211133C) AppleWebKit/533.1 (KHTML, like Gecko) Version/4.0 Chrome/90.0.4430.210 MQQBrowser/13.6 Mobile Safari/537.36", ("QQ Browser", "Android")),
+      ("Mozilla/5.0 (Linux; U; Android 13; zh-cn; 2211133C) AppleWebKit/533.1 (KHTML, like Gecko) Version/4.0 Chrome/90.0.4430.210 MQQBrowser/13.6 Mobile Safari/537.36", ("QQ Browser Mobile", "Android")),
       ("Mozilla/5.0 (Linux; Android 9; KFMAWI) AppleWebKit/537.36 (KHTML, like Gecko) Silk/126.2.5 like Chrome/126.0.6478.71 Safari/537.36", ("Amazon Silk", "Android")),
       ("Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) my-app/2.1.0 Chrome/120.0.6099.291 Electron/28.2.6 Safari/537.36", ("Electron", "Windows")),
       ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/534.34 (KHTML, like Gecko) PhantomJS/2.1.1 Safari/534.34", ("PhantomJS", "Linux")),
@@ -125,7 +125,7 @@ class AlbParserSpec extends SparkSpec {
       ("Mozilla/5.0 (SMART-TV; LINUX; Tizen 6.5) AppleWebKit/537.36 (KHTML, like Gecko) Version/6.5 TV Safari/537.36", ("Safari", "Tizen")),
       ("Mozilla/5.0 (Web0S; Linux/SmartTV) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/87.0.4280.88 Safari/537.36 WebAppManager", ("Chrome", "webOS")),
       ("Mozilla/5.0 (X11; FreeBSD amd64; rv:126.0) Gecko/20100101 Firefox/126.0", ("Firefox", "FreeBSD")),
-      ("Mozilla/5.0 (SymbianOS/9.4; Series60/5.0 NokiaN97-1/20.0.019) AppleWebKit/525 (KHTML, like Gecko) BrowserNG/7.1.4", ("Other", "Symbian")),
+      ("Mozilla/5.0 (SymbianOS/9.4; Series60/5.0 NokiaN97-1/20.0.019) AppleWebKit/525 (KHTML, like Gecko) BrowserNG/7.1.4", ("Nokia Browser", "Symbian")),
       ("some-novel-agent/1.0", ("Other", "Other")))
     val df = expected.map(_._1).toDF("ua")
     val got = df.select(
@@ -133,6 +133,31 @@ class AlbParserSpec extends SparkSpec {
       graft.functions.UaClassifier.osFamily(col("ua"))).collect()
     got.zip(expected).foreach { case (r, (ua, (brow, os))) =>
       assert(r.getString(0) == brow && r.getString(1) == os, s"ua '$ua'")
+    }
+  }
+
+  test("every UA rule's Column compilation matches the rule-data interpreter") {
+    import graft.functions.UaClassifier
+    // For each rule, synthesize an agent from its positive tokens; the
+    // EXPECTED family is whatever the plain-Scala interpreter of the same
+    // rule list assigns (an earlier rule may legitimately win). This pins
+    // the when-ladder compilation rule-for-rule across all ~250 rules —
+    // any ordering or token drift between the data and the Column shows
+    // up as a mismatch.
+    val cases =
+      UaClassifier.browserRules.map { case (_, pos, _) =>
+        val ua = s"Mozilla/5.0 ${pos.mkString(" ")} synthetic"
+        (ua, UaClassifier.interpret(ua, UaClassifier.browserRules, "Other"), true)
+      } ++ UaClassifier.osRules.map { case (_, pos, _) =>
+        val ua = s"Mozilla/5.0 (${pos.mkString("; ")}) synthetic"
+        (ua, UaClassifier.interpret(ua, UaClassifier.osRules, "Other"), false)
+      }
+    val df = cases.map(_._1).toDF("ua").select(col("ua"),
+      UaClassifier.browserFamily(col("ua")).as("b"),
+      UaClassifier.osFamily(col("ua")).as("o"))
+    df.collect().zip(cases).foreach { case (r, (ua, want, isBrowser)) =>
+      val got = if (isBrowser) r.getString(1) else r.getString(2)
+      assert(got == want, s"ua '$ua': got $got want $want")
     }
   }
 
