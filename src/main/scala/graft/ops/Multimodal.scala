@@ -1,22 +1,29 @@
 package graft.ops
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+import javax.imageio.stream.MemoryCacheImageInputStream
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing: image/audio/video payloads ride as opaque
-  * `BinaryType` columns with a typed metadata struct alongside. The Spark
-  * side — schema, batch iteration shape, partition-local decode — is real
-  * and tested; the actual codec call is STUBBED (`decodeStubBytes`) with a
-  * deterministic fake because no image/audio libraries exist in this
-  * container. Swapping the stub for a real decoder (e.g. TwelveMonkeys /
-  * javax.imageio on the JVM) changes ONE function, not the dataflow.
+  * `BinaryType` columns with a typed metadata struct alongside. The codec
+  * is REAL — `javax.imageio` PNG encode/decode on the JVM, no external
+  * libraries — and the fixture images are deterministic: channel `c` of
+  * pixel `(x, y)` in document `id`'s image is
+  * `(x*31 + y*7 + c*13 + id) mod 256`, so a SQL oracle can recompute the
+  * decoded pixel sums in closed form without any image library, proving
+  * the full encode → bytes → decode round trip end-to-end.
   *
-  * Scale notes: decode runs via `mapPartitions` so codec state is
-  * initialized once per partition (not per row), the natural place for a
-  * native-library handle; payload bytes never shuffle (decode-then-project
-  * happens before any wide operator); metadata-only queries never touch
-  * the binary column thanks to parquet column pruning.
+  * Scale notes: decode runs via `mapPartitions` so codec state (the PNG
+  * [[javax.imageio.ImageReader]]) is initialized once per partition, not
+  * per row — the natural place for a native-library handle; payload bytes
+  * never shuffle (decode-then-project happens before any wide operator);
+  * metadata-only queries never touch the binary column thanks to parquet
+  * column pruning.
   */
 object Multimodal {
 
@@ -24,59 +31,97 @@ object Multimodal {
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
-    StructField("checksum", LongType, nullable = false)))
+    StructField("pixel_sum", LongType, nullable = false)))
 
-  /** STUB codec: deterministic pseudo-decode of a payload. A real
-    * implementation would hand `bytes` to an image decoder; tests pin this
-    * fake's exact output so the surrounding plumbing is verifiable. */
-  def decodeStubBytes(bytes: Array[Byte]): (Int, Int, Int, Long) = {
-    val n = bytes.length
-    var sum = 0L
-    var i = 0
-    // base-31 rolling hash mod 2^32 — matches TextAnalysis.rollingHash for
-    // ASCII payloads, keeping the stub oracle-checkable end-to-end
-    while (i < n) { sum = (sum * 31 + (bytes(i) & 0xff)) % 4294967296L; i += 1 }
-    (n % 640 + 1, n % 480 + 1, 3, sum)
+  /** Deterministic fixture image encoded as real PNG bytes: channel `c`
+    * (0=R, 1=G, 2=B) of pixel `(x, y)` is `(x*31 + y*7 + c*13 + seed) mod
+    * 256`. PNG is lossless, so whatever decoder reads these bytes back
+    * must reproduce exactly these values. */
+  def makePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = x * 31L + y * 7L + seed
+        val r = (base % 256).toInt
+        val g = ((base + 13) % 256).toInt
+        val b = ((base + 26) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
-  /** Attach a binary payload column derived from text (the container has no
-    * real media; payload = utf-8 bytes) — stands in for `spark.read.format
-    * ("binaryFile")` output at prod. */
+  /** Decode PNG bytes with a caller-owned reader (reused across a
+    * partition): (width, height, channels, sum of all channel values). */
+  def decodePng(reader: javax.imageio.ImageReader,
+                bytes: Array[Byte]): (Int, Int, Int, Long) = {
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis)
+      sumPixels(reader.read(0))
+    } finally iis.close()
+  }
+
+  private def sumPixels(img: BufferedImage): (Int, Int, Int, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, img.getColorModel.getNumColorComponents, sum)
+  }
+
+  private def newPngReader(): javax.imageio.ImageReader = {
+    ImageIO.setUseCache(false) // stay in-memory; no /tmp spill per image
+    ImageIO.getImageReadersByFormatName("png").next()
+  }
+
+  /** Document-keyed fixture dims: small enough that the SQL oracle's
+    * per-pixel expansion stays cheap, varied enough to catch a decoder
+    * that ignores the header. */
+  def fixtureDims(id: Long): (Int, Int) =
+    ((id % 13 + 4).toInt, (id % 11 + 3).toInt)
+
+  /** Attach a real PNG payload per document — stands in for
+    * `spark.read.format("binaryFile")` output at prod, where payloads
+    * arrive as files. Encoding happens partition-local; bytes never
+    * shuffle. */
+  def pngPayload(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val (w, h) = fixtureDims(id)
+        Row(id, makePng(id, w, h))
+      }
+    }(enc)
+  }
+
+  /** Attach a binary payload column derived from text (for byte-level
+    * plumbing queries that treat the payload as opaque). */
   def withPayload(docs: DataFrame, textCol: String): DataFrame =
     docs.withColumn("payload", col(textCol).cast("binary"))
 
-  /** STUB resize: keep every `factor`-th byte. A real implementation
-    * would decode, scale, re-encode; the stub is deterministic so the
-    * surrounding plumbing stays oracle-checkable. */
-  def resizeStubBytes(bytes: Array[Byte], factor: Int): Array[Byte] = {
-    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
-    var i = 0
-    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
-    out
-  }
-
-  /** Partition-wise resize: payload → downsampled payload + both lengths
-    * and the resized payload's checksum. Same `mapPartitions` shape as
-    * [[decode]] (codec state per partition; payloads never shuffle). */
-  def resize(df: DataFrame, idCol: String, factor: Int): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("orig_len", LongType, nullable = false),
-      StructField("resized_len", LongType, nullable = false),
-      StructField("resized_checksum", LongType, nullable = false)))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-    df.select(col(idCol).cast("long"), col("payload"))
-      .mapPartitions { rows =>
-        rows.map { r =>
-          val bytes = r.getAs[Array[Byte]](1)
-          val resized = resizeStubBytes(bytes, factor)
-          val (_, _, _, sum) = decodeStubBytes(resized)
-          Row(r.getLong(0), bytes.length.toLong, resized.length.toLong, sum)
-        }
-      }(enc)
-  }
-
-  /** Partition-wise decode: binary payload → metadata struct. */
+  /** Partition-wise decode: PNG payload → metadata struct. The
+    * [[javax.imageio.ImageReader]] is created once per partition and
+    * reused for every row. */
   def decode(df: DataFrame, idCol: String): DataFrame = {
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -84,10 +129,59 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col(idCol).cast("long"), col("payload"))
       .mapPartitions { rows =>
-        // per-partition init of (stub) codec state happens here
+        val reader = newPngReader() // codec state: once per partition
         rows.map { r =>
-          val (w, h, c, sum) = decodeStubBytes(r.getAs[Array[Byte]](1))
+          val (w, h, c, sum) = decodePng(reader, r.getAs[Array[Byte]](1))
           Row(r.getLong(0), Row(w, h, c, sum))
+        }
+      }(enc)
+  }
+
+  /** Nearest-neighbor downsample: out(x, y) = in(x*factor, y*factor) —
+    * deterministic (no interpolation), so the resized pixel values keep
+    * the fixture's closed form at stride `factor`. */
+  def downsample(img: BufferedImage, factor: Int): BufferedImage = {
+    val ow = (img.getWidth + factor - 1) / factor
+    val oh = (img.getHeight + factor - 1) / factor
+    val out = new BufferedImage(ow, oh, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        out.setRGB(x, y, img.getRGB(x * factor, y * factor) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Partition-wise resize: decode PNG → nearest-neighbor downsample →
+    * re-encode PNG → decode AGAIN, reporting the second decode's facts.
+    * The double round trip means a broken encoder OR decoder fails the
+    * oracle. Same `mapPartitions` shape as [[decode]]. */
+  def resize(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    require(factor > 0, "resize factor must be positive")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("orig_width", IntegerType, nullable = false),
+      StructField("orig_height", IntegerType, nullable = false),
+      StructField("out_width", IntegerType, nullable = false),
+      StructField("out_height", IntegerType, nullable = false),
+      StructField("pixel_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        val reader = newPngReader()
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+          val orig = try { reader.setInput(iis); reader.read(0) } finally iis.close()
+          val small = downsample(orig, factor)
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(small, "png", bos)
+          val (w, h, _, sum) = decodePng(reader, bos.toByteArray)
+          Row(r.getLong(0), orig.getWidth, orig.getHeight, w, h, sum)
         }
       }(enc)
   }

@@ -711,38 +711,46 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
            md5(text) AS content_md5
          FROM documents ORDER BY doc_id"""),
 
-    // mapPartitions resize plumbing (keep every 2nd byte — the stub for
-    // decode→scale→re-encode): same per-partition codec shape as decode,
-    // verified end-to-end via the resized payload's rolling-hash checksum.
+    // REAL codec round trip: javax.imageio PNG encode → bytes → NN
+    // downsample → re-encode → decode. Fixture pixels have the closed
+    // form (x*31 + y*7 + c*13 + id) mod 256, so the oracle recomputes the
+    // resized image's pixel sum (stride-2 samples) with no image library.
     QueryDef("q_multimodal_resize",
       (s, d) => Multimodal.resize(
-        Multimodal.withPayload(Tables.documents(s, d), "text"), "doc_id", 2)
+        Multimodal.pngPayload(Tables.documents(s, d), "doc_id"), "doc_id", 2)
         .orderBy("doc_id"),
-      s"""WITH sub AS (
-           SELECT doc_id, length(text) AS n,
-             list_aggregate(list_transform(
-               list_filter(range(0, length(text)), i -> i % 2 = 0),
-               i -> substring(text, i + 1, 1)), 'string_agg', '') AS rs
-           FROM documents)
-         SELECT doc_id, n::BIGINT AS orig_len, length(rs)::BIGINT AS resized_len,
-           ${graft.ops.TextAnalysis.rollingHashSql("rs")} AS resized_checksum
-         FROM sub ORDER BY doc_id"""),
+      """WITH dims AS (
+           SELECT doc_id, (doc_id % 13 + 4)::INTEGER AS w, (doc_id % 11 + 3)::INTEGER AS h
+           FROM documents),
+         d2 AS (
+           SELECT doc_id, w, h,
+             ((w + 1) // 2)::INTEGER AS ow, ((h + 1) // 2)::INTEGER AS oh
+           FROM dims),
+         px AS (SELECT *, unnest(generate_series(0, ow - 1)) AS x FROM d2),
+         pxy AS (SELECT *, unnest(generate_series(0, oh - 1)) AS y FROM px),
+         pxyc AS (SELECT *, unnest([0, 1, 2]) AS c FROM pxy)
+         SELECT doc_id, w AS orig_width, h AS orig_height,
+           ow AS out_width, oh AS out_height,
+           SUM((x*2*31 + y*2*7 + c*13 + doc_id) % 256)::BIGINT AS pixel_sum
+         FROM pxyc GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id"""),
 
-    // mapPartitions decode plumbing; checksum is the same base-31 rolling
-    // hash over BYTES (== chars for this ASCII corpus) so the stub is
-    // oracle-checkable end-to-end.
+    // REAL codec decode: per-partition javax.imageio PNG reader over
+    // deterministic fixture PNGs; the oracle expands the pixel formula.
     QueryDef("q_multimodal_decode",
       (s, d) => Multimodal.decode(
-        Multimodal.withPayload(Tables.documents(s, d), "text"), "doc_id")
+        Multimodal.pngPayload(Tables.documents(s, d), "doc_id"), "doc_id")
         .select(col("doc_id"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.channels").as("channels"),
-          col("meta.checksum").as("checksum"))
+          col("meta.pixel_sum").as("pixel_sum"))
         .orderBy("doc_id"),
-      s"""SELECT doc_id,
-           (octet_length(text::BLOB) % 640 + 1)::INTEGER AS width,
-           (octet_length(text::BLOB) % 480 + 1)::INTEGER AS height,
-           3::INTEGER AS channels,
-           ${TextAnalysis.rollingHashSql("text")} AS checksum
-         FROM documents ORDER BY doc_id"""),
+      """WITH dims AS (
+           SELECT doc_id, (doc_id % 13 + 4)::INTEGER AS width, (doc_id % 11 + 3)::INTEGER AS height
+           FROM documents),
+         px AS (SELECT *, unnest(generate_series(0, width - 1)) AS x FROM dims),
+         pxy AS (SELECT *, unnest(generate_series(0, height - 1)) AS y FROM px),
+         pxyc AS (SELECT *, unnest([0, 1, 2]) AS c FROM pxy)
+         SELECT doc_id, width, height, 3::INTEGER AS channels,
+           SUM((x*31 + y*7 + c*13 + doc_id) % 256)::BIGINT AS pixel_sum
+         FROM pxyc GROUP BY 1, 2, 3 ORDER BY doc_id"""),
   )
 }

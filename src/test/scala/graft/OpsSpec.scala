@@ -169,11 +169,15 @@ class OpsSpec extends SparkSpec {
     assert(got.toSeq == Seq("en", "es", "und"))
   }
 
-  test("rolling hash matches the stub codec checksum for ASCII payloads") {
-    val df = Seq((7L, "abc xyz")).toDF("doc_id", "text")
-    val viaExpr = df.select(TextAnalysis.rollingHash(col("text"))).head().getLong(0)
-    val viaStub = Multimodal.decodeStubBytes("abc xyz".getBytes("UTF-8"))._4
-    assert(viaExpr == viaStub)
+  test("PNG codec round trip: decode(makePng) reproduces the pixel formula") {
+    // PNG is lossless, so a real javax.imageio encode → decode must give
+    // back exactly the fixture pixels: (x*31 + y*7 + c*13 + seed) mod 256.
+    val (seed, w, h) = (7L, 5, 4)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+    val (gw, gh, gc, gsum) = Multimodal.decodePng(reader, Multimodal.makePng(seed, w, h))
+    val want = (for { x <- 0 until w; y <- 0 until h; c <- 0 until 3 }
+      yield (x * 31L + y * 7L + c * 13L + seed) % 256).sum
+    assert((gw, gh, gc, gsum) == (w, h, 3, want))
   }
 
   test("sign-bucket ANN recall@3 vs brute force: chance-level on random embeddings") {
@@ -357,14 +361,17 @@ class OpsSpec extends SparkSpec {
   }
 
   test("multimodal decode plumbing produces typed metadata per row") {
-    val got = Multimodal.decode(Multimodal.withPayload(docs, "text"), "doc_id")
-      .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.checksum")
+    val got = Multimodal.decode(Multimodal.pngPayload(docs, "doc_id"), "doc_id")
+      .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.pixel_sum")
       .orderBy("doc_id").collect()
     assert(got.length == 5)
-    val r = got.head
-    val n = "the quick brown fox jumps over the lazy dog".length
-    assert(r.getAs[Int]("width") == n % 640 + 1)
-    assert(r.getAs[Int]("height") == n % 480 + 1)
-    assert(r.getAs[Int]("channels") == 3)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = Multimodal.fixtureDims(id)
+      val want = (for { x <- 0 until w; y <- 0 until h; c <- 0 until 3 }
+        yield (x * 31L + y * 7L + c * 13L + id) % 256).sum
+      assert(r.getAs[Int]("width") == w && r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("channels") == 3 && r.getAs[Long]("pixel_sum") == want)
+    }
   }
 }

@@ -61,32 +61,33 @@ class SourcesSpec extends SparkSpec {
 
   test("binaryFile source feeds the multimodal decode pipeline") {
     // The production ingestion path for media: spark.read.format
-    // ("binaryFile") → (path, length, content) → Multimodal.decode. The
-    // decode output must agree with decoding the same bytes attached via
-    // withPayload, proving the two ingestion paths are interchangeable.
+    // ("binaryFile") → (path, length, content) → Multimodal.decode, with
+    // REAL PNG files on disk. The decode output must agree with decoding
+    // the same images attached via pngPayload, proving the two ingestion
+    // paths are interchangeable.
     val dir = java.nio.file.Files.createTempDirectory("binsrc")
-    val payloads = Seq("img-aaa" * 40, "img-bb" * 11, "x").zipWithIndex
-    payloads.foreach { case (s, i) =>
-      java.nio.file.Files.write(dir.resolve(f"m$i%03d.bin"), s.getBytes("UTF-8"))
+    val ids = Seq(0L, 1L, 2L)
+    ids.foreach { id =>
+      val (w, h) = graft.ops.Multimodal.fixtureDims(id)
+      java.nio.file.Files.write(dir.resolve(f"m$id%03d.png"),
+        graft.ops.Multimodal.makePng(id, w, h))
     }
     val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.bin").load(dir.toString)
+      .option("pathGlobFilter", "*.png").load(dir.toString)
       .select(
-        regexp_extract(col("path"), "m(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        regexp_extract(col("path"), "m(\\d+)\\.png", 1).cast("long").as("doc_id"),
         col("length"), col("content").as("payload"))
     assert(bin.count() == 3 &&
       bin.filter(col("length") =!= length(col("payload"))).isEmpty)
 
     val viaBinaryFile = graft.ops.Multimodal.decode(bin, "doc_id")
-      .select("doc_id", "meta.width", "meta.height", "meta.checksum")
+      .select("doc_id", "meta.width", "meta.height", "meta.pixel_sum")
       .orderBy("doc_id").collect().toSeq
     import spark.implicits._
-    val viaText = graft.ops.Multimodal.decode(
-        graft.ops.Multimodal.withPayload(
-          payloads.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text"),
-          "text"), "doc_id")
-      .select("doc_id", "meta.width", "meta.height", "meta.checksum")
+    val viaGenerated = graft.ops.Multimodal.decode(
+        graft.ops.Multimodal.pngPayload(ids.toDF("doc_id"), "doc_id"), "doc_id")
+      .select("doc_id", "meta.width", "meta.height", "meta.pixel_sum")
       .orderBy("doc_id").collect().toSeq
-    assert(viaBinaryFile == viaText)
+    assert(viaBinaryFile == viaGenerated)
   }
 }
