@@ -330,6 +330,44 @@ object Dedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Boilerplate scrub — the frequency-threshold complement of
+    * [[paragraphDedup]]: REMOVE every paragraph occurring in at least
+    * `maxDocs` DISTINCT documents (navigation chrome, license headers,
+    * cookie banners — content whose ubiquity marks it as boilerplate),
+    * including its first occurrence, and keep everything else in place.
+    * Documents left with zero paragraphs disappear (same contract as
+    * [[paragraphDedup]]).
+    *
+    * Scale shape: the doc-frequency count groups on the 8-byte xxhash64
+    * digest (partial aggs shrink each mapper to one row per distinct
+    * (digest, doc)); only paragraphs OVER the threshold survive the
+    * filter, so the anti-join's build side is the small boilerplate set —
+    * at runtime AQE sees the post-filter size and plans a broadcast — and
+    * reassembly is one aggregation per doc. No driver-side state.
+    */
+  def boilerplateScrub(docs: DataFrame, idCol: String, textCol: String,
+                       maxDocs: Int, sep: String = "\n\n"): DataFrame = {
+    require(maxDocs >= 2, "maxDocs < 2 would scrub every paragraph")
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .toDF("doc_id", "pos", "para")
+      .withColumn("digest", xxhash64(col("para")))
+      // digest fans out to the frequency agg and the anti-join below
+      .localCheckpoint(eager = false)
+    val boilerplate = paras.groupBy("digest")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= maxDocs)
+      .select("digest")
+    paras.join(boilerplate, Seq("digest"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          s => s.getField("para"))).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+  }
+
   /** Connected components over a near-duplicate pair graph — what a dedup
     * pipeline actually needs downstream of pair generation: one canonical
     * representative (min id) per transitive duplicate cluster.

@@ -323,6 +323,42 @@ object LlmOps2 {
            (total_tokens::DOUBLE / n_sources) / n_tokens AS uniform_weight
          FROM s, t ORDER BY source"""),
 
+    // Epoch materialization of the mixture: each document repeats
+    // ceil(its source's uniform-target resampling weight) times — the
+    // integer "repetition factor" realization of q_mix_weights that a
+    // training run actually consumes. The per-source factor table is
+    // tiny (one row per source) and broadcast; the explode is
+    // partition-local, so the epoch dataset is produced with ZERO
+    // shuffles of the corpus itself.
+    QueryDef("q_mix_materialize",
+      (s, d) => {
+        val perSource = Tables.documents(s, d)
+          .groupBy("source")
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        val totals = perSource.agg(sum("n_tokens").as("total_tokens"),
+          count(lit(1)).as("n_sources"))
+        val factors = perSource.crossJoin(broadcast(totals))
+          .select(col("source"),
+            ceil((col("total_tokens").cast("double") / col("n_sources"))
+              / col("n_tokens")).cast("int").as("factor"))
+        Tables.documents(s, d).select("doc_id", "source")
+          .join(broadcast(factors), "source")
+          .select(col("doc_id"), col("source"), col("factor"),
+            explode(sequence(lit(1), col("factor"))).as("copy"))
+          .orderBy("doc_id", "copy")
+      },
+      """WITH s AS (SELECT source,
+                    sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+             FROM documents GROUP BY source),
+         t AS (SELECT sum(n_tokens)::BIGINT AS total_tokens, count(*) AS n_sources FROM s),
+         f AS (SELECT source,
+                 ceil((total_tokens::DOUBLE / n_sources) / n_tokens)::INTEGER AS factor
+               FROM s, t)
+         SELECT d.doc_id, d.source, f.factor,
+           unnest(generate_series(1, f.factor))::INTEGER AS copy
+         FROM documents d JOIN f USING (source)
+         ORDER BY doc_id, copy"""),
+
     // Benchmark decontamination: flag training docs sharing any word
     // trigram with a benchmark/eval set (stand-in: doc_id < 20) — the
     // n-gram-overlap contamination check every pretraining pipeline runs.

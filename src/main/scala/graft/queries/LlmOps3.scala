@@ -59,6 +59,25 @@ SELECT doc_id, string_agg(para, e'\\n\\n' ORDER BY pos) AS text_clean,
   count(*)::BIGINT AS n_kept
 FROM kept GROUP BY doc_id ORDER BY doc_id"""),
 
+    // Frequency-threshold boilerplate scrub — the complement of
+    // q_dedup_paragraph: paragraphs appearing in >= 2 distinct docs are
+    // removed EVERYWHERE (first copy included), the CCNet-style "drop
+    // ubiquitous lines" pass. Doc-frequency counts group on 8-byte
+    // digests; the anti-join's build side is only the over-threshold set.
+    QueryDef("q_scrub_boilerplate",
+      (s, d) => {
+        val paraDocs = Tables.documents(s, d)
+          .select(col("doc_id"), chunked("text").as("text"))
+        Dedup.boilerplateScrub(paraDocs, "doc_id", "text", maxDocs = 2)
+          .orderBy("doc_id")
+      },
+      s"""WITH $paraCtes,
+freq AS (SELECT para, count(DISTINCT doc_id) AS nd FROM para GROUP BY para),
+kept AS (SELECT doc_id, pos, para FROM para JOIN freq USING (para) WHERE nd < 2)
+SELECT doc_id, string_agg(para, e'\\n\\n' ORDER BY pos) AS text_clean,
+  count(*)::BIGINT AS n_kept
+FROM kept GROUP BY doc_id ORDER BY doc_id"""),
+
     // Gopher-style repetition/quality gates, one row per doc: duplicate
     // word fraction, duplicate paragraph fraction (the "duplicate line
     // fraction" analogue over the derived chunks), most-frequent-bigram

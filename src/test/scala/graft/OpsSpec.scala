@@ -360,6 +360,24 @@ class OpsSpec extends SparkSpec {
     assert(got.map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((1L, "a")))
   }
 
+  test("boilerplate scrub removes over-threshold paragraphs everywhere") {
+    val pdocs = Seq(
+      (1L, "common header\n\nunique one"),
+      (2L, "common header\n\nunique two"),
+      (3L, "common header"), // nothing survives → doc disappears
+      (4L, "all original here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateScrub(pdocs, "doc_id", "text", maxDocs = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // "common header" occurs in 3 docs ≥ 2 → scrubbed everywhere,
+    // including its first occurrence (unlike paragraphDedup, which keeps
+    // doc 1's copy); under-threshold paragraphs stay put.
+    assert(got.toSeq == Seq(
+      (1L, "unique one", 1L), (2L, "unique two", 1L),
+      (4L, "all original here", 1L)))
+  }
+
   test("multimodal decode plumbing produces typed metadata per row") {
     val got = Multimodal.decode(Multimodal.pngPayload(docs, "doc_id"), "doc_id")
       .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.pixel_sum")
