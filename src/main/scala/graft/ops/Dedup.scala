@@ -255,7 +255,16 @@ object Dedup {
         (inter.cast("double") / (sa + sb - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
-    (members, verified)
+    // LAZY localCheckpoint — here for PLANNING cost, not recompute: the
+    // verified subtree (self-join + window cap + two SHUFFLE_HASH joins)
+    // takes seconds of driver-side Catalyst analysis/codegen, and every
+    // downstream consumer that references it more than once (the doc
+    // expansion's two joins, CC's symmetrized edge union re-planned each
+    // round) would pay that again per reference — measured as the
+    // dominant cost of q_dedup_cluster at sf0.1. Truncating to a
+    // LogicalRDD makes each re-plan O(1); the materialized block is tiny
+    // (one row per verified distinct-set pair).
+    (members, verified.localCheckpoint(eager = false))
   }
 
   /** Transitive near-duplicate clusters straight from the corpus: every
@@ -385,8 +394,13 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIters: Int = 20): DataFrame = {
-    // pairs feeds sym twice (forward + reversed) — cache for the single
-    // materialization, released below once labels are checkpointed.
+    // pairs feeds sym twice (forward + reversed) — LAZY localCheckpoint
+    // (not persist): a cache dedups EXECUTION but leaves the logical plan
+    // intact, so every round's frontier join would re-run Catalyst
+    // analysis over the caller's full upstream tree (for dedupClusters,
+    // the whole minhash pipeline — measured at seconds per round at
+    // sf0.1). The checkpoint truncates lineage to a LogicalRDD at
+    // construction, making each round's planning O(round plan) only.
     //
     // No dedup on the symmetrized edges: d1<d2 on every input pair means
     // the two directions can never collide, and duplicate input pairs are
@@ -397,7 +411,7 @@ object Dedup {
     // frontier join needs ClusteredDistribution(b), so partitioning the
     // cache by b makes the per-round join reuse the cached layout and
     // shuffle only the (small) frontier, never the edges.
-    val p = pairs.persist()
+    val p = pairs.localCheckpoint(eager = false)
     val edges = p.select(col("d1").as("a"), col("d2").as("b"))
     val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
       .repartition(col("b")).cache()
@@ -484,10 +498,10 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters iterations " +
           s"($frontierSize labels still changing) — returned labels are NOT " +
           "a fixpoint; raise maxIters for graphs of larger diameter")
-    // labels is checkpoint-materialized (lineage-free) — upstream caches
-    // can be dropped so long-lived sessions don't accumulate storage
+    // labels is checkpoint-materialized (lineage-free) — the edge cache
+    // can be dropped so long-lived sessions don't accumulate storage (p's
+    // checkpoint blocks are released by the context cleaner on GC)
     sym.unpersist()
-    p.unpersist()
     labels.withColumnRenamed("label", "cluster_rep")
   }
 
