@@ -255,16 +255,7 @@ object Dedup {
         (inter.cast("double") / (sa + sb - inter)).as("jaccard"))
       .filter(col("jaccard") >= threshold)
 
-    // LAZY localCheckpoint — here for PLANNING cost, not recompute: the
-    // verified subtree (self-join + window cap + two SHUFFLE_HASH joins)
-    // takes seconds of driver-side Catalyst analysis/codegen, and every
-    // downstream consumer that references it more than once (the doc
-    // expansion's two joins, CC's symmetrized edge union re-planned each
-    // round) would pay that again per reference — measured as the
-    // dominant cost of q_dedup_cluster at sf0.1. Truncating to a
-    // LogicalRDD makes each re-plan O(1); the materialized block is tiny
-    // (one row per verified distinct-set pair).
-    (members, verified.localCheckpoint(eager = false))
+    (members, verified)
   }
 
   /** Transitive near-duplicate clusters straight from the corpus: every
@@ -285,8 +276,17 @@ object Dedup {
   def dedupClusters(docs: DataFrame, idCol: String, textCol: String,
                     numHashes: Int = 16, bands: Int = 4,
                     threshold: Double = 0.9, bucketCap: Int = 0): DataFrame = {
-    val (members, verified) =
+    val (members, rawVerified) =
       minHashDigestPairs(docs, idCol, textCol, numHashes, bands, threshold, bucketCap)
+    // LAZY localCheckpoint — here for PLANNING cost, not recompute: the
+    // verified subtree (self-join + window cap + two SHUFFLE_HASH joins)
+    // takes seconds of driver-side Catalyst analysis/codegen, and it is
+    // referenced three times below (two rep joins + CC's edge input) with
+    // CC re-planning its edges every round — measured as the dominant
+    // cost of q_dedup_cluster at sf0.1. Truncating to a LogicalRDD makes
+    // each re-plan O(1); the materialized block is one row per verified
+    // distinct-set pair.
+    val verified = rawVerified.localCheckpoint(eager = false)
     // lazy checkpoint: reps feeds the edge projection twice and the final
     // expansion once; one materialization, one row per distinct digest
     val reps = members.groupBy("digest").agg(min("doc_id").as("rep"))

@@ -142,6 +142,30 @@ class PlanSpec extends SparkSpec {
       "six-table star join must stay equi-join only")
   }
 
+  test("q_mix_materialize joins the factor table by broadcast, never sort-merge") {
+    // The epoch explode's scale claim: the per-source factor table rides a
+    // broadcast so the corpus itself is never shuffled. (The 1-row totals
+    // cross join legitimately plans as a nested-loop.)
+    val plan = planOf("q_mix_materialize")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.nonEmpty,
+      "expected the factor table on a broadcast hash join")
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    assert(collectAll(plan) { case j: SortMergeJoinExec => j }.isEmpty,
+      "corpus must not shuffle for a sort-merge join")
+  }
+
+  test("q_scrub_boilerplate prunes via a digest-keyed anti join") {
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val anti = collectAll(planOf("q_scrub_boilerplate")) {
+      case j: BaseJoinExec if j.joinType == LeftAnti => j }
+    assert(anti.nonEmpty, "expected a left-anti join against the boilerplate set")
+    // keys must be the 8-byte digests, not paragraph text
+    assert(anti.head.leftKeys.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType),
+      s"anti join must key on xxhash64 digests, got ${anti.head.leftKeys}")
+  }
+
   test("q_dedup_incremental bloom-prunes the standing corpus before its shuffle") {
     // The batch-keyed sketch must sit on the corpus side as a Filter
     // BELOW the distinct()'s exchange — pruning after the shuffle would
