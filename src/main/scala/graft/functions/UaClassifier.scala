@@ -27,10 +27,13 @@ import org.apache.spark.sql.functions._
   *
   * Evaluation cost: the when-ladder short-circuits at the first hit, and the
   * sections are frequency-ordered AFTER the bot block (bots must precede the
-  * Chrome family — evergreen Googlebot carries "Chrome/"). A mainstream
-  * Chrome/Safari agent therefore walks the bot tokens once (~60 cheap
-  * `contains` calls on a ~120-byte string) and exits in the first browser
-  * section it can match; only unclassifiable agents walk the full ladder.
+  * Chrome family — evergreen Googlebot carries "Chrome/"). The entire
+  * crawler/tooling block additionally sits behind [[crawlerGuardTokens]], a
+  * ~24-substring coarse cover proven (in AlbParserSpec) to fire for every
+  * crawler rule's tokens — so a mainstream Chrome/Safari agent tests the
+  * guard once and jumps straight to the browser sections; only agents that
+  * trip the guard walk the crawler rules, and only unclassifiable agents
+  * walk the full ladder.
   */
 object UaClassifier {
 
@@ -39,8 +42,13 @@ object UaClassifier {
     * (evergreen Googlebot carries "Chrome/"), in-app webviews and
     * Chromium-derivative browsers (Edge/Opera/Samsung/Yandex/…) precede
     * Chrome (they all carry "Chrome/"), mobile variants precede their
-    * desktop base family. */
-  val browserRules: Seq[(String, Seq[String], Seq[String])] = Seq(
+    * desktop base family.
+    *
+    * The crawler/tooling block lives in its own list so [[browserFamily]]
+    * can skip it behind [[crawlerGuardTokens]]; `browserRules =
+    * crawlerRules ++ browserOnlyRules` remains the single source of truth
+    * for the interpreter, the SQL twin, and the goldens. */
+  val crawlerRules: Seq[(String, Seq[String], Seq[String])] = Seq(
     // ---- search-engine crawlers ----------------------------------------
     ("Googlebot", Seq("Googlebot"), Seq.empty),
     ("AdsBot-Google", Seq("AdsBot-Google"), Seq.empty),
@@ -117,6 +125,22 @@ object UaClassifier {
     ("Site24x7", Seq("Site24x7"), Seq.empty),
     ("NewRelicPinger", Seq("NewRelicPinger"), Seq.empty),
     ("Datadog", Seq("Datadog"), Seq.empty),
+  )
+
+  /** Coarse crawler pre-guard: every [[crawlerRules]] entry has a positive
+    * token CONTAINING one of these substrings (asserted rule-by-rule in
+    * AlbParserSpec), so a UA matching none of them cannot match any
+    * crawler rule and the classifier may skip the whole crawler block.
+    * A false positive only walks the full ladder — never a different
+    * answer — so the tokens can stay coarse and few. */
+  val crawlerGuardTokens: Seq[String] = Seq(
+    "ot", "pider", "Google", "Preview", "GPT", "Lighthouse", "Claude",
+    "Datadog", "Embedly", "MegaIndex", "NewRelic", "Pingdom", "Qwantify",
+    "Site24x7", "Slurp", "StatusCake", "WhatsApp", "Yeti/", "-ai",
+    "facebookexternalhit", "heritrix", "ia_archiver", "meta-externalagent",
+    "Barkrowler")
+
+  val browserOnlyRules: Seq[(String, Seq[String], Seq[String])] = Seq(
     // ---- in-app webviews & vendor mobile browsers (before Chrome) -------
     ("WeChat", Seq("MicroMessenger/"), Seq.empty),
     ("Baidu App", Seq("baiduboxapp"), Seq.empty),
@@ -259,6 +283,12 @@ object UaClassifier {
     ("Dillo", Seq("Dillo"), Seq.empty),
   )
 
+  /** The full ordered rule set — what [[interpret]], the SQL twin, and the
+    * goldens consume; [[browserFamily]] evaluates the same order with the
+    * crawler block behind the guard. */
+  val browserRules: Seq[(String, Seq[String], Seq[String])] =
+    crawlerRules ++ browserOnlyRules
+
   val osRules: Seq[(String, Seq[String], Seq[String])] = Seq(
     ("Windows Phone", Seq("Windows Phone"), Seq.empty),
     ("Windows CE", Seq("Windows CE"), Seq.empty),
@@ -324,19 +354,35 @@ object UaClassifier {
 
   private def isBlank(ua: Column): Column = ua.isNull || ua === "" || ua === "-"
 
-  private def ladder(ua: Column, rules: Seq[(String, Seq[String], Seq[String])],
-                     fallback: String): Column = {
-    val tail: Column = rules.reverse.foldLeft(lit(fallback)) {
+  private def ladderTail(ua: Column,
+                         rules: Seq[(String, Seq[String], Seq[String])],
+                         fallback: Column): Column =
+    rules.reverse.foldLeft(fallback) {
       case (els, (family, pos, neg)) =>
         val cond = (pos.map(p => ua.contains(p)) ++ neg.map(n => !ua.contains(n)))
           .reduce(_ && _)
         when(cond, lit(family)).otherwise(els)
     }
-    when(isBlank(ua), lit("Unknown")).otherwise(tail)
-  }
 
-  /** Browser family as a codegen'd Column expression. */
-  def browserFamily(ua: Column): Column = ladder(ua, browserRules, "Other")
+  private def ladder(ua: Column, rules: Seq[(String, Seq[String], Seq[String])],
+                     fallback: String): Column =
+    when(isBlank(ua), lit("Unknown"))
+      .otherwise(ladderTail(ua, rules, lit(fallback)))
+
+  /** Browser family as a codegen'd Column expression — semantically the
+    * [[browserRules]] ladder, evaluated with the crawler block behind the
+    * cheap [[crawlerGuardTokens]] pre-guard: mainstream agents (the
+    * overwhelming majority of real traffic) test ~24 coarse substrings
+    * instead of walking ~75 crawler rules before reaching the browser
+    * sections. The null-`coalesce` shape keeps exactly ONE codegen copy
+    * of each sub-ladder. */
+  def browserFamily(ua: Column): Column = {
+    val guard = crawlerGuardTokens.map(ua.contains).reduce(_ || _)
+    coalesce(
+      when(isBlank(ua), lit("Unknown"))
+        .when(guard, ladderTail(ua, crawlerRules, lit(null).cast("string"))),
+      ladderTail(ua, browserOnlyRules, lit("Other")))
+  }
 
   /** OS family as a codegen'd Column expression. */
   def osFamily(ua: Column): Column = ladder(ua, osRules, "Other")

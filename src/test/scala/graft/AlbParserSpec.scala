@@ -161,6 +161,20 @@ class AlbParserSpec extends SparkSpec {
     }
   }
 
+  test("crawler guard is a sound cover: every crawler rule trips it") {
+    import graft.functions.UaClassifier
+    // Soundness of the fast-path skip: any UA matching crawler rule R
+    // contains all of R's positive tokens, so if some positive token
+    // CONTAINS a guard substring the guard must fire for that UA. One
+    // such token per rule proves the guard never suppresses a crawler
+    // classification. (A guard false-positive merely walks the full
+    // ladder — covered by the rule-for-rule golden test above.)
+    UaClassifier.crawlerRules.foreach { case (family, pos, _) =>
+      assert(UaClassifier.crawlerGuardTokens.exists(g => pos.exists(_.contains(g))),
+        s"crawler rule '$family' ($pos) has no token containing a guard substring")
+    }
+  }
+
   test("backslash-escaped quote inside a quoted field parses (SURVEY §7.3 risk)") {
     // csv escape='\\': embedded \" stays inside the UA token
     val line = golden.replace(
