@@ -78,6 +78,60 @@ SELECT doc_id, string_agg(para, e'\\n\\n' ORDER BY pos) AS text_clean,
   count(*)::BIGINT AS n_kept
 FROM kept GROUP BY doc_id ORDER BY doc_id"""),
 
+    // ExactSubstr-style repeated-span detection (Lee et al.,
+    // "Deduplicating Training Data Makes Language Models Better"): slide
+    // an 8-token window at stride 1 over every document and flag spans
+    // whose exact text recurs in ANOTHER document — the diagnostic that
+    // drives substring-level dedup. Per doc: window count, positions
+    // covered by a cross-doc span, and the repeated fraction.
+    //
+    // Scale shape: windows group/join on 8-byte xxhash64 digests, never
+    // the window text (the oracle groups the raw strings — counts agree
+    // absent 64-bit collisions, ≈1e-12 per corpus here); the cross-doc
+    // set survives a >= 2 distinct-doc filter so the semi join's build
+    // side is small; per-doc rollup is one partial-agg groupBy.
+    QueryDef("q_dedup_substring",
+      (s, d) => {
+        val W = 8
+        val ws = split(col("text"), " ")
+        val wins = when(size(ws) >= W,
+          transform(sequence(lit(1), size(ws) - W + 1),
+            i => concat_ws(" ", slice(ws, i, lit(W)))))
+          .otherwise(array().cast("array<string>"))
+        val rows = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(wins)).toDF("doc_id", "pos", "win")
+          .select(col("doc_id"), col("pos"), xxhash64(col("win")).as("dig"))
+          .localCheckpoint(eager = false) // fans out to the count + the semi join
+        val crossDoc = rows.groupBy("dig")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("dig")
+        val flagged = rows.join(crossDoc, Seq("dig"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_repeated"))
+        rows.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+          .join(flagged, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+            (coalesce(col("n_repeated"), lit(0L)).cast("double")
+              / col("n_windows")).as("repeated_frac"))
+          .orderBy("doc_id")
+      },
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         wn AS (SELECT doc_id, unnest(range(1, len(w) - 8 + 2)) AS pos, w
+                FROM ws WHERE len(w) >= 8),
+         win AS (SELECT doc_id, pos,
+                   array_to_string(list_slice(w, pos, pos + 7), ' ') AS win
+                 FROM wn),
+         cross_doc AS (SELECT win FROM win GROUP BY win
+                       HAVING count(DISTINCT doc_id) >= 2),
+         rep AS (SELECT doc_id, count(*) AS n_repeated
+                 FROM win WHERE win IN (SELECT win FROM cross_doc)
+                 GROUP BY doc_id)
+         SELECT w.doc_id, count(*)::BIGINT AS n_windows,
+           coalesce(any_value(r.n_repeated), 0)::BIGINT AS n_repeated,
+           coalesce(any_value(r.n_repeated), 0)::DOUBLE / count(*) AS repeated_frac
+         FROM win w LEFT JOIN rep r ON w.doc_id = r.doc_id
+         GROUP BY w.doc_id ORDER BY w.doc_id"""),
+
     // Gopher-style repetition/quality gates, one row per doc: duplicate
     // word fraction, duplicate paragraph fraction (the "duplicate line
     // fraction" analogue over the derived chunks), most-frequent-bigram

@@ -44,7 +44,9 @@ class ShortDocSpec extends SparkSpec {
     "q_dedup_paragraph",    // derived chunks (LlmOps3)
     "q_text_repetition",    // bigram mode + chunk fractions (LlmOps3)
     "q_text_chargram",      // 5-char grams with greatest() guard (LlmOps)
-    "q_text_fingerprint")   // rolling hash (LlmOps)
+    "q_text_fingerprint",   // rolling hash (LlmOps)
+    "q_dedup_substring",    // 8-token windows with size guard (LlmOps3)
+    "q_scrub_boilerplate")  // derived chunks (LlmOps3)
 
   ngramQueries.foreach { name =>
     test(s"$name survives sub-n-gram documents (0/1/2-word)") {
