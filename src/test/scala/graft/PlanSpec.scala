@@ -166,6 +166,17 @@ class PlanSpec extends SparkSpec {
       s"anti join must key on xxhash64 digests, got ${anti.head.leftKeys}")
   }
 
+  test("q_dedup_substring semi-joins on 8-byte window digests") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val semi = collectAll(planOf("q_dedup_substring")) {
+      case j: BaseJoinExec if j.joinType == LeftSemi => j }
+    assert(semi.nonEmpty, "expected a left-semi join against the cross-doc set")
+    assert(semi.head.leftKeys.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType),
+      s"semi join must key on xxhash64 digests, got ${semi.head.leftKeys}")
+  }
+
   test("q_dedup_incremental bloom-prunes the standing corpus before its shuffle") {
     // The batch-keyed sketch must sit on the corpus side as a Filter
     // BELOW the distinct()'s exchange — pruning after the shuffle would
