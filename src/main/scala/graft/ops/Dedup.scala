@@ -339,6 +339,30 @@ object Dedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Digest-keyed incremental dedup verdicts — the nightly-ingest (or
+    * micro-batch) decision against a standing corpus: each batch row is
+    * `dup_corpus` (digest already accepted), `dup_batch` (a smaller-id row
+    * of this batch has the same digest), or `keep`.
+    *
+    * Contract: `batch` carries (`doc_id` LONG, `h` digest); `corpusDigests`
+    * carries `h` (duplicates fine — deduped here). Everything joins on the
+    * digest: the corpus side shrinks to distinct digests (never documents)
+    * and the first-in-batch choice is a partial-agg `min`. The same
+    * function serves the batch query (q_dedup_incremental, with a
+    * bloom-pruned corpus feed) and the Structured Streaming loop
+    * (foreachBatch against a digest store — StreamingDedupSpec).
+    */
+  def incrementalVerdicts(batch: DataFrame, corpusDigests: DataFrame): DataFrame = {
+    val corpus = corpusDigests.select("h").distinct().withColumn("in_corpus", lit(1))
+    val firsts = batch.groupBy("h").agg(min("doc_id").as("first_id"))
+    batch.join(corpus, Seq("h"), "left")
+      .join(firsts, "h")
+      .select(col("doc_id"), col("h").as("content_md5"),
+        when(col("in_corpus").isNotNull, "dup_corpus")
+          .when(col("doc_id") =!= col("first_id"), "dup_batch")
+          .otherwise("keep").as("verdict"))
+  }
+
   /** Boilerplate scrub — the frequency-threshold complement of
     * [[paragraphDedup]]: REMOVE every paragraph occurring in at least
     * `maxDocs` DISTINCT documents (navigation chrome, license headers,

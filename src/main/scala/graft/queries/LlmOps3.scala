@@ -258,16 +258,8 @@ FROM st ORDER BY doc_id"""),
         val corpus = RuntimeFilters
           .bloomPruned(docs.filter(!isNew), col("h"), batch, col("h"),
             expectedItems = 100000L)
-          .select("h").distinct()
-          .withColumn("in_corpus", lit(1))
-        val firsts = batch.groupBy("h").agg(min("doc_id").as("first_id"))
-        batch.join(corpus, Seq("h"), "left")
-          .join(firsts, "h")
-          .select(col("doc_id"), col("h").as("content_md5"),
-            when(col("in_corpus").isNotNull, "dup_corpus")
-              .when(col("doc_id") =!= col("first_id"), "dup_batch")
-              .otherwise("keep").as("verdict"))
-          .orderBy("doc_id")
+          .select("h")
+        Dedup.incrementalVerdicts(batch, corpus).orderBy("doc_id")
       },
       """WITH docs AS (SELECT doc_id, md5(text) AS h FROM documents),
          corpus AS (SELECT DISTINCT h FROM docs WHERE doc_id % 10 >= 2),
