@@ -137,4 +137,58 @@ class PropertySpec extends SparkSpec {
     assert(onceRows.map(_._3).sum == distinctParas.toLong,
       "survivors must equal distinct paragraph count")
   }
+
+  test("boilerplateScrub is idempotent and removal-exact on random corpora") {
+    // Every copy of an over-threshold paragraph is gone after one pass, so
+    // every surviving paragraph's doc frequency is already under the
+    // threshold — a second pass must be a no-op. Survivor totals equal the
+    // per-doc count of under-threshold paragraph instances, computed
+    // independently in plain Scala.
+    val maxDocs = 2
+    val texts = Seq.tabulate(40) { i =>
+      val paras = Seq.fill(1 + rnd.nextInt(4))(
+        Seq.fill(3)(s"w${rnd.nextInt(6)}").mkString(" "))
+      (i.toLong, paras.mkString("\n\n"))
+    }
+    val freq = texts.flatMap { case (id, t) => t.split("\n\n").distinct.map((_, id)) }
+      .groupBy(_._1).map { case (p, xs) => (p, xs.size) }
+    val expected = texts.map { case (id, t) =>
+      (id, t.split("\n\n").count(p => freq(p) < maxDocs))
+    }.filter(_._2 > 0).toMap
+    val df = texts.toDF("doc_id", "text")
+    val once = graft.ops.Dedup.boilerplateScrub(df, "doc_id", "text", maxDocs)
+    val onceRows = once.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(onceRows.map(r => (r._1, r._3.toInt)).toMap == expected,
+      "survivor counts must match the plain-Scala frequency computation")
+    val twice = graft.ops.Dedup.boilerplateScrub(
+        once.select(col("doc_id"), col("text_clean").as("text")),
+        "doc_id", "text", maxDocs)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(twice == onceRows, "boilerplateScrub must be idempotent")
+  }
+
+  test("incrementalVerdicts partitions every batch row into exactly one verdict") {
+    // Laws over a random batch/corpus mix: every batch row gets exactly
+    // one verdict; keep rows have distinct digests disjoint from the
+    // corpus; dup_corpus rows' digests are all in the corpus; dup_batch
+    // rows share a digest with a smaller-id keep row of the same batch.
+    val pool = Seq("aa", "bb", "cc", "dd", "ee", "ff")
+    val batch = (1L to 30L).map(i => (i, pool(rnd.nextInt(pool.size))))
+    val corpusTexts = Seq.fill(3)(pool(rnd.nextInt(pool.size))).distinct
+    val b = batch.toDF("doc_id", "h")
+    val c = corpusTexts.toDF("h")
+    val got = graft.ops.Dedup.incrementalVerdicts(b, c).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.length == batch.size, "one verdict per batch row")
+    val byVerdict = got.groupBy(_._3).withDefaultValue(Array.empty)
+    assert(byVerdict("dup_corpus").forall(r => corpusTexts.contains(r._2)))
+    assert(byVerdict("keep").forall(r => !corpusTexts.contains(r._2)))
+    assert(byVerdict("keep").map(_._2).distinct.length == byVerdict("keep").length,
+      "keeps must be digest-distinct")
+    val keepIds = byVerdict("keep").map(r => r._2 -> r._1).toMap
+    assert(byVerdict("dup_batch").forall(r => keepIds.get(r._2).exists(_ < r._1)),
+      "every dup_batch row must trail a smaller-id keep of the same digest")
+  }
 }
