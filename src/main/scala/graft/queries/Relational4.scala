@@ -198,5 +198,36 @@ object Relational4 {
          GROUP BY c_custkey, c_name, c_acctbal, n_name
          ORDER BY revenue DESC, c_custkey ASC
          LIMIT 20"""),
+
+    // TPC-H Q12 shape — priority mix per return class: one fact-dim
+    // equi-join, then CONDITIONAL aggregation (sum-of-CASE) splitting
+    // each group's line count by order priority — the classic
+    // pivot-without-pivot report. Map-side combine ships 3 groups × 2
+    // counters; the join key prunes to 2 fact columns + the date filter
+    // pushes to parquet. (The synthetic schema has no l_shipmode; the
+    // returnflag plays the grouping role, priorities the CASE split.)
+    QueryDef("q_tpch_priority",
+      (s, d) => {
+        val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        val l = Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_returnflag")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_returnflag")
+          .agg(
+            sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(!urgent, 1L).otherwise(0L)).as("low_line_count"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate >= TIMESTAMP '1999-01-01'
+         GROUP BY l_returnflag
+         ORDER BY l_returnflag"""),
   )
 }

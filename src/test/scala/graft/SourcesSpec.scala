@@ -59,6 +59,46 @@ class SourcesSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("parquet schema evolution: mergeSchema unifies file generations") {
+    // At 100 TB a table's files span schema versions (a column added last
+    // quarter exists only in new files). mergeSchema must surface the
+    // union schema with nulls where old files lack the column — the
+    // contract that lets a pipeline evolve without rewriting history.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/gen=1")
+    Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/gen=2")
+    val unified = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(unified.columns.toSet == Set("id", "v", "score", "gen"))
+    val got = unified.select("id", "score").orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    assert(got.toSeq == Seq(1L -> None, 2L -> None, 3L -> Some(30), 4L -> Some(40)))
+  }
+
+  test("json source quarantines malformed rows in _corrupt_record") {
+    // PERMISSIVE mode: bad rows must not kill a 100 TB scan — they land
+    // null-columned with the raw line captured for a quarantine sink,
+    // the same drop-and-count contract as the gz log parser (A13/A20).
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("badjson")
+    java.nio.file.Files.write(dir.resolve("x.json"),
+      Seq("""{"id": 1, "v": "ok"}""", """{"id": 2 BROKEN""",
+        """{"id": 3, "v": "fine"}""").mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val rows = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    assert(rows.count() == 3)
+    assert(rows.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(rows.filter(col("_corrupt_record").isNull)
+      .select("id").orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
   test("binaryFile source feeds the multimodal decode pipeline") {
     // The production ingestion path for media: spark.read.format
     // ("binaryFile") → (path, length, content) → Multimodal.decode, with
