@@ -17,6 +17,13 @@ object LlmOps4 {
   private val dims = 64
   private val iters = 3
 
+  // PQ shape (declared before `defs`: the oracle CTE string interpolates
+  // these at object init — declaring them later would bake in zeros)
+  private val pqSubs = 8
+  private val pqSubDim = dims / pqSubs
+  private val pqK = 4
+  private val pqIters = 2
+
   /** Per-row nearest-centroid id over DRIVER-HELD centroids: the K
     * distances are inlined as literal-array expressions and the argmin is
     * `least` over (dist, cid) structs — a narrow codegen'd projection, no
@@ -195,5 +202,150 @@ r AS (SELECT *, row_number() OVER (PARTITION BY q_id
         ORDER BY cosine_sim DESC, neighbor_id ASC) AS rn FROM sc)
 SELECT q_id, rn::BIGINT AS rn, neighbor_id, cid, cosine_sim
 FROM r WHERE rn <= 5 ORDER BY q_id, rn"""),
+
+    // Product quantization (PQ) — the memory-side half of a production
+    // ANN index (IVF narrows WHERE to look, PQ shrinks WHAT is stored):
+    // the 64-dim vectors split into 8 subspaces of 8 dims, each subspace
+    // trains its own K=4 quantizer, every vector compresses to 8 small
+    // codes (4 bytes here vs 256 — at 100 TB the index fits in memory
+    // because of exactly this), and queries score candidates with the
+    // asymmetric-distance table: ||q_sub − centroid(code)||² summed over
+    // subspaces, never touching the original vectors.
+    //
+    // Scale/structure notes: ALL 8 subspaces train together — each
+    // Lloyd's round is still ONE corpus scan and ONE shuffle of
+    // subs×K×subDim partially-aggregated rows (the assign expression
+    // selects its subspace's literal centroids with a when-chain);
+    // sub-vector rows are lazily checkpointed once and reused by every
+    // round and the final encode; the per-query distance TABLE is
+    // subs×K rows, broadcast, and the ADC join touches only (sub, cid)
+    // codes. Determinism: the same fixed-point BIGINT story as
+    // q_cluster_kmeans for training, and ADC cell values quantize to
+    // BIGINT before the per-candidate sum, so ranking is exact integer
+    // arithmetic on both engines.
+    QueryDef("q_similarity_pq",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val rows = pqSubRows(Tables.embeddings(s, d).select("vec_id", "embedding"))
+          .localCheckpoint(eager = false) // rounds + encode + probes reuse it
+        var cents = pqSeed(rows)
+        for (_ <- 1 to pqIters) cents = collectPqCents(pqRound(rows, cents))
+        val codes = rows.select(col("vec_id"), col("sub"),
+          pqNearestCid(cents).as("cid"))
+        val centDf = cents.toSeq.flatMap { case (sub, cs) =>
+          cs.map { case (cid, cv) => (sub, cid, cv) }
+        }.toDF("sub", "cid", "cvec")
+        val probes = rows.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("sub"), col("sv"))
+        val tbl = probes.join(broadcast(centDf), "sub")
+          .select(col("qid"), col("sub"), col("cid"),
+            floor(Similarity.l2sq(col("sv"), col("cvec")) * lit(1e8))
+              .cast("long").as("d"))
+        codes.join(broadcast(tbl), Seq("sub", "cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy("qid", "vec_id").agg(sum("d").as("adc_fp"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adc_fp").asc, col("vec_id").asc))
+            .cast("long"))
+          .filter(col("rank") <= 3)
+          .select("qid", "rank", "vec_id", "adc_fp")
+          .orderBy("qid", "rank")
+      },
+      s"""WITH $pqCtes
+SELECT qid, rank::BIGINT AS rank, vec_id, adc_fp FROM r
+WHERE rank <= 3 ORDER BY qid, rank"""),
   )
+
+  // ---- PQ internals ------------------------------------------------------
+
+  /** One row per (vector, subspace): `sv` is that subspace's dim slice. */
+  private def pqSubRows(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(pqSubs - 1))).as("sub"), col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * pqSubDim + 1, lit(pqSubDim)).as("sv"))
+
+  /** Seed each subspace's quantizer from the first K vectors' slices. */
+  private def pqSeed(rows: DataFrame): Map[Int, Seq[(Long, Seq[Double])]] =
+    rows.filter(col("vec_id") < pqK)
+      .select(col("sub"), col("vec_id").as("cid"),
+        transform(col("sv"), x => x.cast("double")).as("cvec"))
+      .collect()
+      .groupBy(_.getInt(0)).map { case (s, rs) =>
+        s -> rs.map(r => (r.getLong(1), r.getSeq[Double](2))).sortBy(_._1).toSeq
+      }
+
+  /** Nearest-centroid cid within the row's OWN subspace: a when-chain
+    * selects the subspace, then the same literal-array argmin as
+    * [[nearestCid]]. Ties break toward the smaller cid. */
+  private def pqNearestCid(cents: Map[Int, Seq[(Long, Seq[Double])]]): Column =
+    (0 until pqSubs).foldLeft(lit(-1L)) { (els, s) =>
+      val ds = cents(s).map { case (cid, cv) =>
+        struct(Similarity.l2sq(col("sv"), typedlit(cv)).as("dist"),
+          lit(cid).as("cid"))
+      }
+      when(col("sub") === s,
+        (if (ds.size == 1) ds.head else least(ds: _*)).getField("cid"))
+        .otherwise(els)
+    }
+
+  /** One fused Lloyd's round across ALL subspaces: one scan, one shuffle
+    * of subs×K×subDim fixed-point partials. */
+  private def pqRound(rows: DataFrame,
+                      cents: Map[Int, Seq[(Long, Seq[Double])]]): DataFrame =
+    rows.select(col("sub"), pqNearestCid(cents).as("cid"), col("sv"))
+      .select(col("sub"), col("cid"), posexplode(col("sv")))
+      .toDF("sub", "cid", "pos", "v")
+      .groupBy("sub", "cid", "pos")
+      .agg(sum(floor(col("v").cast("double") * lit(1e8)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("sub"), col("cid"), col("pos"),
+        ((col("s").cast("double") / lit(1e8)) / col("n")).as("c"))
+
+  private def collectPqCents(upd: DataFrame): Map[Int, Seq[(Long, Seq[Double])]] =
+    upd.collect()
+      .groupBy(_.getInt(0)).map { case (s, rs) =>
+        s -> rs.groupBy(_.getLong(1)).toSeq.map { case (cid, ps) =>
+          (cid, ps.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+        }.sortBy(_._1)
+      }
+
+  /** DuckDB mirror: subspace rows → seeded c0 → (assign, update) per
+    * iteration with `sub` as a column (the same all-subspaces-at-once
+    * structure as the Spark side) → codes, probe distance table, ADC. */
+  private def pqCtes: String = {
+    def round(i: Int): String =
+      s"""a$i AS (
+  SELECT vec_id, sub, sv, cid,
+    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn
+  FROM (SELECT v.vec_id, v.sub, v.sv, c.cid,
+          ${Similarity.l2sqSql("v.sv", "c.cvec")} AS dist
+        FROM sv v JOIN c${i - 1} c USING (sub)) s),
+u$i AS (
+  SELECT sub, cid, i AS pos,
+    sum(floor(sv[i + 1]::DOUBLE * 1e8)::BIGINT) AS s, count(*) AS n
+  FROM a$i, range(0, $pqSubDim) t(i) WHERE rn = 1 GROUP BY sub, cid, i),
+c$i AS (SELECT sub, cid, list((s::DOUBLE / 1e8) / n ORDER BY pos) AS cvec
+        FROM u$i GROUP BY sub, cid)"""
+    val enc = pqIters + 1
+    s"""sv AS (SELECT vec_id, s.sub::INTEGER AS sub,
+         list_slice(embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS sv
+       FROM embeddings, range(0, $pqSubs) s(sub)),
+c0 AS (SELECT sub, vec_id AS cid, list_transform(sv, x -> x::DOUBLE) AS cvec
+       FROM sv WHERE vec_id < $pqK),
+${(1 to pqIters).map(round).mkString(",\n")},
+${round(enc)},
+codes AS (SELECT vec_id, sub, cid FROM a$enc WHERE rn = 1),
+probes AS (SELECT vec_id AS qid, sub, sv FROM sv WHERE vec_id < 5),
+tbl AS (SELECT p.qid, c.sub, c.cid,
+          floor((${Similarity.l2sqSql("p.sv", "c.cvec")}) * 1e8)::BIGINT AS d
+        FROM probes p JOIN c$pqIters c USING (sub)),
+adc AS (SELECT t.qid, k.vec_id, sum(t.d)::BIGINT AS adc_fp
+        FROM codes k JOIN tbl t ON t.sub = k.sub AND t.cid = k.cid
+        WHERE k.vec_id <> t.qid GROUP BY 1, 2),
+r AS (SELECT qid, vec_id, adc_fp,
+        row_number() OVER (PARTITION BY qid ORDER BY adc_fp ASC, vec_id ASC) AS rank
+      FROM adc)"""
+  }
 }

@@ -306,6 +306,35 @@ class OpsSpec extends SparkSpec {
       s"trained-IVF recall@5 = $recall — expected well above nprobe/K = 0.25")
   }
 
+  test("PQ ADC top-3 recall vs exact L2 is well above chance") {
+    // ADC ranks by quantized distances, so recall < 1.0 by construction,
+    // and THIS corpus is PQ's worst case: near-isotropic random vectors
+    // have no cluster structure for the sub-quantizers to exploit, so
+    // 8 subspaces × 4 centroids retain only coarse geometry (measured
+    // recall@3 = 0.27 — ~44× above the 3/(N-1) ≈ 0.006 chance level;
+    // real embedding corpora cluster and recall rises sharply, and the
+    // production dial is pqK, traded against code size). Both sides are
+    // deterministic; the measured value is a stable pin.
+    import graft.functions.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("dist").asc, col("neighbor_id").asc)
+    val exact = e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        Similarity.l2sq(col("embedding"), col("q_emb")).as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("qid", "neighbor_id")
+    val pq = SparkEntry.queries("q_similarity_pq")(spark, sf)
+      .select(col("qid"), col("vec_id").as("neighbor_id"))
+    val recall = exact.intersect(pq).count().toDouble / exact.count()
+    val n = e.count()
+    assert(recall >= 0.2 && recall > 20.0 * 3.0 / (n - 1),
+      s"PQ recall@3 = $recall — expected well above chance ${3.0 / (n - 1)}")
+  }
+
   test("approx_percentile stays within 1% of the exact percentile per group") {
     // q_agg_percentile_approx is rows-only at the driver gate (per-engine
     // sketch layouts differ) — this pins its accuracy claim: with
