@@ -252,8 +252,83 @@ FROM r WHERE rn <= 5 ORDER BY q_id, rn"""),
           .select("qid", "rank", "vec_id", "adc_fp")
           .orderBy("qid", "rank")
       },
-      s"""WITH $pqCtes
+      s"""WITH ${pqCtes()}
 SELECT qid, rank::BIGINT AS rank, vec_id, adc_fp FROM r
+WHERE rank <= 3 ORDER BY qid, rank"""),
+
+    // IVF + PQ — the production composition (what FAISS calls IVFPQ):
+    // the trained coarse quantizer NARROWS (each query probes its
+    // nprobe=2 nearest inverted lists), and PQ SCORES the candidates
+    // from 8 compressed codes via the broadcast ADC table — the original
+    // vectors are touched by neither step after training. Candidate work
+    // per query is N·nprobe/K rows of (sub, cid) codes; all joins key on
+    // small integers; both trainings and the ADC sums are fixed-point
+    // deterministic, so the full two-quantizer pipeline hash-matches the
+    // composed DuckDB mirror.
+    QueryDef("q_similarity_ivfpq",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        // coarse quantizer: which list does each vector live in
+        val coarse = collectCentroids(kmeansLastUpdate(e))
+        val assigned = e.select(col("vec_id"), nearestCid(coarse).as("list_id"))
+        val distArr = array_sort(array(coarse.map { case (cid, cvec) =>
+          struct(Similarity.l2sq(col("embedding"), typedlit(cvec)).as("dist"),
+            lit(cid).as("cid"))
+        }: _*))
+        val probeLists = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), explode(slice(distArr, 1, 2)).as("pr"))
+          .select(col("qid"), col("pr.cid").as("list_id"))
+        val candidates = assigned.join(broadcast(probeLists), "list_id")
+          .filter(col("vec_id") =!= col("qid"))
+          .select("qid", "vec_id")
+        // PQ: codes + per-query ADC table
+        val rows = pqSubRows(e).localCheckpoint(eager = false)
+        var pcents = pqSeed(rows)
+        for (_ <- 1 to pqIters) pcents = collectPqCents(pqRound(rows, pcents))
+        val codes = rows.select(col("vec_id"), col("sub"),
+          pqNearestCid(pcents).as("cid"))
+        val centDf = pcents.toSeq.flatMap { case (sub, cs) =>
+          cs.map { case (cid, cv) => (sub, cid, cv) }
+        }.toDF("sub", "cid", "cvec")
+        val probes = rows.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("sub"), col("sv"))
+        val tbl = probes.join(broadcast(centDf), "sub")
+          .select(col("qid"), col("sub"), col("cid"),
+            floor(Similarity.l2sq(col("sv"), col("cvec")) * lit(1e8))
+              .cast("long").as("d"))
+        candidates.join(codes, "vec_id")
+          .join(broadcast(tbl), Seq("qid", "sub", "cid"))
+          .groupBy("qid", "vec_id").agg(sum("d").as("adc_fp"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adc_fp").asc, col("vec_id").asc))
+            .cast("long"))
+          .filter(col("rank") <= 3)
+          .select("qid", "rank", "vec_id", "adc_fp")
+          .orderBy("qid", "rank")
+      },
+      s"""WITH $kmeansCtes,
+${pqCtes("pq")},
+assignd AS (SELECT vec_id, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS arn
+            FROM (SELECT e.vec_id, c.cid,
+                    ${Similarity.l2sqSql("e.embedding", "c.cvec")} AS dist
+                  FROM e CROSS JOIN c$iters c) s0),
+assigned AS (SELECT vec_id, cid AS list_id FROM assignd WHERE arn = 1),
+probel AS (SELECT vec_id AS qid, cid AS list_id
+           FROM assignd WHERE vec_id < 5 AND arn <= 2),
+cand AS (SELECT p.qid, a.vec_id FROM assigned a JOIN probel p USING (list_id)
+         WHERE a.vec_id <> p.qid),
+iadc AS (SELECT c.qid, c.vec_id, sum(t.d)::BIGINT AS adc_fp
+         FROM cand c
+           JOIN pqcodes k ON k.vec_id = c.vec_id
+           JOIN pqtbl t ON t.qid = c.qid AND t.sub = k.sub AND t.cid = k.cid
+         GROUP BY 1, 2),
+ir AS (SELECT qid, vec_id, adc_fp,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_fp ASC, vec_id ASC) AS rank
+       FROM iadc)
+SELECT qid, rank::BIGINT AS rank, vec_id, adc_fp FROM ir
 WHERE rank <= 3 ORDER BY qid, rank"""),
   )
 
@@ -313,39 +388,41 @@ WHERE rank <= 3 ORDER BY qid, rank"""),
 
   /** DuckDB mirror: subspace rows → seeded c0 → (assign, update) per
     * iteration with `sub` as a column (the same all-subspaces-at-once
-    * structure as the Spark side) → codes, probe distance table, ADC. */
-  private def pqCtes: String = {
+    * structure as the Spark side) → codes, probe distance table, ADC.
+    * `p` prefixes every CTE name so this chain can coexist with
+    * [[kmeansCtes]] in the IVF+PQ composition. */
+  private def pqCtes(p: String = ""): String = {
     def round(i: Int): String =
-      s"""a$i AS (
+      s"""${p}a$i AS (
   SELECT vec_id, sub, sv, cid,
     row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, cid ASC) AS rn
   FROM (SELECT v.vec_id, v.sub, v.sv, c.cid,
           ${Similarity.l2sqSql("v.sv", "c.cvec")} AS dist
-        FROM sv v JOIN c${i - 1} c USING (sub)) s),
-u$i AS (
+        FROM ${p}sv v JOIN ${p}c${i - 1} c USING (sub)) s),
+${p}u$i AS (
   SELECT sub, cid, i AS pos,
     sum(floor(sv[i + 1]::DOUBLE * 1e8)::BIGINT) AS s, count(*) AS n
-  FROM a$i, range(0, $pqSubDim) t(i) WHERE rn = 1 GROUP BY sub, cid, i),
-c$i AS (SELECT sub, cid, list((s::DOUBLE / 1e8) / n ORDER BY pos) AS cvec
-        FROM u$i GROUP BY sub, cid)"""
+  FROM ${p}a$i, range(0, $pqSubDim) t(i) WHERE rn = 1 GROUP BY sub, cid, i),
+${p}c$i AS (SELECT sub, cid, list((s::DOUBLE / 1e8) / n ORDER BY pos) AS cvec
+        FROM ${p}u$i GROUP BY sub, cid)"""
     val enc = pqIters + 1
-    s"""sv AS (SELECT vec_id, s.sub::INTEGER AS sub,
+    s"""${p}sv AS (SELECT vec_id, s.sub::INTEGER AS sub,
          list_slice(embedding, s.sub * $pqSubDim + 1, s.sub * $pqSubDim + $pqSubDim) AS sv
        FROM embeddings, range(0, $pqSubs) s(sub)),
-c0 AS (SELECT sub, vec_id AS cid, list_transform(sv, x -> x::DOUBLE) AS cvec
-       FROM sv WHERE vec_id < $pqK),
+${p}c0 AS (SELECT sub, vec_id AS cid, list_transform(sv, x -> x::DOUBLE) AS cvec
+       FROM ${p}sv WHERE vec_id < $pqK),
 ${(1 to pqIters).map(round).mkString(",\n")},
 ${round(enc)},
-codes AS (SELECT vec_id, sub, cid FROM a$enc WHERE rn = 1),
-probes AS (SELECT vec_id AS qid, sub, sv FROM sv WHERE vec_id < 5),
-tbl AS (SELECT p.qid, c.sub, c.cid,
+${p}codes AS (SELECT vec_id, sub, cid FROM ${p}a$enc WHERE rn = 1),
+${p}probes AS (SELECT vec_id AS qid, sub, sv FROM ${p}sv WHERE vec_id < 5),
+${p}tbl AS (SELECT p.qid, c.sub, c.cid,
           floor((${Similarity.l2sqSql("p.sv", "c.cvec")}) * 1e8)::BIGINT AS d
-        FROM probes p JOIN c$pqIters c USING (sub)),
-adc AS (SELECT t.qid, k.vec_id, sum(t.d)::BIGINT AS adc_fp
-        FROM codes k JOIN tbl t ON t.sub = k.sub AND t.cid = k.cid
+        FROM ${p}probes p JOIN ${p}c$pqIters c USING (sub)),
+${p}adc AS (SELECT t.qid, k.vec_id, sum(t.d)::BIGINT AS adc_fp
+        FROM ${p}codes k JOIN ${p}tbl t ON t.sub = k.sub AND t.cid = k.cid
         WHERE k.vec_id <> t.qid GROUP BY 1, 2),
-r AS (SELECT qid, vec_id, adc_fp,
+${p}r AS (SELECT qid, vec_id, adc_fp,
         row_number() OVER (PARTITION BY qid ORDER BY adc_fp ASC, vec_id ASC) AS rank
-      FROM adc)"""
+      FROM ${p}adc)"""
   }
 }
