@@ -97,7 +97,6 @@ object UaClassifier {
     ("OAI-SearchBot", Seq("OAI-SearchBot"), Seq.empty),
     ("ClaudeBot", Seq("ClaudeBot"), Seq.empty),
     ("Claude-Web", Seq("Claude-Web"), Seq.empty),
-    ("anthropic-ai", Seq("anthropic-ai"), Seq.empty),
     ("PerplexityBot", Seq("PerplexityBot"), Seq.empty),
     ("cohere-ai", Seq("cohere-ai"), Seq.empty),
     ("Amazonbot", Seq("Amazonbot"), Seq.empty),
