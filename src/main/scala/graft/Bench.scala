@@ -39,19 +39,30 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // A failed sample records -1.0, NOT its elapsed wall time: a crash must
     // be distinguishable from a fast success in the emitted JSON.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val samples = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
-                   System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        releaseState()
-        System.gc()
-        if (ok) elapsed else -1.0
-      }
-      name -> samples
+    //
+    // Samples are LIST-MAJOR: pass 1 runs every query once, then pass 2,
+    // then pass 3 — not three back-to-back reps per query. Back-to-back
+    // reps share the same contention window, so a noisy minute on the host
+    // shifts all three samples of one query together and the median cannot
+    // reject it (the r6 driver run measured q_dedup_cluster [21.0, 18.3,
+    // 8.2] where a quiet host gives [7.0, 6.7, 6.3]). With list-major
+    // ordering a noisy minute lands on DIFFERENT queries in each pass, so
+    // per-query medians degrade gracefully under transient load.
+    val names = SparkEntry.queries.keys.toSeq
+    val samplesByName = scala.collection.mutable.Map(
+      names.map(_ -> Vector.empty[Double]): _*)
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      releaseState()
+      System.gc()
+      samplesByName(name) = samplesByName(name) :+ (if (ok) elapsed else -1.0)
     }
+    val results = names.map(n => n -> samplesByName(n))
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       val n = s.size
@@ -69,7 +80,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = medians.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
-    val total = medians.values.filter(_ >= 0).sum
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
