@@ -435,6 +435,18 @@ object Dedup {
     // frontier join needs ClusteredDistribution(b), so partitioning the
     // cache by b makes the per-round join reuse the cached layout and
     // shuffle only the (small) frontier, never the edges.
+    //
+    // FAULT-TOLERANCE TRADE-OFF (applies to every localCheckpoint in this
+    // file): checkpoint blocks are NON-RECOMPUTABLE — lineage is cut, so
+    // on a cluster a lost executor (failure, preemption, or
+    // dynamicAllocation reclaiming an idle executor that holds blocks)
+    // fails the job instead of recomputing the partition. That is the
+    // price of killing the measured per-round Catalyst re-planning cost.
+    // On a real cluster either run the dedup family with
+    // spark.dynamicAllocation.enabled=false (or
+    // spark.dynamicAllocation.cachedExecutorIdleTimeout=infinity), or
+    // swap localCheckpoint for reliable checkpoint(dir) and pay the
+    // HDFS/object-store write. SCALING.md §dedup records the same note.
     val p = pairs.localCheckpoint(eager = false)
     val edges = p.select(col("d1").as("a"), col("d2").as("b"))
     val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
@@ -513,6 +525,12 @@ object Dedup {
       frontierSize = frontier.count()
       if (sys.props.contains("graft.cc.profile"))
         println(f"[cc] round ${i + 1}: frontier=$frontierSize ${(System.nanoTime() - r0) / 1e9}%.2f s")
+      // The count above materialized THIS round's checkpoint, and it was
+      // the last reader of the previous round's blocks (this round's
+      // jumped/best/merged all derive from the new checkpoint from here
+      // on) — release them so resident label storage stays O(1) frames
+      // instead of O(rounds).
+      releaseCheckpointBlocks(labels)
       labels = merged.select("node", "label")
       converged = frontierSize == 0
       i += 1
@@ -522,12 +540,28 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters iterations " +
           s"($frontierSize labels still changing) — returned labels are NOT " +
           "a fixpoint; raise maxIters for graphs of larger diameter")
-    // labels is checkpoint-materialized (lineage-free) — the edge cache
-    // can be dropped so long-lived sessions don't accumulate storage (p's
-    // checkpoint blocks are released by the context cleaner on GC)
+    // labels is checkpoint-materialized (lineage-free), so neither the
+    // edge cache nor p's checkpoint blocks are referenced by the returned
+    // frame — release both eagerly. Waiting for the context cleaner (a
+    // GC-driven path) lets blocks from every call accumulate in a
+    // long-lived session, where storage steals from execution in the
+    // unified memory manager.
     sym.unpersist()
+    releaseCheckpointBlocks(p)
     labels.withColumnRenamed("label", "cluster_rep")
   }
+
+  /** Eagerly drop the storage blocks behind a lazily
+    * `localCheckpoint(eager = false)`-ed frame. `Dataset.unpersist` only
+    * reaches `CacheManager` entries (`.cache()`/`.persist()`); a local
+    * checkpoint persists its RDD directly, so the block release has to go
+    * through the `LogicalRDD` the checkpoint planted in the logical plan.
+    * Safe to call only once no downstream consumer will scan the frame
+    * again — the blocks are non-recomputable. */
+  private def releaseCheckpointBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** 64-bit SimHash per document from xxhash64 word hashes: bit i of the
     * fingerprint is the sign of Σ±1 votes over that bit across words.

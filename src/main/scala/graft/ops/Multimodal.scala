@@ -18,14 +18,22 @@ import org.apache.spark.sql.types._
   * decoded pixel sums in closed form without any image library, proving
   * the full encode → bytes → decode round trip end-to-end.
   *
-  * Scale notes: decode runs via `mapPartitions` so codec state (the PNG
-  * [[javax.imageio.ImageReader]]) is initialized once per partition, not
-  * per row — the natural place for a native-library handle; payload bytes
-  * never shuffle (decode-then-project happens before any wide operator);
-  * metadata-only queries never touch the binary column thanks to parquet
-  * column pruning.
+  * Scale notes: decode AND encode run via `mapPartitions` so codec state
+  * (the PNG [[javax.imageio.ImageReader]]/[[javax.imageio.ImageWriter]])
+  * is initialized once per partition, not per row, and `dispose()`d when
+  * the partition drains — the natural lifecycle for a native-library
+  * handle; payload bytes never shuffle (decode-then-project happens
+  * before any wide operator); metadata-only queries never touch the
+  * binary column thanks to parquet column pruning.
   */
 object Multimodal {
+
+  // Process-global ImageIO config: never spill per-image scratch to /tmp.
+  // Set ONCE at object load (the object initializes on each JVM — driver
+  // and every executor — the first time a closure references it), not
+  // inside per-partition tasks, so concurrent tasks don't repeatedly
+  // mutate JVM-global state out from under other ImageIO users.
+  ImageIO.setUseCache(false)
 
   val metaSchema: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
@@ -38,6 +46,19 @@ object Multimodal {
     * 256`. PNG is lossless, so whatever decoder reads these bytes back
     * must reproduce exactly these values. */
   def makePng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(makeImage(seed, w, h), "png", bos)
+    bos.toByteArray
+  }
+
+  /** Fixture pixels without the encode step — the per-partition encode
+    * paths pair this with a hoisted [[javax.imageio.ImageWriter]].
+    * `seed` must be nonnegative: Scala's `%` yields negative remainders
+    * for negative operands, which `setRGB` would truncate to wrapped
+    * bytes while the SQL oracle sums the negative values — the closed
+    * form only holds on the nonnegative domain. */
+  def makeImage(seed: Long, w: Int, h: Int): BufferedImage = {
+    require(seed >= 0, s"fixture seed must be nonnegative, got $seed")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -52,9 +73,7 @@ object Multimodal {
       }
       y += 1
     }
-    val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    img
   }
 
   /** Decode PNG bytes with a caller-owned reader (reused across a
@@ -85,16 +104,45 @@ object Multimodal {
     (w, h, img.getColorModel.getNumColorComponents, sum)
   }
 
-  private def newPngReader(): javax.imageio.ImageReader = {
-    ImageIO.setUseCache(false) // stay in-memory; no /tmp spill per image
+  private def newPngReader(): javax.imageio.ImageReader =
     ImageIO.getImageReadersByFormatName("png").next()
+
+  private def newPngWriter(): javax.imageio.ImageWriter =
+    ImageIO.getImageWritersByFormatName("png").next()
+
+  /** Encode with a caller-owned writer (hoisted per partition, like the
+    * reader on the decode side — no per-row writer lookup). */
+  def encodePng(writer: javax.imageio.ImageWriter,
+                img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try { writer.setOutput(ios); writer.write(img) } finally ios.close()
+    bos.toByteArray
   }
+
+  /** Pass `it` through, invoking `close` once the iterator drains — the
+    * completion hook that releases partition-hoisted codec handles
+    * (`ImageReader`/`ImageWriter.dispose()`). The pure-Java PNG codec
+    * would survive on GC alone, but a native-library swap-in would not,
+    * and this is the slot it plugs into. */
+  private def closingAfter[T](it: Iterator[T])(close: () => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var closed = false
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; close() }
+        h
+      }
+      def next(): T = it.next()
+    }
 
   /** Document-keyed fixture dims: small enough that the SQL oracle's
     * per-pixel expansion stays cheap, varied enough to catch a decoder
     * that ignores the header. */
-  def fixtureDims(id: Long): (Int, Int) =
+  def fixtureDims(id: Long): (Int, Int) = {
+    require(id >= 0, s"fixture doc_id must be nonnegative, got $id")
     ((id % 13 + 4).toInt, (id % 11 + 3).toInt)
+  }
 
   /** Attach a real PNG payload per document — stands in for
     * `spark.read.format("binaryFile")` output at prod, where payloads
@@ -106,11 +154,12 @@ object Multimodal {
       StructField("payload", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.select(col(idCol).cast("long")).mapPartitions { rows =>
-      rows.map { r =>
+      val writer = newPngWriter() // codec state: once per partition
+      closingAfter(rows.map { r =>
         val id = r.getLong(0)
         val (w, h) = fixtureDims(id)
-        Row(id, makePng(id, w, h))
-      }
+        Row(id, encodePng(writer, makeImage(id, w, h)))
+      })(() => writer.dispose())
     }(enc)
   }
 
@@ -130,10 +179,10 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("payload"))
       .mapPartitions { rows =>
         val reader = newPngReader() // codec state: once per partition
-        rows.map { r =>
+        closingAfter(rows.map { r =>
           val (w, h, c, sum) = decodePng(reader, r.getAs[Array[Byte]](1))
           Row(r.getLong(0), Row(w, h, c, sum))
-        }
+        })(() => reader.dispose())
       }(enc)
   }
 
@@ -173,16 +222,15 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("payload"))
       .mapPartitions { rows =>
         val reader = newPngReader()
-        rows.map { r =>
+        val writer = newPngWriter()
+        closingAfter(rows.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
           val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
           val orig = try { reader.setInput(iis); reader.read(0) } finally iis.close()
           val small = downsample(orig, factor)
-          val bos = new ByteArrayOutputStream()
-          ImageIO.write(small, "png", bos)
-          val (w, h, _, sum) = decodePng(reader, bos.toByteArray)
+          val (w, h, _, sum) = decodePng(reader, encodePng(writer, small))
           Row(r.getLong(0), orig.getWidth, orig.getHeight, w, h, sum)
-        }
+        })(() => { reader.dispose(); writer.dispose() })
       }(enc)
   }
 }
