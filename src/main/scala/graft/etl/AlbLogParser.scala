@@ -28,10 +28,15 @@ import graft.functions.UaClassifier
   */
 object AlbLogParser {
 
-  /** Generous token schema: ALB emits 29-30 fields; extra tokens beyond the
-    * schema are ignored, missing ones are null (PERMISSIVE). Only t0..t14
-    * are consumed; arity>=15 is enforced via `t14 IS NOT NULL`. */
-  private val nTokens = 35
+  /** Token schema bounded to what the relation consumes: ALB emits 29-30
+    * fields, but only t0..t14 feed the 13 derivations, so the parse stores
+    * exactly 15 — tokens beyond the schema are scanned but never
+    * materialized (PERMISSIVE), which skips writing ~20 dead string slots
+    * per row into the tokenized struct; missing tokens are null, and
+    * arity>=15 is enforced via `t14 IS NOT NULL`. Quote/escape tokenization
+    * is strictly left-to-right, so truncating the schema cannot change how
+    * the consumed prefix parses. */
+  private val nTokens = 15
   private val tokenSchema = StructType(
     (0 until nTokens).map(i => StructField(s"t$i", StringType, nullable = true)))
 

@@ -368,14 +368,26 @@ object UaClassifier {
     when(isBlank(ua), lit("Unknown"))
       .otherwise(ladderTail(ua, rules, lit(fallback)))
 
-  /** Browser family as a codegen'd Column expression — semantically the
-    * [[browserRules]] ladder, evaluated with the crawler block behind the
-    * cheap [[crawlerGuardTokens]] pre-guard: mainstream agents (the
-    * overwhelming majority of real traffic) test ~24 coarse substrings
-    * instead of walking ~75 crawler rules before reaching the browser
-    * sections. The null-`coalesce` shape keeps exactly ONE codegen copy
-    * of each sub-ladder. */
-  def browserFamily(ua: Column): Column = {
+  /** Browser family — a native [[UaFamilyExpr]] whose generated code is
+    * one static call into [[UaRuntime]]'s rule-table loop (same ordered
+    * rules, same `UTF8String.contains` matching, crawler block behind the
+    * [[crawlerGuardTokens]] pre-guard). See UaFamilyExpr's scaladoc for
+    * why a loop beats unrolling ~250 rules into the projection. */
+  def browserFamily(ua: Column): Column =
+    org.apache.spark.sql.graft.PlanBridge.column(
+      UaFamilyExpr(org.apache.spark.sql.graft.PlanBridge.expression(ua), isOs = false))
+
+  /** OS family — same mechanism over [[osRules]]. */
+  def osFamily(ua: Column): Column =
+    org.apache.spark.sql.graft.PlanBridge.column(
+      UaFamilyExpr(org.apache.spark.sql.graft.PlanBridge.expression(ua), isOs = true))
+
+  /** The when-ladder compilations of the same rule tables — retained as
+    * the cross-pin reference (ExprLadderSpec asserts ladder ==
+    * UaFamilyExpr over every rule's synthetic agent, so the loop runtime,
+    * the Column ladder, the plain-Scala [[interpret]], and the SQL twin
+    * all stay mutually consistent). */
+  def browserFamilyLadder(ua: Column): Column = {
     val guard = crawlerGuardTokens.map(ua.contains).reduce(_ || _)
     coalesce(
       when(isBlank(ua), lit("Unknown"))
@@ -383,8 +395,7 @@ object UaClassifier {
       ladderTail(ua, browserOnlyRules, lit("Other")))
   }
 
-  /** OS family as a codegen'd Column expression. */
-  def osFamily(ua: Column): Column = ladder(ua, osRules, "Other")
+  def osFamilyLadder(ua: Column): Column = ladder(ua, osRules, "Other")
 
   /** Plain-Scala interpreter of the SAME rule data — the test reference
     * implementation that pins the Column/SQL compilations rule-for-rule. */

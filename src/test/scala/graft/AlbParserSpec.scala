@@ -161,6 +161,31 @@ class AlbParserSpec extends SparkSpec {
     }
   }
 
+  test("UaFamilyExpr loop runtime matches the when-ladder compilation") {
+    import graft.functions.UaClassifier
+    // browserFamily/osFamily now compile to the UaRuntime rule-table loop;
+    // this pins it against the original Column when-ladder of the same
+    // rule data over every rule's synthetic agent plus the blank/edge
+    // sentinels, closing the chain: interpret == ladder == loop == SQL.
+    val agents =
+      UaClassifier.browserRules.map { case (_, pos, _) =>
+        s"Mozilla/5.0 ${pos.mkString(" ")} synthetic"
+      } ++ UaClassifier.osRules.map { case (_, pos, _) =>
+        s"Mozilla/5.0 (${pos.mkString("; ")}) synthetic"
+      } ++ Seq("", "-", "some-novel-agent/1.0", null)
+    val df = agents.toDF("ua").select(col("ua"),
+      UaClassifier.browserFamily(col("ua")).as("b_loop"),
+      UaClassifier.browserFamilyLadder(col("ua")).as("b_ladder"),
+      UaClassifier.osFamily(col("ua")).as("o_loop"),
+      UaClassifier.osFamilyLadder(col("ua")).as("o_ladder"))
+    df.collect().foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"browser mismatch for '${r.getString(0)}': loop=${r.getString(1)} ladder=${r.getString(2)}")
+      assert(r.getString(3) == r.getString(4),
+        s"os mismatch for '${r.getString(0)}': loop=${r.getString(3)} ladder=${r.getString(4)}")
+    }
+  }
+
   test("crawler guard is a sound cover: every crawler rule trips it") {
     import graft.functions.UaClassifier
     // Soundness of the fast-path skip: any UA matching crawler rule R

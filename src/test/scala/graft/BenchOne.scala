@@ -18,7 +18,8 @@ object BenchOne {
     }
     fn(spark, "/root/testdata/sf0.001").count()  // warmup
     releaseState()
-    (1 to 3).foreach { i =>
+    val reps = if (args.length > 1) args(1).toInt else 3
+    (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       fn(spark, "/root/testdata/sf0.1").count()
       val dt = (System.nanoTime() - t0) / 1e9
