@@ -132,6 +132,78 @@ FROM kept GROUP BY doc_id ORDER BY doc_id"""),
          FROM win w LEFT JOIN rep r ON w.doc_id = r.doc_id
          GROUP BY w.doc_id ORDER BY w.doc_id"""),
 
+    // Maximal repeated-span EXTENTS — the actual ExactSubstr output shape
+    // (Lee et al. §4.1: the dedup pass needs [start, end) ranges it can
+    // CUT, not per-doc scores): merge each doc's flagged stride-1 windows
+    // into maximal word-index spans wherever their 8-word coverage
+    // overlaps or touches. Classic gaps-and-islands: a window opens a new
+    // span iff its position lies beyond every earlier window's covered
+    // end (running max over a sorted per-doc frame), then span id = the
+    // running count of opens, then one groupBy rolls each island up to
+    // (span_start, span_end, n_windows).
+    //
+    // Scale shape: identical digest-keyed pipeline as q_dedup_substring
+    // (the shuffle carries (doc_id, pos, 8-byte digest), never window
+    // text); the islands pass adds ONE extra shuffle — the sort by
+    // (doc_id, pos) that both window functions and the rollup share —
+    // over only the flagged subset, which the >=2-distinct-docs filter
+    // has already cut to the cross-doc sliver of the corpus.
+    QueryDef("q_dedup_substring_spans",
+      (s, d) => {
+        val W = 8
+        val ws = split(col("text"), " ")
+        val wins = when(size(ws) >= W,
+          transform(sequence(lit(1), size(ws) - W + 1),
+            i => concat_ws(" ", slice(ws, i, lit(W)))))
+          .otherwise(array().cast("array<string>"))
+        val rows = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(wins)).toDF("doc_id", "pos", "win")
+          // posexplode is 0-based; word positions (and the oracle's
+          // range()) are 1-based
+          .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+            xxhash64(col("win")).as("dig"))
+          .localCheckpoint(eager = false) // fans out to count + semi join
+        val crossDoc = rows.groupBy("dig")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("dig")
+        val flagged = rows.join(crossDoc, Seq("dig"), "left_semi")
+        val byPos = Window.partitionBy("doc_id").orderBy("pos")
+        val coveredSoFar = byPos.rowsBetween(Window.unboundedPreceding, -1)
+        flagged
+          .withColumn("brk",
+            when(col("pos") > coalesce(
+              max(col("pos") + W).over(coveredSoFar), lit(-1L)), 1).otherwise(0))
+          .withColumn("island", sum(col("brk")).over(byPos))
+          .groupBy(col("doc_id"), col("island"))
+          .agg(min("pos").as("span_start"),
+            (max(col("pos")) + W).as("span_end"),
+            count(lit(1)).as("n_windows"))
+          .select("doc_id", "span_start", "span_end", "n_windows")
+          .orderBy("doc_id", "span_start")
+      },
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         wn AS (SELECT doc_id, unnest(range(1, len(w) - 8 + 2)) AS pos, w
+                FROM ws WHERE len(w) >= 8),
+         win AS (SELECT doc_id, pos,
+                   array_to_string(list_slice(w, pos, pos + 7), ' ') AS win
+                 FROM wn),
+         cross_doc AS (SELECT win FROM win GROUP BY win
+                       HAVING count(DISTINCT doc_id) >= 2),
+         flagged AS (SELECT doc_id, pos FROM win
+                     WHERE win IN (SELECT win FROM cross_doc)),
+         g AS (SELECT doc_id, pos,
+                 CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                     PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                   THEN 1 ELSE 0 END AS brk
+               FROM flagged),
+         i AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+               FROM g)
+         SELECT doc_id, min(pos)::BIGINT AS span_start,
+           (max(pos) + 8)::BIGINT AS span_end, count(*)::BIGINT AS n_windows
+         FROM i GROUP BY doc_id, island ORDER BY doc_id, span_start"""),
+
     // Gopher-style repetition/quality gates, one row per doc: duplicate
     // word fraction, duplicate paragraph fraction (the "duplicate line
     // fraction" analogue over the derived chunks), most-frequent-bigram

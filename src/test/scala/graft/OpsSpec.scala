@@ -407,6 +407,27 @@ class OpsSpec extends SparkSpec {
       (4L, "all original here", 1L)))
   }
 
+  test("substring spans merge overlapping flagged windows into maximal extents") {
+    // Docs A and B share one 10-word run (unique tokens elsewhere), so the
+    // flagged 8-word windows are exactly the 3 fully inside the run and
+    // must merge into ONE [start, start+10) span per doc; doc C shares
+    // nothing and must not appear.
+    val run = (1 to 10).map(i => s"s$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    Seq(
+      (1L, s"a1 a2 a3 a4 $run a5 a6 a7 a8 a9 a10"), // run at words 5..14
+      (2L, s"b1 b2 $run b3 b4"),                    // run at words 3..12
+      (3L, (1 to 20).map(i => s"c$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_dedup_substring_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 5L, 15L, 3L), (2L, 3L, 13L, 3L)),
+      s"got ${got.toSeq}")
+  }
+
   test("multimodal decode plumbing produces typed metadata per row") {
     val got = Multimodal.decode(Multimodal.pngPayload(docs, "doc_id"), "doc_id")
       .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.pixel_sum")

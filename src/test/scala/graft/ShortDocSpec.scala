@@ -46,6 +46,7 @@ class ShortDocSpec extends SparkSpec {
     "q_text_chargram",      // 5-char grams with greatest() guard (LlmOps)
     "q_text_fingerprint",   // rolling hash (LlmOps)
     "q_dedup_substring",    // 8-token windows with size guard (LlmOps3)
+    "q_dedup_substring_spans", // same windows + islands rollup (LlmOps3)
     "q_scrub_boilerplate")  // derived chunks (LlmOps3)
 
   ngramQueries.foreach { name =>
