@@ -268,39 +268,7 @@ WHERE rank <= 3 ORDER BY qid, rank"""),
     QueryDef("q_similarity_ivfpq",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        import s.implicits._
-        val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-        // coarse quantizer: which list does each vector live in
-        val coarse = collectCentroids(kmeansLastUpdate(e))
-        val assigned = e.select(col("vec_id"), nearestCid(coarse).as("list_id"))
-        val distArr = array_sort(array(coarse.map { case (cid, cvec) =>
-          struct(Similarity.l2sq(col("embedding"), typedlit(cvec)).as("dist"),
-            lit(cid).as("cid"))
-        }: _*))
-        val probeLists = e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), explode(slice(distArr, 1, 2)).as("pr"))
-          .select(col("qid"), col("pr.cid").as("list_id"))
-        val candidates = assigned.join(broadcast(probeLists), "list_id")
-          .filter(col("vec_id") =!= col("qid"))
-          .select("qid", "vec_id")
-        // PQ: codes + per-query ADC table
-        val rows = pqSubRows(e).localCheckpoint(eager = false)
-        var pcents = pqSeed(rows)
-        for (_ <- 1 to pqIters) pcents = collectPqCents(pqRound(rows, pcents))
-        val codes = rows.select(col("vec_id"), col("sub"),
-          pqNearestCid(pcents).as("cid"))
-        val centDf = pcents.toSeq.flatMap { case (sub, cs) =>
-          cs.map { case (cid, cv) => (sub, cid, cv) }
-        }.toDF("sub", "cid", "cvec")
-        val probes = rows.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("sub"), col("sv"))
-        val tbl = probes.join(broadcast(centDf), "sub")
-          .select(col("qid"), col("sub"), col("cid"),
-            floor(Similarity.l2sq(col("sv"), col("cvec")) * lit(1e8))
-              .cast("long").as("d"))
-        candidates.join(codes, "vec_id")
-          .join(broadcast(tbl), Seq("qid", "sub", "cid"))
-          .groupBy("qid", "vec_id").agg(sum("d").as("adc_fp"))
+        ivfpqAdc(s, d)
           .withColumn("rank", row_number().over(
             Window.partitionBy("qid").orderBy(col("adc_fp").asc, col("vec_id").asc))
             .cast("long"))
@@ -308,7 +276,110 @@ WHERE rank <= 3 ORDER BY qid, rank"""),
           .select("qid", "rank", "vec_id", "adc_fp")
           .orderBy("qid", "rank")
       },
-      s"""WITH $kmeansCtes,
+      s"""WITH $ivfpqCtes,
+ir AS (SELECT qid, vec_id, adc_fp,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_fp ASC, vec_id ASC) AS rank
+       FROM iadc)
+SELECT qid, rank::BIGINT AS rank, vec_id, adc_fp FROM ir
+WHERE rank <= 3 ORDER BY qid, rank"""),
+
+    // Two-stage ANN: exact re-rank on top of IVF+PQ — the FAISS-style
+    // closing step. ADC distances are quantized approximations (each
+    // candidate scores against sub-centroids, not its real vector), so
+    // production engines keep a top-k' of ADC survivors and re-score
+    // THOSE with the exact metric before answering. k'=10 survivors per
+    // query join back to `embeddings` and re-rank by the codegen'd exact
+    // cosine; recall@3 vs brute force is pinned >= plain IVFPQ's in
+    // OpsSpec.
+    //
+    // Scale shape: the expensive narrowing is unchanged (coarse lists +
+    // broadcast ADC table); the exact pass touches qids×k' rows — the
+    // survivor set is broadcast to the embeddings scan, so full vectors
+    // move only for the sliver that gets re-scored, never shuffle wide.
+    QueryDef("q_similarity_ivfpq_rerank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.functions.CosineSimExpr.register(s)
+        val surv = ivfpqAdc(s, d)
+          .withColumn("arank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("adc_fp").asc, col("vec_id").asc)))
+          .filter(col("arank") <= 10)
+          .select("qid", "vec_id")
+        val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val exact = e.join(broadcast(surv), "vec_id")
+          .join(broadcast(e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("qid"), col("embedding").as("q_emb"))), "qid")
+          .select(col("qid"), col("vec_id"),
+            call_function("cosine_sim", col("embedding"), col("q_emb")).as("cosine_sim"))
+        exact
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("cosine_sim").desc, col("vec_id").asc))
+            .cast("long"))
+          .filter(col("rank") <= 3)
+          .select("qid", "rank", "vec_id", "cosine_sim")
+          .orderBy("qid", "rank")
+      },
+      s"""WITH $ivfpqCtes,
+ir AS (SELECT qid, vec_id, adc_fp,
+         row_number() OVER (PARTITION BY qid ORDER BY adc_fp ASC, vec_id ASC) AS arank
+       FROM iadc),
+surv AS (SELECT qid, vec_id FROM ir WHERE arank <= 10),
+ex AS (SELECT s1.qid, s1.vec_id,
+         ${Similarity.cosineSql("n.embedding", "q.embedding")} AS cosine_sim
+       FROM surv s1
+         JOIN e n ON n.vec_id = s1.vec_id
+         JOIN e q ON q.vec_id = s1.qid),
+rr AS (SELECT qid, vec_id, cosine_sim,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+       FROM ex)
+SELECT qid, rank::BIGINT AS rank, vec_id, cosine_sim FROM rr
+WHERE rank <= 3 ORDER BY qid, rank"""),
+  )
+
+  /** Shared IVF+PQ candidate scoring (q_similarity_ivfpq and its exact
+    * re-rank twin): trained coarse lists narrow, PQ codes + a broadcast
+    * per-query ADC table score — returns (qid, vec_id, adc_fp), one row
+    * per surviving (query, candidate). See q_similarity_ivfpq's note for
+    * the scale analysis. */
+  private def ivfpqAdc(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    // coarse quantizer: which list does each vector live in
+    val coarse = collectCentroids(kmeansLastUpdate(e))
+    val assigned = e.select(col("vec_id"), nearestCid(coarse).as("list_id"))
+    val distArr = array_sort(array(coarse.map { case (cid, cvec) =>
+      struct(Similarity.l2sq(col("embedding"), typedlit(cvec)).as("dist"),
+        lit(cid).as("cid"))
+    }: _*))
+    val probeLists = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), explode(slice(distArr, 1, 2)).as("pr"))
+      .select(col("qid"), col("pr.cid").as("list_id"))
+    val candidates = assigned.join(broadcast(probeLists), "list_id")
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    // PQ: codes + per-query ADC table
+    val rows = pqSubRows(e).localCheckpoint(eager = false)
+    var pcents = pqSeed(rows)
+    for (_ <- 1 to pqIters) pcents = collectPqCents(pqRound(rows, pcents))
+    val codes = rows.select(col("vec_id"), col("sub"),
+      pqNearestCid(pcents).as("cid"))
+    val centDf = pcents.toSeq.flatMap { case (sub, cs) =>
+      cs.map { case (cid, cv) => (sub, cid, cv) }
+    }.toDF("sub", "cid", "cvec")
+    val probes = rows.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("sub"), col("sv"))
+    val tbl = probes.join(broadcast(centDf), "sub")
+      .select(col("qid"), col("sub"), col("cid"),
+        floor(Similarity.l2sq(col("sv"), col("cvec")) * lit(1e8))
+          .cast("long").as("d"))
+    candidates.join(codes, "vec_id")
+      .join(broadcast(tbl), Seq("qid", "sub", "cid"))
+      .groupBy("qid", "vec_id").agg(sum("d").as("adc_fp"))
+  }
+
+  /** DuckDB mirror of [[ivfpqAdc]] — CTE chain ending at `iadc`
+    * (qid, vec_id, adc_fp). */
+  private def ivfpqCtes: String = s"""$kmeansCtes,
 ${pqCtes("pq")},
 assignd AS (SELECT vec_id, cid,
               row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS arn
@@ -324,13 +395,7 @@ iadc AS (SELECT c.qid, c.vec_id, sum(t.d)::BIGINT AS adc_fp
          FROM cand c
            JOIN pqcodes k ON k.vec_id = c.vec_id
            JOIN pqtbl t ON t.qid = c.qid AND t.sub = k.sub AND t.cid = k.cid
-         GROUP BY 1, 2),
-ir AS (SELECT qid, vec_id, adc_fp,
-         row_number() OVER (PARTITION BY qid ORDER BY adc_fp ASC, vec_id ASC) AS rank
-       FROM iadc)
-SELECT qid, rank::BIGINT AS rank, vec_id, adc_fp FROM ir
-WHERE rank <= 3 ORDER BY qid, rank"""),
-  )
+         GROUP BY 1, 2)"""
 
   // ---- PQ internals ------------------------------------------------------
 
