@@ -334,6 +334,56 @@ rr AS (SELECT qid, vec_id, cosine_sim,
        FROM ex)
 SELECT qid, rank::BIGINT AS rank, vec_id, cosine_sim FROM rr
 WHERE rank <= 3 ORDER BY qid, rank"""),
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
+    // efficient learning at web-scale through semantic deduplication"):
+    // embeddings cluster via the SAME Lloyd's training as the IVF index,
+    // and near-duplicate search runs ONLY within each cluster — the
+    // within-cluster self-join costs Σ_c |c|² ≈ N·(N/K) instead of N²,
+    // and K grows with the corpus in production (bounding cluster size
+    // bounds the quadratic term; the paper uses K ≈ √N-scale cluster
+    // counts for exactly this reason). Keep rule: the smallest vec_id in
+    // each near-dup neighborhood survives (deterministic "keep first" —
+    // the paper keeps the point farthest from the centroid; min-id is
+    // the hash-stable variant of the same one-per-neighborhood choice).
+    //
+    // Scale shape: assignment is the narrow literal-centroid argmin (no
+    // shuffle), the self-join shuffles once on cluster id, the dropped
+    // set is digest-small and anti-joins back. Cosine compares are the
+    // bit-deterministic codegen'd kernel on both engines.
+    QueryDef("q_dedup_semantic",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val cents = collectCentroids(kmeansLastUpdate(e))
+        val assigned = e.select(col("vec_id"), col("embedding"),
+          nearestCid(cents).as("cid"))
+        val a = assigned.select(col("cid"), col("vec_id").as("v1"),
+          col("embedding").as("e1"))
+        val b = assigned.select(col("cid"), col("vec_id").as("v2"),
+          col("embedding").as("e2"))
+        val dropped = a.join(b, Seq("cid"))
+          .filter(col("v1") < col("v2"))
+          .filter(call_function("cosine_sim", col("e1"), col("e2")) >= lit(0.4))
+          .select(col("v2").as("vec_id")).distinct()
+        assigned.join(dropped, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cid"))
+          .orderBy("vec_id")
+      },
+      s"""WITH $kmeansCtes,
+assignd AS (SELECT vec_id, embedding, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS arn
+            FROM (SELECT e.vec_id, e.embedding, c.cid,
+                    ${Similarity.l2sqSql("e.embedding", "c.cvec")} AS dist
+                  FROM e CROSS JOIN c$iters c) s0),
+assigned AS (SELECT vec_id, embedding, cid FROM assignd WHERE arn = 1),
+dropped AS (SELECT DISTINCT b.vec_id
+            FROM assigned a JOIN assigned b
+              ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.4)
+SELECT vec_id, cid FROM assigned
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY vec_id"""),
   )
 
   /** Shared IVF+PQ candidate scoring (q_similarity_ivfpq and its exact

@@ -368,6 +368,31 @@ class OpsSpec extends SparkSpec {
       s"re-rank recall@3 = $reranked — expected a solid lift on this corpus")
   }
 
+  test("semantic dedup keeps an independent set under within-cluster near-dup edges") {
+    // The keep-first rule's defining properties: (1) no two KEPT vectors
+    // in the same cluster are near-dups (if v1 < v2 were both kept with
+    // cosine >= 0.4, v2 would have been dropped), and (2) every DROPPED
+    // vector has a smaller-id near-dup in its cluster (the reason it was
+    // dropped). Both recomputed here with the exact cosine, independent
+    // of the query's join shape.
+    import graft.functions.Similarity
+    val kept = SparkEntry.queries("q_dedup_semantic")(spark, sf)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val all = kept.select(col("vec_id"), col("cid")).join(e, "vec_id")
+    val k1 = all.select(col("cid"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val k2 = all.select(col("cid"), col("vec_id").as("v2"), col("embedding").as("e2"))
+    val keptViolations = k1.join(k2, Seq("cid"))
+      .filter(col("v1") < col("v2"))
+      .filter(Similarity.cosine(col("e1"), col("e2")) >= 0.4)
+      .count()
+    assert(keptViolations == 0, s"$keptViolations kept near-dup pairs remain")
+    val keptIds = kept.select("vec_id")
+    val droppedCount = e.join(keptIds, Seq("vec_id"), "left_anti").count()
+    assert(droppedCount > 0, "corpus has >= 0.4-cosine pairs; something must drop")
+    assert(keptIds.count() + droppedCount == e.count())
+  }
+
   test("approx_percentile stays within 1% of the exact percentile per group") {
     // q_agg_percentile_approx is rows-only at the driver gate (per-engine
     // sketch layouts differ) — this pins its accuracy claim: with
