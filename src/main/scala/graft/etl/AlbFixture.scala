@@ -44,6 +44,14 @@ object AlbFixture {
     Seq("Unknown", "Windows", "Linux", "iOS", "Other", "Windows",
       "Android", "Windows", "Other", "Windows Phone", "Chrome OS", "Android")
 
+  /** Expected browser MAJOR versions for [[userAgents]] under
+    * [[graft.functions.UaClassifier.versionRules]] — hardcoded
+    * independently (like [[expectedBrowser]]) so the regex table is
+    * pinned against human-read values, not against itself. */
+  val expectedBrowserMajor: Seq[String] =
+    Seq("", "137", "126", "17", "8", "126",
+      "23", "11", "2", "15", "114", "73")
+
   val methods: Seq[String] = Seq("GET", "POST", "PUT")
   val statuses: Seq[String] = Seq("200", "200", "301", "404", "503")
 

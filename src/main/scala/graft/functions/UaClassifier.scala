@@ -407,6 +407,61 @@ object UaClassifier {
           if pos.forall(ua.contains) && !neg.exists(ua.contains) => family
     }.getOrElse(fallback)
 
+  /** Browser MAJOR-version capture patterns per family — the
+    * `user_agents`-lib `.browser.version` residual (reference
+    * `etl_elb_log_to_mysql.py:110-111` exposes it even though the ETL
+    * doesn't persist it). Family-scoped regexes because the version
+    * token differs per vendor (Safari's is `Version/`, Edge's mutated
+    * across `Edg|EdgiOS|EdgA|Edge`, IE's is `rv:`/`MSIE`); families
+    * without a stable version token (crawlers, `-`) capture "". Patterns
+    * stick to `[0-9]`/literal/non-capturing-group syntax valid in BOTH
+    * Java regex (Spark) and RE2 (DuckDB). */
+  val versionRules: Seq[(String, String)] = Seq(
+    "Chrome" -> "Chrome/([0-9]+)",
+    "Chrome Mobile" -> "Chrome/([0-9]+)",
+    "Chrome Mobile iOS" -> "CriOS/([0-9]+)",
+    "Chromium" -> "Chromium/([0-9]+)",
+    "HeadlessChrome" -> "HeadlessChrome/([0-9]+)",
+    "Edge" -> "Edg[A-Za-z]*/([0-9]+)",
+    "Firefox" -> "Firefox/([0-9]+)",
+    "Firefox Mobile" -> "(?:Fennec|Firefox)/([0-9]+)",
+    "Firefox iOS" -> "FxiOS/([0-9]+)",
+    "Safari" -> "Version/([0-9]+)",
+    "Mobile Safari" -> "Version/([0-9]+)",
+    "Opera" -> "(?:OPR|Opera)/([0-9]+)",
+    "Opera Mobile" -> "OPR/([0-9]+)",
+    "Opera Mini" -> "Opera Mini/([0-9]+)",
+    "Samsung Internet" -> "SamsungBrowser/([0-9]+)",
+    "UC Browser" -> "UCBrowser/([0-9]+)",
+    "QQ Browser Mobile" -> "MQQBrowser/([0-9]+)",
+    "QQ Browser" -> "QQBrowser/([0-9]+)",
+    "Yandex Browser" -> "YaBrowser/([0-9]+)",
+    "Vivaldi" -> "Vivaldi/([0-9]+)",
+    "Whale" -> "Whale/([0-9]+)",
+    "Brave" -> "Brave/([0-9]+)",
+    "Amazon Silk" -> "Silk/([0-9]+)",
+    "WeChat" -> "MicroMessenger/([0-9]+)",
+    "IE" -> "(?:rv:|MSIE )([0-9]+)",
+    "IE Mobile" -> "IEMobile/([0-9]+)",
+    "curl" -> "curl/([0-9]+)",
+    "Wget" -> "Wget/([0-9]+)",
+    "Googlebot" -> "Googlebot/([0-9]+)",
+    "Bingbot" -> "bingbot/([0-9]+)")
+
+  /** Browser major version as a Column: family-scoped regex capture,
+    * "" when the family has no version rule or the token is absent. */
+  def browserMajor(ua: Column, family: Column): Column =
+    versionRules.foldRight(lit(""): Column) { case ((f, p), els) =>
+      when(family === f, regexp_extract(ua, p, 1)).otherwise(els)
+    }
+
+  /** DuckDB twin of [[browserMajor]] (regexp_extract group semantics and
+    * the empty-string no-match result agree between engines). */
+  def browserMajorSql(uaExpr: String, famExpr: String): String =
+    "CASE " + versionRules.map { case (f, p) =>
+      s"WHEN $famExpr = '$f' THEN regexp_extract($uaExpr, '$p', 1)"
+    }.mkString(" ") + " ELSE '' END"
+
   // ---- SQL twin (DuckDB oracle) ------------------------------------------
 
   private def sqlLadder(uaExpr: String,

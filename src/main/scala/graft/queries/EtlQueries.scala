@@ -1,6 +1,9 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.etl.AlbFixture
+import graft.functions.UaClassifier
 
 /** Reference-parity queries: the full ALB parse pipeline (SURVEY.md §2.A
   * operators A4-A13 fused) run over the deterministic synthetic line corpus,
@@ -10,5 +13,26 @@ object EtlQueries {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q_parse_alb",
       (s, d) => AlbFixture.parsed(s, d),
-      AlbFixture.oracleSql))
+      AlbFixture.oracleSql),
+
+    // Browser major-version capture — the `user_agents`-lib residual the
+    // classifier ladder doesn't carry (reference :110-111 exposes
+    // `.browser.version`): family-scoped regex extraction rolled up to
+    // (family, major, count). The version table is data
+    // ([[UaClassifier.versionRules]]) compiled to a when-chain on one
+    // side and a CASE mirror on the other, same single-source pattern as
+    // the family rules; the fixture goldens pin each agent's expected
+    // major independently in AlbParserSpec.
+    QueryDef("q_ua_versions",
+      (s, d) => AlbFixture.parsed(s, d)
+        .groupBy(col("ua_browser_family"),
+          UaClassifier.browserMajor(col("user_agent_full"),
+            col("ua_browser_family")).as("browser_major"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("ua_browser_family", "browser_major"),
+      s"""WITH parsed AS (${AlbFixture.oracleSql})
+SELECT ua_browser_family,
+  ${UaClassifier.browserMajorSql("user_agent_full", "ua_browser_family")} AS browser_major,
+  count(*)::BIGINT AS n
+FROM parsed GROUP BY 1, 2 ORDER BY 1, 2"""))
 }

@@ -161,6 +161,22 @@ class AlbParserSpec extends SparkSpec {
     }
   }
 
+  test("browser major versions match the hand-read fixture goldens") {
+    import graft.etl.AlbFixture
+    import graft.functions.UaClassifier
+    // expectedBrowserMajor is human-read from the agent strings, so this
+    // pins the version regex table against ground truth rather than
+    // against its own output.
+    val df = AlbFixture.userAgents.zip(AlbFixture.expectedBrowser)
+      .toDF("ua", "family")
+      .select(col("ua"),
+        UaClassifier.browserMajor(col("ua"), col("family")).as("major"))
+    df.collect().map(_.getString(1)).zip(AlbFixture.expectedBrowserMajor)
+      .zip(AlbFixture.userAgents).foreach { case ((got, want), ua) =>
+        assert(got == want, s"ua '$ua': got major '$got' want '$want'")
+      }
+  }
+
   test("UaFamilyExpr loop runtime matches the when-ladder compilation") {
     import graft.functions.UaClassifier
     // browserFamily/osFamily now compile to the UaRuntime rule-table loop;
