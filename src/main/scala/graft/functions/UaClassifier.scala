@@ -448,9 +448,19 @@ object UaClassifier {
     "Googlebot" -> "Googlebot/([0-9]+)",
     "Bingbot" -> "bingbot/([0-9]+)")
 
-  /** Browser major version as a Column: family-scoped regex capture,
+  /** Browser major version as a Column — a native [[UaVersionExpr]]
+    * (pattern lookup by family + one precompiled regex find per row; the
+    * equivalent when-chain re-evaluated the family child per branch).
     * "" when the family has no version rule or the token is absent. */
-  def browserMajor(ua: Column, family: Column): Column =
+  def browserMajor(ua: Column, family: Column): Column = {
+    val pb = org.apache.spark.sql.graft.PlanBridge
+    pb.column(UaVersionExpr(pb.expression(ua), pb.expression(family)))
+  }
+
+  /** The when-chain compilation of the same version table — the
+    * cross-pin reference for [[browserMajor]] (asserted equal in
+    * AlbParserSpec). */
+  def browserMajorLadder(ua: Column, family: Column): Column =
     versionRules.foldRight(lit(""): Column) { case ((f, p), els) =>
       when(family === f, regexp_extract(ua, p, 1)).otherwise(els)
     }

@@ -10,81 +10,215 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Data-driven runtime for the UA rule tables: the SAME ordered rules as
   * [[UaClassifier]] (single source of truth — compiled from its Seqs at
-  * object init, once per JVM), walked by a tight loop over precompiled
-  * `UTF8String` token arrays instead of an unrolled when-ladder.
+  * object init, once per JVM), evaluated as ONE Aho-Corasick scan of the
+  * agent string over the union of all rule tokens, then a rule walk
+  * against the matched-token set.
   *
-  * Why this exists: compiling ~250 rules × 1-2 `contains` each into
-  * whole-stage codegen produces tens of kilobytes of branchy bytecode per
-  * ladder — HotSpot warms it slowly (and can refuse huge methods
-  * outright), so the first executions of q_parse_alb paid ~0.6s/run of
-  * interpretation overhead that never showed up in long-lived sessions.
-  * A 30-line loop over static arrays JIT-compiles in the first few
-  * thousand rows, costs the same `UTF8String.contains` calls at steady
-  * state, and keeps the generated projection method tiny so the REST of
-  * the parse stays inlinable. Matching semantics are byte-identical:
-  * `UTF8String.contains` is exactly what the `Column.contains` ladder
-  * compiled to.
+  * Why this exists, in two steps:
+  *   - vs the unrolled when-ladder: ~250 rules × 1-2 `contains` each
+  *     compile to tens of kilobytes of branchy bytecode per ladder that
+  *     HotSpot warms slowly — a compact data-driven loop JITs in the
+  *     first few thousand rows and keeps the surrounding projection
+  *     inlinable.
+  *   - vs per-rule `contains`: testing each token separately costs
+  *     O(rules × |ua|) — measured ~14µs/row (~2s per sf0.1 pass), which
+  *     makes UA classification the single hottest expression of the
+  *     whole reference pipeline at 100 TB. The automaton visits each
+  *     byte of the agent ONCE (O(|ua| + matches)), marks which of the
+  *     ~300 distinct tokens occur, and the rule walk then costs O(1)
+  *     per token test — measured ~7× faster.
+  *
+  * Matching semantics are unchanged: a token "occurs" iff it is a
+  * byte-level substring (exactly `UTF8String.contains`); rules keep
+  * their order and first-match-wins; ties between the crawler and
+  * browser sections resolve exactly as the guarded-coalesce ladder did
+  * (the AlbParserSpec gold tests pin all four compilations to the
+  * plain-Scala interpreter rule-for-rule).
   */
 object UaRuntime {
-  private def compileRules(rules: Seq[(String, Seq[String], Seq[String])])
-      : (Array[UTF8String], Array[Array[UTF8String]], Array[Array[UTF8String]]) =
-    (rules.map(r => UTF8String.fromString(r._1)).toArray,
-      rules.map(_._2.map(UTF8String.fromString).toArray).toArray,
-      rules.map(_._3.map(UTF8String.fromString).toArray).toArray)
-
-  private val (crawlFam, crawlPos, crawlNeg) = compileRules(UaClassifier.crawlerRules)
-  private val (browFam, browPos, browNeg) = compileRules(UaClassifier.browserOnlyRules)
-  private val (osFam, osPos, osNeg) = compileRules(UaClassifier.osRules)
-  private val guard: Array[UTF8String] =
-    UaClassifier.crawlerGuardTokens.map(UTF8String.fromString).toArray
 
   private val UNKNOWN = UTF8String.fromString("Unknown")
   private val OTHER = UTF8String.fromString("Other")
   private val DASH = UTF8String.fromString("-")
 
+  // ---- token universe + Aho-Corasick automaton ---------------------------
+
+  /** Distinct token strings across every rule list, id = array index. */
+  private val tokens: Array[Array[Byte]] = {
+    val all = (UaClassifier.crawlerRules ++ UaClassifier.browserOnlyRules ++
+      UaClassifier.osRules).flatMap(r => r._2 ++ r._3).distinct
+    all.map(_.getBytes("UTF-8")).toArray
+  }
+  private val tokenId: Map[String, Int] = {
+    val all = (UaClassifier.crawlerRules ++ UaClassifier.browserOnlyRules ++
+      UaClassifier.osRules).flatMap(r => r._2 ++ r._3).distinct
+    all.zipWithIndex.toMap
+  }
+
+  // Trie build (growable), then BFS fail links with output merging, then
+  // a dense byte-transition matrix for the scan loop.
+  private val (trans: Array[Int], outHead: Array[Int],
+               outToken: Array[Int], outNext: Array[Int]) = {
+    val maxNodes = tokens.map(_.length).sum + 1
+    val children = Array.fill(maxNodes * 256)(-1)
+    var nNodes = 1
+    // insert tokens
+    var t = 0
+    val endAt = Array.fill(maxNodes)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    while (t < tokens.length) {
+      var s = 0
+      val bs = tokens(t)
+      var i = 0
+      while (i < bs.length) {
+        val b = bs(i) & 0xff
+        if (children(s * 256 + b) == -1) { children(s * 256 + b) = nNodes; nNodes += 1 }
+        s = children(s * 256 + b)
+        i += 1
+      }
+      endAt(s) += t
+      t += 1
+    }
+    // BFS: fail links; goto matrix = children with fail fallback baked in
+    val fail = Array.fill(nNodes)(0)
+    val queue = new java.util.ArrayDeque[Integer]()
+    val g = Array.fill(nNodes * 256)(0)
+    var b = 0
+    while (b < 256) {
+      val c = children(b)
+      if (c != -1) { g(b) = c; fail(c) = 0; queue.add(c) }
+      b += 1
+    }
+    while (!queue.isEmpty) {
+      val s = queue.poll().intValue()
+      endAt(s) ++= endAt(fail(s)) // propagate outputs through fail links
+      var b = 0
+      while (b < 256) {
+        val c = children(s * 256 + b)
+        if (c != -1) {
+          fail(c) = g(fail(s) * 256 + b)
+          g(s * 256 + b) = c
+          queue.add(c)
+        } else {
+          g(s * 256 + b) = g(fail(s) * 256 + b)
+        }
+        b += 1
+      }
+    }
+    // flatten outputs to linked lists (head per node)
+    val oh = Array.fill(nNodes)(-1)
+    val ot = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val on = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var s = 0
+    while (s < nNodes) {
+      endAt(s).foreach { tok =>
+        ot += tok; on += oh(s); oh(s) = ot.length - 1
+      }
+      s += 1
+    }
+    (g.take(nNodes * 256), oh, ot.toArray, on.toArray)
+  }
+
+  // ---- rules compiled to token-id arrays ----------------------------------
+
+  private def compileRules(rules: Seq[(String, Seq[String], Seq[String])])
+      : (Array[UTF8String], Array[Array[Int]], Array[Array[Int]]) =
+    (rules.map(r => UTF8String.fromString(r._1)).toArray,
+      rules.map(_._2.map(tokenId).toArray).toArray,
+      rules.map(_._3.map(tokenId).toArray).toArray)
+
+  private val (crawlFam, crawlPos, crawlNeg) = compileRules(UaClassifier.crawlerRules)
+  private val (browFam, browPos, browNeg) = compileRules(UaClassifier.browserOnlyRules)
+  private val (osFam, osPos, osNeg) = compileRules(UaClassifier.osRules)
+
+  // ---- per-thread match state (stamped: no clearing between rows) --------
+
+  private final class Hits {
+    val stampOf = new Array[Int](tokens.length)
+    var stamp = 0
+  }
+  private val hitsTL = ThreadLocal.withInitial(() => new Hits)
+
   private def isBlank(ua: UTF8String): Boolean =
     ua == null || ua.numBytes == 0 || ua.equals(DASH)
 
+  /** One automaton pass over the agent bytes; marks occurring tokens. */
+  private def scan(ua: UTF8String): Hits = {
+    val h = hitsTL.get()
+    h.stamp += 1
+    val stamp = h.stamp
+    val n = ua.numBytes
+    var s = 0
+    var i = 0
+    while (i < n) {
+      s = trans(s * 256 + (ua.getByte(i) & 0xff))
+      var o = outHead(s)
+      while (o != -1) { h.stampOf(outToken(o)) = stamp; o = outNext(o) }
+      i += 1
+    }
+    h
+  }
+
   /** First rule whose positive tokens all occur and negative tokens all
     * don't; null when nothing matches (the ladder's null fallback). */
-  private def walk(ua: UTF8String, fam: Array[UTF8String],
-                   pos: Array[Array[UTF8String]],
-                   neg: Array[Array[UTF8String]]): UTF8String = {
+  private def walk(h: Hits, fam: Array[UTF8String],
+                   pos: Array[Array[Int]], neg: Array[Array[Int]]): UTF8String = {
+    val stamp = h.stamp
     var i = 0
     while (i < fam.length) {
       val ps = pos(i)
       var ok = true
       var j = 0
-      while (ok && j < ps.length) { ok = ua.contains(ps(j)); j += 1 }
+      while (ok && j < ps.length) { ok = h.stampOf(ps(j)) == stamp; j += 1 }
       val ns = neg(i)
       j = 0
-      while (ok && j < ns.length) { ok = !ua.contains(ns(j)); j += 1 }
+      while (ok && j < ns.length) { ok = h.stampOf(ns(j)) != stamp; j += 1 }
       if (ok) return fam(i)
       i += 1
     }
     null
   }
 
-  /** Mirrors [[UaClassifier.browserFamily]]'s guarded-coalesce shape:
-    * blank → Unknown; guard hit → crawler rules (a miss falls through);
-    * then the browser rules; then Other. */
+  /** Same fixpoint as [[UaClassifier.browserFamilyLadder]]'s guarded
+    * coalesce: blank → Unknown; crawler rules first (the guard existed
+    * only to keep the ladder cheap — with one-pass token matching the
+    * direct walk costs O(1) per token and returns identical answers, a
+    * consequence of the guard's spec-pinned soundness); then the browser
+    * rules; then Other. */
   def browser(ua: UTF8String): UTF8String = {
     if (isBlank(ua)) return UNKNOWN
-    var g = false
-    var i = 0
-    while (!g && i < guard.length) { g = ua.contains(guard(i)); i += 1 }
-    if (g) {
-      val m = walk(ua, crawlFam, crawlPos, crawlNeg)
-      if (m != null) return m
-    }
-    val m = walk(ua, browFam, browPos, browNeg)
+    val h = scan(ua)
+    val c = walk(h, crawlFam, crawlPos, crawlNeg)
+    if (c != null) return c
+    val m = walk(h, browFam, browPos, browNeg)
     if (m != null) m else OTHER
   }
 
   def os(ua: UTF8String): UTF8String = {
     if (isBlank(ua)) return UNKNOWN
-    val m = walk(ua, osFam, osPos, osNeg)
+    val m = walk(scan(ua), osFam, osPos, osNeg)
     if (m != null) m else OTHER
+  }
+
+  // Family → precompiled major-version pattern (UaClassifier.versionRules).
+  private val versionPats: java.util.HashMap[UTF8String, java.util.regex.Pattern] = {
+    val m = new java.util.HashMap[UTF8String, java.util.regex.Pattern]()
+    UaClassifier.versionRules.foreach { case (fam, pat) =>
+      m.put(UTF8String.fromString(fam), java.util.regex.Pattern.compile(pat))
+    }
+    m
+  }
+  private val EMPTY = UTF8String.fromString("")
+
+  /** Browser major version: pattern lookup by (already-computed) family +
+    * one precompiled-regex find. Same contract as the
+    * `CASE family WHEN ... regexp_extract` mirror: "" when the family has
+    * no version rule or the token is absent. */
+  def version(ua: UTF8String, fam: UTF8String): UTF8String = {
+    if (ua == null || fam == null) return EMPTY
+    val p = versionPats.get(fam)
+    if (p == null) return EMPTY
+    val m = p.matcher(ua.toString)
+    if (m.find()) UTF8String.fromString(m.group(1)) else EMPTY
   }
 }
 
@@ -124,4 +258,47 @@ case class UaFamilyExpr(child: Expression, isOs: Boolean)
 
   override protected def withNewChildInternal(newChild: Expression): UaFamilyExpr =
     copy(child = newChild)
+}
+
+/** Browser major version as a native expression over (ua, family): ONE
+  * static call per row — a hash lookup of the family's precompiled
+  * pattern plus one regex find. Exists because the equivalent
+  * `CASE family WHEN f1 THEN regexp_extract(...) ...` when-chain
+  * re-evaluates its family-column child in every branch when the
+  * classification collapses into the aggregate keys (measured 2.5s extra
+  * at sf0.1 for ~30 branches). */
+case class UaVersionExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "ua_browser_major"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (string ua, string family), got ($l, $r)")
+    }
+
+  override def eval(input: InternalRow): Any =
+    UaRuntime.version(left.eval(input).asInstanceOf[UTF8String],
+      right.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        UTF8String ${ev.value} = graft.functions.UaRuntime.version(
+          ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});
+        """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UaVersionExpr =
+    copy(left = newLeft, right = newRight)
 }

@@ -200,6 +200,24 @@ class AlbParserSpec extends SparkSpec {
       assert(r.getString(3) == r.getString(4),
         s"os mismatch for '${r.getString(0)}': loop=${r.getString(3)} ladder=${r.getString(4)}")
     }
+    // version expression vs its when-chain twin, over UAs that exercise
+    // every version rule (the synthetic agents carry no version tokens,
+    // so add real-shaped ones per rule)
+    val versioned = UaClassifier.versionRules.map { case (fam, _) =>
+      (s"Mozilla/5.0 Chrome/101 CriOS/102 Chromium/103 HeadlessChrome/104 " +
+        "Edg/105 Firefox/106 Fennec/107 FxiOS/108 Version/109 OPR/110 " +
+        "Opera Mini/111 SamsungBrowser/112 UCBrowser/113 MQQBrowser/114 " +
+        "QQBrowser/115 YaBrowser/116 Vivaldi/117 Whale/118 Brave/119 " +
+        "Silk/120 MicroMessenger/121 rv:122 IEMobile/123 curl/124 " +
+        "Wget/125 Googlebot/126 bingbot/127 Opera/128", fam)
+    } ++ Seq(("no tokens at all", "Chrome"), ("", "Unknown"), (null, "Other"))
+    val vdf = versioned.toDF("ua", "fam").select(
+      UaClassifier.browserMajor(col("ua"), col("fam")).as("expr"),
+      UaClassifier.browserMajorLadder(col("ua"), col("fam")).as("ladder"))
+    vdf.collect().zip(versioned).foreach { case (r, (ua, fam)) =>
+      assert(r.getString(0) == Option(r.getString(1)).getOrElse(""),
+        s"version mismatch for fam=$fam: expr=${r.getString(0)} ladder=${r.getString(1)}")
+    }
   }
 
   test("crawler guard is a sound cover: every crawler rule trips it") {
