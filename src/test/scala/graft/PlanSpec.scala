@@ -177,6 +177,25 @@ class PlanSpec extends SparkSpec {
       s"semi join must key on xxhash64 digests, got ${semi.head.leftKeys}")
   }
 
+  test("q_dedup_substring_spans keeps the digest semi join and adds one islands sort") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = planOf("q_dedup_substring_spans")
+    val semi = collectAll(plan) {
+      case j: BaseJoinExec if j.joinType == LeftSemi => j }
+    assert(semi.nonEmpty, "expected the cross-doc semi join")
+    assert(semi.head.leftKeys.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType),
+      s"semi join must key on xxhash64 digests, got ${semi.head.leftKeys}")
+    // both window functions (running covered-end max + island counter)
+    // must share ONE window operator — i.e. one (doc_id, pos) sort, not
+    // one per function
+    val wins = collectAll(plan) { case w: WindowExec => w }
+    assert(wins.size <= 2,
+      s"expected the islands windows to share sorts, got ${wins.size} WindowExec nodes")
+  }
+
   test("q_dedup_incremental bloom-prunes the standing corpus before its shuffle") {
     // The batch-keyed sketch must sit on the corpus side as a Filter
     // BELOW the distinct()'s exchange — pruning after the shuffle would
