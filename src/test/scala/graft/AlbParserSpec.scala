@@ -220,6 +220,41 @@ class AlbParserSpec extends SparkSpec {
     }
   }
 
+  test("automaton matches the interpreter on 500 random token-soup agents") {
+    import graft.functions.UaClassifier
+    // Fuzz pin for the Aho-Corasick runtime: agents assembled from
+    // random rule tokens (including substrings that overlap across
+    // tokens), random separators, and noise — regimes the per-rule
+    // goldens don't reach, e.g. tokens arriving via CONCATENATION of
+    // other tokens or split across hostile contexts. The plain-Scala
+    // interpreter (naive contains) is the semantics oracle. Seeded —
+    // failures reproduce.
+    val rnd = new scala.util.Random(7)
+    val allTokens = (UaClassifier.browserRules ++ UaClassifier.osRules)
+      .flatMap(r => r._2 ++ r._3).distinct.toIndexedSeq
+    val noise = IndexedSeq("Mozilla/5.0", "(KHTML,", "like", "Gecko)", "x64;",
+      "rv:1.0", ";", "compatible;", "+http://x.y/bot.html", "Æ™é")
+    val agents = (1 to 500).map { _ =>
+      val parts = (0 until rnd.nextInt(8)).map { _ =>
+        if (rnd.nextBoolean()) allTokens(rnd.nextInt(allTokens.size))
+        else noise(rnd.nextInt(noise.size))
+      }
+      val sep = if (rnd.nextBoolean()) " " else ""
+      parts.mkString(sep)
+    } ++ Seq("", "-")
+    val df = agents.toDF("ua").select(col("ua"),
+      graft.functions.UaClassifier.browserFamily(col("ua")).as("b"),
+      graft.functions.UaClassifier.osFamily(col("ua")).as("o"))
+    df.collect().zip(agents).foreach { case (r, ua) =>
+      val wantB = UaClassifier.interpret(ua, UaClassifier.browserRules, "Other")
+      val wantO = UaClassifier.interpret(ua, UaClassifier.osRules, "Other")
+      assert(r.getString(1) == wantB,
+        s"browser fuzz mismatch for '$ua': got ${r.getString(1)} want $wantB")
+      assert(r.getString(2) == wantO,
+        s"os fuzz mismatch for '$ua': got ${r.getString(2)} want $wantO")
+    }
+  }
+
   test("crawler guard is a sound cover: every crawler rule trips it") {
     import graft.functions.UaClassifier
     // Soundness of the fast-path skip: any UA matching crawler rule R
