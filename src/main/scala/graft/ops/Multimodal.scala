@@ -120,21 +120,31 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Pass `it` through, invoking `close` once the iterator drains — the
-    * completion hook that releases partition-hoisted codec handles
-    * (`ImageReader`/`ImageWriter.dispose()`). The pure-Java PNG codec
-    * would survive on GC alone, but a native-library swap-in would not,
-    * and this is the slot it plugs into. */
-  private def closingAfter[T](it: Iterator[T])(close: () => Unit): Iterator[T] =
+  /** Pass `it` through, invoking `close` exactly once when the partition
+    * finishes — the completion hook that releases partition-hoisted codec
+    * handles (`ImageReader`/`ImageWriter.dispose()`). Two triggers cover
+    * every exit path: the iterator draining to `hasNext == false` (the
+    * common case, releases as early as possible) AND a task-completion
+    * listener, which Spark fires on success, failure, AND early
+    * termination (e.g. a `limit()` that stops consuming mid-partition) —
+    * without it, any non-drained exit would leak the handle. The
+    * pure-Java PNG codec would survive on GC alone, but a native-library
+    * swap-in would not, and this is the slot it plugs into. */
+  private def closingAfter[T](it: Iterator[T])(close: () => Unit): Iterator[T] = {
+    var closed = false
+    def closeOnce(): Unit = if (!closed) { closed = true; close() }
+    // null outside a task (direct unit-test invocation of the closure)
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
     new Iterator[T] {
-      private var closed = false
       def hasNext: Boolean = {
         val h = it.hasNext
-        if (!h && !closed) { closed = true; close() }
+        if (!h) closeOnce()
         h
       }
       def next(): T = it.next()
     }
+  }
 
   /** Document-keyed fixture dims: small enough that the SQL oracle's
     * per-pixel expansion stays cheap, varied enough to catch a decoder

@@ -24,6 +24,14 @@ object LlmOps4 {
   private val pqK = 4
   private val pqIters = 2
 
+  /** Per-cluster anchor budget for q_dedup_semantic's bounded comparison
+    * (see its QueryDef note) and the cosine near-dup threshold. Shared
+    * with OpsSpec, which re-derives the anchor set to verify the
+    * keep/drop properties with the exact cosine. Declared before `defs`
+    * for the same oracle-interpolation reason as the PQ shape above. */
+  private[graft] val semCap = 32
+  private[graft] val semThreshold = 0.4
+
   /** Per-row nearest-centroid id over DRIVER-HELD centroids: the K
     * distances are inlined as literal-array expressions and the argmin is
     * `least` over (dist, cid) structs — a narrow codegen'd projection, no
@@ -38,16 +46,66 @@ object LlmOps4 {
     (if (ds.size == 1) ds.head else least(ds: _*)).getField("cid")
   }
 
+  /** K threshold above which [[assign]] abandons literal inlining:
+    * [[nearestCid]] emits K full distance expressions into ONE projection
+    * — the right shape at demo K=8 (zero shuffle, one codegen'd pass),
+    * but generated code grows linearly in K and blows past JIT/codegen
+    * method limits at the K ≈ √N a SemDeDup-scale clustering needs
+    * (K ≈ 3000 at N = 10M would inline a ~200k-node expression tree). */
+  private[graft] val joinAssignK = 64
+
+  /** Nearest-centroid assignment via broadcast join + partial-agg min_by
+    * — the large-K scale path. Centroids ride a broadcast K-row frame
+    * (model state, never corpus-scaled), the join expands N×K distance
+    * rows PARTITION-LOCALLY, and the per-vector argmin collapses map-side
+    * (partial min_by), so the single shuffle carries one row per
+    * (mapper, vec_id) — the N×K expansion never crosses the wire.
+    * Tie-break is min over (dist, cid), identical to [[nearestCid]] and
+    * the oracle's `ORDER BY dist ASC, cid ASC`. */
+  private def assignJoin(s: org.apache.spark.sql.SparkSession, e: DataFrame,
+                         cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    import s.implicits._
+    val cdf = cents.toDF("cid", "cvec")
+    e.crossJoin(broadcast(cdf))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        Similarity.l2sq(col("embedding"), col("cvec")).as("dist"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("cid"))
+  }
+
+  /** Nearest-centroid assignment, path-selected by K: literal inlining
+    * ([[nearestCid]]) up to [[joinAssignK]] centroids, broadcast-join +
+    * partial-agg min_by ([[assignJoin]]) above it. Both paths return
+    * (vec_id, embedding, cid) and are pinned value-equal on the demo
+    * corpus in OpsSpec (`forceJoin` exists so the test can drive the join
+    * path at demo K). */
+  private[graft] def assign(s: org.apache.spark.sql.SparkSession, e: DataFrame,
+                            cents: Seq[(Long, Seq[Double])],
+                            forceJoin: Boolean = false): DataFrame =
+    if (!forceJoin && cents.size <= joinAssignK)
+      e.select(col("vec_id"), col("embedding"), nearestCid(cents).as("cid"))
+    else assignJoin(s, e, cents)
+
+  /** Trained k-means centroids for `d`'s embeddings corpus (shared with
+    * the OpsSpec assignment-path equivalence pin). */
+  private[graft] def trainedCentroids(s: org.apache.spark.sql.SparkSession,
+                                      d: String): Seq[(Long, Seq[Double])] =
+    collectCentroids(kmeansLastUpdate(
+      Tables.embeddings(s, d).select("vec_id", "embedding")))
+
   /** One fused Lloyd's round: assign (narrow projection via
     * [[nearestCid]]) + per-dimension mean in a SINGLE aggregation — the
     * round's only shuffle carries K×dims partially-aggregated rows
     * regardless of corpus size. Fixed-point BIGINT sums keep the result
     * bit-deterministic (see q_cluster_kmeans). */
   private def roundUpdate(e: DataFrame, cents: Seq[(Long, Seq[Double])]): DataFrame =
-    // the getField-on-struct argmin must resolve in its own Project: in a
-    // select that also carries a generator, analysis extracts the field
-    // before CreateStruct's name placeholders resolve and sees col1/col2
-    e.select(nearestCid(cents).as("cid"), col("embedding"))
+    // assignment via [[assign]] (K-dependent path; its literal branch
+    // keeps the getField-on-struct argmin in its own Project: in a select
+    // that also carries a generator, analysis extracts the field before
+    // CreateStruct's name placeholders resolve and sees col1/col2)
+    assign(e.sparkSession, e, cents)
       .select(col("cid"), posexplode(col("embedding")))
       .toDF("cid", "pos", "v")
       .groupBy("cid", "pos")
@@ -161,11 +219,11 @@ FROM u$iters ORDER BY cid, pos"""),
         graft.functions.CosineSimExpr.register(s)
         val e = Tables.embeddings(s, d).select("vec_id", "embedding")
         val cents = collectCentroids(kmeansLastUpdate(e))
-        // assignment + probe selection are both narrow projections over
-        // the literal trained centroids — no cross join, no window, no
-        // shuffle until the probe-bucket scoring join itself
-        val assigned = e.select(col("vec_id"), col("embedding"),
-          nearestCid(cents).as("cid"))
+        // assignment + probe selection are narrow projections over the
+        // literal trained centroids at demo K (the broadcast-join min_by
+        // path takes over above joinAssignK) — no window, no shuffle
+        // until the probe-bucket scoring join itself
+        val assigned = assign(s, e, cents)
         val distArr = array_sort(array(cents.map { case (cid, cvec) =>
           struct(Similarity.l2sq(col("embedding"), typedlit(cvec)).as("dist"),
             lit(cid).as("cid"))
@@ -338,33 +396,48 @@ WHERE rank <= 3 ORDER BY qid, rank"""),
     // SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup: Data-
     // efficient learning at web-scale through semantic deduplication"):
     // embeddings cluster via the SAME Lloyd's training as the IVF index,
-    // and near-duplicate search runs ONLY within each cluster — the
-    // within-cluster self-join costs Σ_c |c|² ≈ N·(N/K) instead of N²,
-    // and K grows with the corpus in production (bounding cluster size
-    // bounds the quadratic term; the paper uses K ≈ √N-scale cluster
-    // counts for exactly this reason). Keep rule: the smallest vec_id in
-    // each near-dup neighborhood survives (deterministic "keep first" —
-    // the paper keeps the point farthest from the centroid; min-id is
-    // the hash-stable variant of the same one-per-neighborhood choice).
+    // and near-duplicate search runs ONLY within each cluster. Keep rule:
+    // the smallest vec_id in each near-dup neighborhood survives
+    // (deterministic "keep first" — the paper keeps the point farthest
+    // from the centroid; min-id is the hash-stable variant of the same
+    // one-per-neighborhood choice).
     //
-    // Scale shape: assignment is the narrow literal-centroid argmin (no
-    // shuffle), the self-join shuffles once on cluster id, the dropped
-    // set is digest-small and anti-joins back. Cosine compares are the
-    // bit-deterministic codegen'd kernel on both engines.
+    // BOUNDED comparison (the capped-LSH pattern, q_dedup_minhash_capped):
+    // only each cluster's [[semCap]] smallest-id members act as ANCHORS on
+    // the comparison's left side; every member still compares against all
+    // anchors of its cluster, so the join costs Σ_c |c|·B — LINEAR in N at
+    // fixed K — instead of the uncapped Σ_c |c|² ≈ N²/K, which stays
+    // quadratic no matter how the constants are tuned. In production K
+    // additionally scales with the corpus (the paper's K ≈ √N), but
+    // nothing used to ENFORCE that here; the anchor cap bounds the join
+    // structurally, the same way the minhash bucket cap bounds a
+    // degenerate shingle bucket. The identical cap runs in the DuckDB
+    // mirror, so the recall trade cancels and the compare stays
+    // hash-exact. The rank filter plans as WindowGroupLimit (pinned in
+    // PlanSpec): per cluster only the top-B rows survive the rank sort.
+    //
+    // Scale shape: assignment is the narrow centroid argmin ([[assign]] —
+    // literal inlining at demo K, broadcast-join min_by above
+    // [[joinAssignK]]), the anchor window + self-join shuffle on cluster
+    // id, the dropped set is id-small and anti-joins back. Cosine
+    // compares are the bit-deterministic codegen'd kernel on both
+    // engines.
     QueryDef("q_dedup_semantic",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         graft.functions.CosineSimExpr.register(s)
-        val e = Tables.embeddings(s, d).select("vec_id", "embedding")
-        val cents = collectCentroids(kmeansLastUpdate(e))
-        val assigned = e.select(col("vec_id"), col("embedding"),
-          nearestCid(cents).as("cid"))
-        val a = assigned.select(col("cid"), col("vec_id").as("v1"),
-          col("embedding").as("e1"))
+        val assigned = semanticAssigned(s, d)
+        val anchors = assigned
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("cid").orderBy("vec_id")))
+          .filter(col("rn") <= semCap)
+          .select(col("cid"), col("vec_id").as("v1"),
+            col("embedding").as("e1"))
         val b = assigned.select(col("cid"), col("vec_id").as("v2"),
           col("embedding").as("e2"))
-        val dropped = a.join(b, Seq("cid"))
+        val dropped = anchors.join(b, Seq("cid"))
           .filter(col("v1") < col("v2"))
-          .filter(call_function("cosine_sim", col("e1"), col("e2")) >= lit(0.4))
+          .filter(call_function("cosine_sim", col("e1"), col("e2")) >= lit(semThreshold))
           .select(col("v2").as("vec_id")).distinct()
         assigned.join(dropped, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("cid"))
@@ -377,14 +450,27 @@ assignd AS (SELECT vec_id, embedding, cid,
                     ${Similarity.l2sqSql("e.embedding", "c.cvec")} AS dist
                   FROM e CROSS JOIN c$iters c) s0),
 assigned AS (SELECT vec_id, embedding, cid FROM assignd WHERE arn = 1),
+anch AS (SELECT cid, vec_id, embedding,
+           row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+         FROM assigned),
 dropped AS (SELECT DISTINCT b.vec_id
-            FROM assigned a JOIN assigned b
+            FROM anch a JOIN assigned b
               ON a.cid = b.cid AND a.vec_id < b.vec_id
-            WHERE ${Similarity.cosineSql("a.embedding", "b.embedding")} >= 0.4)
+            WHERE a.rn <= $semCap
+              AND ${Similarity.cosineSql("a.embedding", "b.embedding")} >= $semThreshold)
 SELECT vec_id, cid FROM assigned
 WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 ORDER BY vec_id"""),
   )
+
+  /** Trained-cluster assignment shared by q_dedup_semantic and the
+    * OpsSpec property test (the test needs EVERY vector's cluster — the
+    * query output carries only the kept ones). */
+  private[graft] def semanticAssigned(s: org.apache.spark.sql.SparkSession,
+                                      d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+    assign(s, e, collectCentroids(kmeansLastUpdate(e)))
+  }
 
   /** Shared IVF+PQ candidate scoring (q_similarity_ivfpq and its exact
     * re-rank twin): trained coarse lists narrow, PQ codes + a broadcast
@@ -396,7 +482,8 @@ ORDER BY vec_id"""),
     val e = Tables.embeddings(s, d).select("vec_id", "embedding")
     // coarse quantizer: which list does each vector live in
     val coarse = collectCentroids(kmeansLastUpdate(e))
-    val assigned = e.select(col("vec_id"), nearestCid(coarse).as("list_id"))
+    val assigned = assign(s, e, coarse)
+      .select(col("vec_id"), col("cid").as("list_id"))
     val distArr = array_sort(array(coarse.map { case (cid, cvec) =>
       struct(Similarity.l2sq(col("embedding"), typedlit(cvec)).as("dist"),
         lit(cid).as("cid"))

@@ -4,6 +4,7 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.allowHashOnMapType", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -16,12 +17,14 @@ object BenchOne {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
-    fn(spark, "/root/testdata/sf0.001").count()  // warmup
+    // same pruning-proof hash-reduction action as Bench.consume, so solo
+    // medians stay comparable with in-bench medians
+    Bench.consume(fn(spark, "/root/testdata/sf0.001"))  // warmup
     releaseState()
     val reps = if (args.length > 1) args(1).toInt else 3
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      fn(spark, "/root/testdata/sf0.1").count()
+      Bench.consume(fn(spark, "/root/testdata/sf0.1"))
       val dt = (System.nanoTime() - t0) / 1e9
       releaseState()
       System.gc()

@@ -368,29 +368,58 @@ class OpsSpec extends SparkSpec {
       s"re-rank recall@3 = $reranked — expected a solid lift on this corpus")
   }
 
-  test("semantic dedup keeps an independent set under within-cluster near-dup edges") {
-    // The keep-first rule's defining properties: (1) no two KEPT vectors
-    // in the same cluster are near-dups (if v1 < v2 were both kept with
-    // cosine >= 0.4, v2 would have been dropped), and (2) every DROPPED
-    // vector has a smaller-id near-dup in its cluster (the reason it was
-    // dropped). Both recomputed here with the exact cosine, independent
-    // of the query's join shape.
+  test("semantic dedup drops exactly the anchor-flagged near-dups (capped keep-first)") {
+    // The anchor-capped keep-first rule's defining properties, recomputed
+    // with the exact cosine HOF (not the query's native expression) and an
+    // independently-derived anchor set: a vector is dropped IFF some
+    // same-cluster anchor (one of the semCap smallest ids) with a smaller
+    // id sits at cosine >= threshold. (1) COMPLETENESS: no kept vector is
+    // anchor-flagged — in particular any kept pair whose smaller member
+    // is an anchor is NOT a near-dup, the capped form of the independent-
+    // set property. (2) SOUNDNESS: every dropped vector is anchor-flagged
+    // (the reason it was dropped really exists).
     import graft.functions.Similarity
+    import graft.queries.LlmOps4
     val kept = SparkEntry.queries("q_dedup_semantic")(spark, sf)
+    val assigned = LlmOps4.semanticAssigned(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy("vec_id")
+    val anchors = assigned.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= LlmOps4.semCap)
+      .select(col("cid"), col("vec_id").as("v1"), col("embedding").as("e1"))
+    val flagged = anchors.join(
+        assigned.select(col("cid"), col("vec_id").as("v2"),
+          col("embedding").as("e2")), Seq("cid"))
+      .filter(col("v1") < col("v2"))
+      .filter(Similarity.cosine(col("e1"), col("e2")) >= LlmOps4.semThreshold)
+      .select(col("v2").as("vec_id")).distinct()
+    val keptFlagged = kept.join(flagged, Seq("vec_id"), "left_semi").count()
+    assert(keptFlagged == 0, s"$keptFlagged kept vectors have an anchor near-dup")
+    val dropped = assigned.select("vec_id")
+      .join(kept.select("vec_id"), Seq("vec_id"), "left_anti")
+    val unexplained = dropped.join(flagged, Seq("vec_id"), "left_anti").count()
+    assert(unexplained == 0, s"$unexplained dropped vectors lack an anchor reason")
+    val droppedCount = dropped.count()
+    assert(droppedCount > 0, "corpus has >= threshold-cosine pairs; something must drop")
+    assert(kept.count() + droppedCount == assigned.count())
+  }
+
+  test("kmeans assignment: broadcast-join min_by path equals the literal path") {
+    // The large-K scale path (assignJoin: broadcast centroid frame +
+    // partial-agg min_by) must assign every vector to the same centroid
+    // as the literal-inlined argmin it replaces above joinAssignK —
+    // including ties, which both sides break toward the smaller cid.
+    import graft.queries.LlmOps4
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id", "embedding")
-    val all = kept.select(col("vec_id"), col("cid")).join(e, "vec_id")
-    val k1 = all.select(col("cid"), col("vec_id").as("v1"), col("embedding").as("e1"))
-    val k2 = all.select(col("cid"), col("vec_id").as("v2"), col("embedding").as("e2"))
-    val keptViolations = k1.join(k2, Seq("cid"))
-      .filter(col("v1") < col("v2"))
-      .filter(Similarity.cosine(col("e1"), col("e2")) >= 0.4)
-      .count()
-    assert(keptViolations == 0, s"$keptViolations kept near-dup pairs remain")
-    val keptIds = kept.select("vec_id")
-    val droppedCount = e.join(keptIds, Seq("vec_id"), "left_anti").count()
-    assert(droppedCount > 0, "corpus has >= 0.4-cosine pairs; something must drop")
-    assert(keptIds.count() + droppedCount == e.count())
+    val cents = LlmOps4.trainedCentroids(spark, sf)
+    val viaLit = LlmOps4.assign(spark, e, cents).select("vec_id", "cid")
+    val viaJoin = LlmOps4.assign(spark, e, cents, forceJoin = true)
+      .select("vec_id", "cid")
+    assert(viaJoin.count() == viaLit.count())
+    assert(viaLit.except(viaJoin).count() == 0 &&
+      viaJoin.except(viaLit).count() == 0,
+      "join-path assignment diverged from the literal path")
   }
 
   test("approx_percentile stays within 1% of the exact percentile per group") {

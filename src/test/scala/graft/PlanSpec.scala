@@ -189,11 +189,29 @@ class PlanSpec extends SparkSpec {
       org.apache.spark.sql.types.LongType),
       s"semi join must key on xxhash64 digests, got ${semi.head.leftKeys}")
     // both window functions (running covered-end max + island counter)
-    // must share ONE window operator — i.e. one (doc_id, pos) sort, not
-    // one per function
-    val wins = collectAll(plan) { case w: WindowExec => w }
-    assert(wins.size <= 2,
-      s"expected the islands windows to share sorts, got ${wins.size} WindowExec nodes")
+    // must share ONE (doc_id, pos) sort — assert the shared-sort property
+    // itself: exactly one SortExec orders on (doc_id, pos). (Counting
+    // WindowExec nodes can't catch the regression: one sort per function
+    // still yields 2 window nodes.)
+    import org.apache.spark.sql.execution.SortExec
+    val islandSorts = collectAll(plan) {
+      case srt: SortExec if {
+        val keys = srt.sortOrder.map(_.child.toString.toLowerCase)
+        keys.exists(_.contains("doc_id")) && keys.exists(_.contains("pos"))
+      } => srt
+    }
+    assert(islandSorts.size == 1,
+      s"the islands windows must share ONE (doc_id, pos) sort, got ${islandSorts.size}")
+  }
+
+  test("q_dedup_semantic rank-limits the anchor set via WindowGroupLimit") {
+    // The capped-SemDeDup scale claim: per cluster only the semCap
+    // smallest-id members survive into the comparison join's left side,
+    // planned as a rank-limit pushdown (WindowGroupLimit) — not a full
+    // window materialization followed by a filter.
+    val wgl = collectAll(planOf("q_dedup_semantic")) {
+      case w: WindowGroupLimitExec => w }
+    assert(wgl.nonEmpty, "expected WindowGroupLimit for the anchor cap")
   }
 
   test("q_dedup_incremental bloom-prunes the standing corpus before its shuffle") {
