@@ -52,6 +52,15 @@ object AlbFixture {
     Seq("", "137", "126", "17", "8", "126",
       "23", "11", "2", "15", "114", "73")
 
+  /** Expected OS versions for [[userAgents]] under
+    * [[graft.functions.UaClassifier.osVersionRules]] — hand-read like
+    * [[expectedBrowserMajor]]: "NT 10.0" → "10" (marketing map),
+    * "iPhone OS 17_5" → "17.5" (underscores → dots), "NT 6.1" → "7";
+    * Linux / curl / Googlebot agents carry no OS version token → "". */
+  val expectedOsVersion: Seq[String] =
+    Seq("", "10", "", "17.5", "", "10",
+      "13", "7", "", "10.0", "14541.0.0", "10")
+
   val methods: Seq[String] = Seq("GET", "POST", "PUT")
   val statuses: Seq[String] = Seq("200", "200", "301", "404", "503")
 

@@ -477,6 +477,56 @@ object UaClassifier {
       s"WHEN $famExpr = '$f' THEN regexp_extract($uaExpr, '$p', 1)"
     }.mkString(" ") + " ELSE '' END"
 
+  /** OS-version capture patterns per OS family — the last `user_agents`
+    * residual (the lib exposes `.os.version` alongside `.os.family`,
+    * reference `etl_elb_log_to_mysql.py:112`). Family-scoped for the same
+    * reason as [[versionRules]]: the version token is vendor-specific
+    * (Windows reports kernel `NT x.y`, Apple underscores components,
+    * Android/Chrome OS use plain dotted). Families without a stable
+    * version token (Linux distros, crawlers, `-`) capture "". Patterns
+    * stick to syntax valid in BOTH Java regex (Spark) and RE2 (DuckDB). */
+  val osVersionRules: Seq[(String, String)] = Seq(
+    "Windows" -> "Windows NT ([0-9.]+)",
+    "Windows Phone" -> "Windows Phone (?:OS )?([0-9.]+)",
+    "iOS" -> "(?:iPhone OS|CPU OS) ([0-9_]+)",
+    "Mac OS X" -> "Mac OS X ([0-9_.]+)",
+    "Android" -> "Android ([0-9.]+)",
+    "Chrome OS" -> "CrOS [A-Za-z0-9_]+ ([0-9.]+)")
+
+  /** Windows NT kernel → marketing version, the `user_agents`-lib
+    * rendering ("Windows 10", not "Windows NT 10.0"). Kernel versions
+    * without a marketing entry (future ones) pass through unchanged. */
+  val ntMarketing: Seq[(String, String)] = Seq(
+    "10.0" -> "10", "6.3" -> "8.1", "6.2" -> "8", "6.1" -> "7",
+    "6.0" -> "Vista", "5.2" -> "XP", "5.1" -> "XP", "5.0" -> "2000")
+
+  /** OS version as a Column: family-scoped capture, underscore components
+    * normalized to dots (Apple), NT kernel mapped to marketing version
+    * (Windows). "" when the family has no rule or the token is absent. */
+  def osVersion(ua: Column, osFam: Column): Column = {
+    val raw = osVersionRules.foldRight(lit(""): Column) { case ((f, p), els) =>
+      when(osFam === f, regexp_extract(ua, p, 1)).otherwise(els)
+    }
+    val dotted = translate(raw, "_", ".")
+    when(osFam === "Windows",
+      ntMarketing.foldRight(dotted) { case ((nt, mk), els) =>
+        when(dotted === nt, lit(mk)).otherwise(els)
+      }).otherwise(dotted)
+  }
+
+  /** DuckDB twin of [[osVersion]] (translate + regexp_extract agree
+    * between engines; both return '' on no match). */
+  def osVersionSql(uaExpr: String, famExpr: String): String = {
+    val raw = "CASE " + osVersionRules.map { case (f, p) =>
+      s"WHEN $famExpr = '$f' THEN regexp_extract($uaExpr, '$p', 1)"
+    }.mkString(" ") + " ELSE '' END"
+    val dotted = s"translate($raw, '_', '.')"
+    "CASE WHEN " + s"$famExpr = 'Windows' THEN CASE " +
+      ntMarketing.map { case (nt, mk) => s"WHEN $dotted = '$nt' THEN '$mk'" }
+        .mkString(" ") +
+      s" ELSE $dotted END ELSE $dotted END"
+  }
+
   // ---- SQL twin (DuckDB oracle) ------------------------------------------
 
   private def sqlLadder(uaExpr: String,

@@ -34,5 +34,27 @@ object EtlQueries {
 SELECT ua_browser_family,
   ${UaClassifier.browserMajorSql("user_agent_full", "ua_browser_family")} AS browser_major,
   count(*)::BIGINT AS n
+FROM parsed GROUP BY 1, 2 ORDER BY 1, 2"""),
+
+    // OS version capture — the `.os.version` twin of q_ua_versions and
+    // the LAST `user_agents`-lib residual (reference :112 exposes
+    // `.os.family`; the lib carries `.os.version` beside it): family-
+    // scoped capture ([[UaClassifier.osVersionRules]]) + Apple
+    // underscore normalization + the NT→marketing map, rolled up to
+    // (os_family, os_version, count). Same single-source pattern: the
+    // rule table compiles to a when-chain on the Spark side and a CASE
+    // mirror in the oracle; hand-read goldens pin each agent's expected
+    // version in AlbParserSpec.
+    QueryDef("q_ua_os_versions",
+      (s, d) => AlbFixture.parsed(s, d)
+        .groupBy(col("ua_os_family"),
+          UaClassifier.osVersion(col("user_agent_full"),
+            col("ua_os_family")).as("os_version"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("ua_os_family", "os_version"),
+      s"""WITH parsed AS (${AlbFixture.oracleSql})
+SELECT ua_os_family,
+  ${UaClassifier.osVersionSql("user_agent_full", "ua_os_family")} AS os_version,
+  count(*)::BIGINT AS n
 FROM parsed GROUP BY 1, 2 ORDER BY 1, 2"""))
 }

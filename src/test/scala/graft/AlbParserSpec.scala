@@ -177,6 +177,22 @@ class AlbParserSpec extends SparkSpec {
       }
   }
 
+  test("OS versions match the hand-read fixture goldens") {
+    import graft.etl.AlbFixture
+    import graft.functions.UaClassifier
+    // expectedOsVersion is human-read from the agent strings (incl. the
+    // NT→marketing map and Apple underscore normalization), so this pins
+    // the OS version table against ground truth, not its own output.
+    val df = AlbFixture.userAgents.zip(AlbFixture.expectedOs)
+      .toDF("ua", "family")
+      .select(col("ua"),
+        UaClassifier.osVersion(col("ua"), col("family")).as("v"))
+    df.collect().map(_.getString(1)).zip(AlbFixture.expectedOsVersion)
+      .zip(AlbFixture.userAgents).foreach { case ((got, want), ua) =>
+        assert(got == want, s"ua '$ua': got os version '$got' want '$want'")
+      }
+  }
+
   test("UaFamilyExpr loop runtime matches the when-ladder compilation") {
     import graft.functions.UaClassifier
     // browserFamily/osFamily now compile to the UaRuntime rule-table loop;

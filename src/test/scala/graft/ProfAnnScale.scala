@@ -76,6 +76,17 @@ object ProfAnnScale {
     }
 
     val queries = Seq("q_cluster_kmeans", "q_similarity_ivfpq", "q_dedup_semantic")
+    // JIT/codegen warmup on the REAL sf0.001 corpus before any timed
+    // sample: the ANN plans inline literal centroid arrays and compose
+    // multi-stage trainings, so their first executions are dominated by
+    // whole-stage-codegen compilation — without this pass the smallest
+    // factor absorbs all compile cost and the scale curve reads inverted
+    // (the first 1x measurement read 32 s where the warm figure is ~2 s).
+    queries.foreach { name =>
+      try Bench.consume(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
+      catch { case _: Throwable => }
+    }
+    releaseState()
     factors.foreach { f =>
       println(s"[ann-scale] ---- factor ${f}x (${baseN * f} vectors) ----")
       val dir = gen(f)
