@@ -534,19 +534,31 @@ object LlmOps2 {
     // projection; the vector is rendered via the standard floor(x·10⁶)
     // CSV (driver compare cannot hash arrays). Bytes == chars for this
     // ASCII corpus, so DuckDB mirrors via ascii(substring(...)).
+    //
+    // Perf shape (round 8, exposed the moment Bench stopped pruning
+    // projections): codes come from ONE char-split pass (O(L) per doc —
+    // the earlier substr(text, i, 1)-per-index build was O(L²)), and an
+    // inline() Generate barrier pins the array to one evaluation; without
+    // it CollapseProject re-inlines the construction into every one of
+    // the 18 consuming expressions (16 bins + sum + csv) — the same
+    // multi-reference trap as the parser's from_csv. 26.9 s → ~3 s at
+    // sf0.1.
     QueryDef("q_multimodal_features",
       (s, d) => {
-        val n = length(col("text"))
-        val codes = transform(sequence(lit(1), n),
-          i => floor(ascii(col("text").substr(i, lit(1))).cast("double") / 16).cast("int"))
+        val codes0 = transform(split(col("text"), ""),
+          c => floor(ascii(c).cast("double") / 16).cast("int"))
+        val base = Tables.documents(s, d).select(
+          col("doc_id"), length(col("text")).as("n"),
+          inline(array(struct(codes0.as("codes")))))
+        val n = col("n")
         val hist = (0 until 16).map(b =>
-          size(filter(codes, c => c === b)).cast("double") / n.cast("double"))
+          size(filter(col("codes"), c => c === b)).cast("double") / n.cast("double"))
         val featCsv = concat_ws(",", hist.map(h =>
           floor(h * 1000000d).cast("string")): _*)
-        Tables.documents(s, d).select(
+        base.select(
           col("doc_id"),
           n.cast("long").as("n_bytes"),
-          aggregate(codes, lit(0L), (acc, c) => acc + c).as("code_sum"),
+          aggregate(col("codes"), lit(0L), (acc, c) => acc + c).as("code_sum"),
           featCsv.as("features_csv"))
           .orderBy("doc_id")
       },
