@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-8 training-data-pipeline additions: PII redaction, deterministic
+  * content-hash dataset splitting, and URL-canonicalization dedup — the
+  * three standard web-corpus curation steps (C4 / RefinedWeb pipelines)
+  * the surface didn't yet carry. All three are single-pass, shuffle-light
+  * shapes: redaction is a pure projection, the split is a projection (its
+  * proof obligation — dups co-split — lives in OpsSpec, not a shuffle),
+  * and URL dedup shuffles only 16-byte-ish canonical keys.
+  *
+  * The synthetic corpus carries no natural PII or URLs, so both are
+  * INJECTED deterministically from the row key on BOTH engines (the same
+  * build-then-process pattern as [[graft.etl.AlbFixture]]): the oracle
+  * constructs byte-identical input, so the compare exercises the scrub /
+  * canonicalization logic itself, not a lucky absence of matches.
+  */
+object LlmOps5 {
+
+  // PII patterns — RE2-safe (no backrefs/lookarounds) so Java regex and
+  // DuckDB RE2 agree; applied in a fixed order (email, IPv4, phone) since
+  // replacement output feeds the next pattern on both sides.
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipPat    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val phonePat = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  val defs: Seq[QueryDef] = Seq(
+    // PII redaction: email → <EMAIL>, IPv4 → <IP>, phone → <PHONE>.
+    // At 100 TB this is the ideal operator: a zero-shuffle codegen'd
+    // projection (three regexp_replace passes fused into one WholeStage
+    // span), embarrassingly parallel, output partitioning = input
+    // partitioning. The injected PII derives from doc_id so ~1/3 of docs
+    // carry an email, 1/4 an IP, 1/5 a phone, with overlaps.
+    QueryDef("q_scrub_pii",
+      (s, d) => {
+        val k = col("doc_id")
+        val email = when(k % 3 === 0,
+          concat(lit(" user"), (k % 1000).cast("string"), lit("@ex"),
+            (k % 7).cast("string"), lit(".com"))).otherwise(lit(""))
+        val ip = when(k % 4 === 0,
+          concat(lit(" 10."), (k % 256).cast("string"), lit("."),
+            (k % 200).cast("string"), lit("."), (k % 97).cast("string")))
+          .otherwise(lit(""))
+        val phone = when(k % 5 === 0,
+          concat(lit(" +1-555-"), lpad((k % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))
+        val raw = concat(col("text"), email, ip, phone)
+        val scrubbed =
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(raw, emailPat, "<EMAIL>"),
+              ipPat, "<IP>"),
+            phonePat, "<PHONE>")
+        Tables.documents(s, d).select(
+          k,
+          regexp_count(raw, lit(emailPat)).cast("long").as("n_email"),
+          regexp_count(raw, lit(ipPat)).cast("long").as("n_ip"),
+          regexp_count(raw, lit(phonePat)).cast("long").as("n_phone"),
+          md5(scrubbed.cast("binary")).as("scrubbed_md5"),
+          length(scrubbed).cast("long").as("scrubbed_len"))
+          .orderBy("doc_id")
+      },
+      s"""WITH raw AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0 THEN ' user' || (doc_id % 1000)::VARCHAR
+              || '@ex' || (doc_id % 7)::VARCHAR || '.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' 10.' || (doc_id % 256)::VARCHAR
+              || '.' || (doc_id % 200)::VARCHAR || '.' || (doc_id % 97)::VARCHAR ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+    AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '$emailPat'))::BIGINT AS n_email,
+  len(regexp_extract_all(t, '$ipPat'))::BIGINT AS n_ip,
+  len(regexp_extract_all(t, '$phonePat'))::BIGINT AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      '$emailPat', '<EMAIL>', 'g'),
+      '$ipPat', '<IP>', 'g'),
+      '$phonePat', '<PHONE>', 'g')) AS scrubbed_md5,
+  length(regexp_replace(regexp_replace(regexp_replace(t,
+      '$emailPat', '<EMAIL>', 'g'),
+      '$ipPat', '<IP>', 'g'),
+      '$phonePat', '<PHONE>', 'g'))::BIGINT AS scrubbed_len
+FROM raw ORDER BY doc_id"""),
+
+    // Deterministic train/val/test split keyed on CONTENT hash, not row
+    // id: exact duplicates land in the same split by construction (no
+    // train→test leakage through dups — the reason real pipelines split
+    // this way; OpsSpec pins the property). md5's first 15 hex chars give
+    // a 60-bit integer both engines derive identically (the repo's
+    // standard mirrorable-hash idiom, [[graft.ops.Dedup]]). 80/10/10.
+    // Zero shuffle: the assignment is a projection; downstream consumers
+    // filter on `split` (a pushable predicate) rather than re-shuffling.
+    QueryDef("q_split_hash",
+      (s, d) => {
+        val bucket = pmod(
+          conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+            .cast("long"), lit(100L))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          bucket.as("bucket"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+  ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 AS bucket,
+  CASE WHEN ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+       WHEN ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents ORDER BY doc_id"""),
+
+    // URL-canonicalization dedup: strip fragment, strip utm-only query
+    // strings, lowercase the host (and ONLY the host), strip the trailing
+    // slash — then keep one representative per canonical URL. The raw URLs
+    // are built from o_orderkey with seeded noise (host case, trailing
+    // slash, utm params, fragments) so ~6 raw variants collapse per
+    // canonical target. Scale shape: the groupBy shuffles canonical-URL
+    // keys only (short strings), count+min collapse map-side; at 100 TB
+    // this is the exact-dedup pattern with a projection in front.
+    QueryDef("q_dedup_url",
+      (s, d) => {
+        val k = col("o_orderkey")
+        val host = when(k % 2 === 0, "Example.COM").otherwise("example.com")
+        val trail = when(k % 3 === 0, "/").otherwise("")
+        val query = when(k % 4 === 0, concat(lit("?utm_source=a"), (k % 5).cast("string")))
+          .when(k % 4 === 1, concat(lit("?id="), (k % 11).cast("string")))
+          .otherwise(lit(""))
+        val frag = when(k % 5 === 0, "#sec").otherwise("")
+        val raw = concat(lit("https://"), host, lit("/p/"),
+          (k % 500).cast("string"), trail, query, frag)
+        val noFrag = regexp_replace(raw, "#.*$", "")
+        val noUtm = regexp_replace(noFrag, "\\?utm_[^#]*$", "")
+        // trailing-slash strip must also fire when a query string follows
+        // the slash (`/p/3/?id=5` → `/p/3?id=5`); RE2 has no lookahead, so
+        // capture-and-reinsert the query instead (Spark `$1` ≡ DuckDB `\1`)
+        val canon = concat(lit("https://"),
+          lower(regexp_extract(noUtm, "^https://([^/]+)", 1)),
+          regexp_replace(regexp_extract(noUtm, "^https://[^/]+(.*)$", 1),
+            "/(\\?.*)?$", "$1"))
+        Tables.orders(s, d)
+          .select(k, canon.as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).cast("long").as("n_raw"),
+            min(k).cast("long").as("keep_key"))
+          .orderBy("canonical_url")
+      },
+      """WITH raw AS (
+  SELECT o_orderkey AS k,
+    'https://' || CASE WHEN o_orderkey % 2 = 0 THEN 'Example.COM' ELSE 'example.com' END
+      || '/p/' || (o_orderkey % 500)::VARCHAR
+      || CASE WHEN o_orderkey % 3 = 0 THEN '/' ELSE '' END
+      || CASE WHEN o_orderkey % 4 = 0 THEN '?utm_source=a' || (o_orderkey % 5)::VARCHAR
+              WHEN o_orderkey % 4 = 1 THEN '?id=' || (o_orderkey % 11)::VARCHAR
+              ELSE '' END
+      || CASE WHEN o_orderkey % 5 = 0 THEN '#sec' ELSE '' END AS url
+  FROM orders
+), stripped AS (
+  SELECT k, regexp_replace(regexp_replace(url, '#.*$', ''), '\?utm_[^#]*$', '') AS u
+  FROM raw
+), canon AS (
+  SELECT k,
+    'https://' || lower(regexp_extract(u, '^https://([^/]+)', 1))
+      || regexp_replace(regexp_extract(u, '^https://[^/]+(.*)$', 1), '/(\?.*)?$', '\1')
+    AS canonical_url
+  FROM stripped
+)
+SELECT canonical_url, count(*)::BIGINT AS n_raw, min(k)::BIGINT AS keep_key
+FROM canon GROUP BY 1 ORDER BY 1"""))
+}

@@ -515,6 +515,67 @@ class OpsSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("content-hash split co-assigns exact duplicates and covers all splits") {
+    // The whole point of splitting on content hash rather than doc_id:
+    // byte-identical docs can never straddle train/test. sf0.001's 50-doc
+    // corpus carries no exact dups, so build one that does — 400 distinct
+    // texts (enough for the 80/10/10 fractions to concentrate) plus a dup
+    // of every 4th under a doc_id that a row-id split would scatter.
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    val base = (0 until 400).map(i => (i.toLong, s"doc $i body ${"w " * (i % 17)}"))
+    val dups = (0 until 400 by 4).map(i => (1000L + i, base(i)._2))
+    (base ++ dups).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val split = SparkEntry.queries("q_split_hash")(spark, dir)
+    val withMd5 = split.join(
+      graft.Tables.documents(spark, dir).select(col("doc_id"),
+        md5(col("text").cast("binary")).as("m")), "doc_id")
+    val perContent = withMd5.groupBy("m")
+      .agg(countDistinct("split").as("k"), count(lit(1)).as("n"))
+    assert(perContent.filter(col("k") > 1).count() == 0,
+      "exact duplicates must land in one split")
+    assert(perContent.filter(col("n") > 1).count() > 0,
+      "corpus should contain exact dups for the property to bite")
+    val frac = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = frac.values.sum.toDouble
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(frac("train") / total > 0.7 && frac("train") / total < 0.9,
+      s"train fraction off: $frac")
+  }
+
+  test("url canonicalization strips fragment, utm query, host case, trailing slash") {
+    val got = SparkEntry.queries("q_dedup_url")(spark, sf).collect()
+    val urls = got.map(_.getAs[String]("canonical_url"))
+    assert(urls.nonEmpty)
+    assert(urls.forall(u => !u.contains("#")), "fragments must be stripped")
+    assert(urls.forall(u => !u.contains("utm_")), "utm queries must be stripped")
+    assert(urls.forall(u => !u.endsWith("/")), "trailing slashes must be stripped")
+    assert(urls.forall(u => u.startsWith("https://example.com/")),
+      "host must be lowercased")
+    // real (non-utm) query strings survive canonicalization
+    assert(urls.exists(_.contains("?id=")))
+    // every raw URL is accounted for exactly once
+    val nRaw = got.map(_.getAs[Long]("n_raw")).sum
+    assert(nRaw == graft.Tables.orders(spark, sf).count())
+  }
+
+  test("pii scrub counts match the injection schedule exactly") {
+    // n_* == 1 exactly when the builder injected that PII kind: pins both
+    // that each pattern finds its target and that nothing in the base
+    // text (or a neighboring replacement) accidentally matches.
+    val got = SparkEntry.queries("q_scrub_pii")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_email") == (if (id % 3 == 0) 1L else 0L), s"email@$id")
+      assert(r.getAs[Long]("n_ip") == (if (id % 4 == 0) 1L else 0L), s"ip@$id")
+      assert(r.getAs[Long]("n_phone") == (if (id % 5 == 0) 1L else 0L), s"phone@$id")
+    }
+  }
+
   test("multimodal decode plumbing produces typed metadata per row") {
     val got = Multimodal.decode(Multimodal.pngPayload(docs, "doc_id"), "doc_id")
       .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.pixel_sum")
