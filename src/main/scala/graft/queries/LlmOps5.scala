@@ -171,5 +171,83 @@ FROM documents ORDER BY doc_id"""),
   FROM stripped
 )
 SELECT canonical_url, count(*)::BIGINT AS n_raw, min(k)::BIGINT AS keep_key
-FROM canon GROUP BY 1 ORDER BY 1"""))
+FROM canon GROUP BY 1 ORDER BY 1"""),
+
+    // Inverted index with capped postings — the MapReduce-classic shape
+    // that backs search and n-gram decontamination at corpus scale. Two
+    // shuffles total over ONE scan: tokens → (term, doc_id) tf groupBy,
+    // then one repartition-by-term under which BOTH the per-term stats
+    // (df, total_tf: unbounded-frame window aggs) and the top-B ranking
+    // (row_number) share a single sort — no self-join, no second scan.
+    // The postings list is capped at B=5 by (tf DESC, doc_id) so no term
+    // ever materializes an unbounded list (stopwords have df ≈ N; an
+    // uncapped collect_list would be the skew OOM at 100 TB). df/total_tf
+    // stay exact — computed before the cap filter.
+    QueryDef("q_index_postings",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tokens = Tables.documents(s, d).select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val tf = tokens.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        val byTerm = Window.partitionBy("term")
+        val ranked = tf.select(col("term"), col("doc_id"), col("tf"),
+          row_number().over(byTerm.orderBy(col("tf").desc, col("doc_id").asc))
+            .as("rn"),
+          count(lit(1)).over(byTerm).as("df"),
+          sum(col("tf")).over(byTerm).as("total_tf"))
+        ranked.filter(col("rn") <= 5)
+          .groupBy("term")
+          .agg(min("df").cast("long").as("df"),
+            min("total_tf").cast("long").as("total_tf"),
+            concat_ws(",", transform(
+              array_sort(collect_list(struct(col("rn"), col("doc_id"), col("tf")))),
+              e => concat(e.getField("doc_id").cast("string"), lit(":"),
+                e.getField("tf").cast("string")))).as("postings_csv"))
+          .orderBy("term")
+      },
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+         tf AS (SELECT term, doc_id, count(*) AS tf FROM t GROUP BY 1, 2),
+         r AS (SELECT term, doc_id, tf,
+                 row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY term) AS df,
+                 sum(tf) OVER (PARTITION BY term) AS total_tf
+               FROM tf)
+         SELECT term, min(df)::BIGINT AS df, min(total_tf)::BIGINT AS total_tf,
+           string_agg(doc_id::VARCHAR || ':' || tf::VARCHAR, ',' ORDER BY rn)
+             AS postings_csv
+         FROM r WHERE rn <= 5 GROUP BY term ORDER BY term"""),
+
+    // Per-source corpus datacard — the composition report every released
+    // training set ships with (doc counts, language spread, length
+    // distribution). One groupBy over one scan; countDistinct(lang) is
+    // safe because language cardinality is tiny (it rewrites to a
+    // two-stage expand, both stages keyed on `source`). Determinism:
+    // exact BIGINT sums, avg as exact-sum double division, percentiles
+    // via Spark `percentile` == DuckDB `quantile_cont` (both interpolate
+    // (1-g)·a + g·b on sorted values; n_chars is integral so the result
+    // is exactly representable).
+    QueryDef("q_stats_datacard",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct(col("lang")).cast("long").as("n_langs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          expr("percentile(n_chars, 0.5)").as("p50_chars"),
+          expr("percentile(n_chars, 0.9)").as("p90_chars"),
+          min(col("n_chars")).cast("long").as("min_chars"),
+          max(col("n_chars")).cast("long").as("max_chars"),
+          sum(when(col("n_chars") < 200, 1L).otherwise(0L)).cast("long")
+            .as("n_short"))
+        .orderBy("source"),
+      """SELECT source, count(*)::BIGINT AS n_docs,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(n_chars)::DOUBLE / count(*) AS avg_chars,
+           quantile_cont(n_chars, 0.5) AS p50_chars,
+           quantile_cont(n_chars, 0.9) AS p90_chars,
+           min(n_chars)::BIGINT AS min_chars,
+           max(n_chars)::BIGINT AS max_chars,
+           sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS n_short
+         FROM documents GROUP BY source ORDER BY source"""))
 }

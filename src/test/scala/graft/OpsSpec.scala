@@ -576,6 +576,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("inverted index caps postings at 5 while df stays exact") {
+    // The cap is the scale invariant: a stopword's postings list must not
+    // grow with the corpus, but its df/total_tf must still count every doc.
+    val got = SparkEntry.queries("q_index_postings")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val entries = r.getAs[String]("postings_csv").split(",")
+      val df = r.getAs[Long]("df")
+      assert(entries.length == math.min(df, 5L).toInt,
+        s"term ${r.getAs[String]("term")}: ${entries.length} postings for df=$df")
+      // entries are (tf DESC, doc_id ASC): monotone non-increasing tf
+      val tfs = entries.map(_.split(":")(1).toInt)
+      assert(tfs.sameElements(tfs.sortBy(-(_: Int))), s"postings not tf-sorted")
+      assert(df <= r.getAs[Long]("total_tf"))
+    }
+    assert(got.exists(_.getAs[Long]("df") > 5),
+      "corpus should contain terms with df above the cap for the property to bite")
+  }
+
   test("multimodal decode plumbing produces typed metadata per row") {
     val got = Multimodal.decode(Multimodal.pngPayload(docs, "doc_id"), "doc_id")
       .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.pixel_sum")
