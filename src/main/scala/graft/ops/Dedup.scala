@@ -57,6 +57,14 @@ object Dedup {
     * underlying [[minHashPairs]]; exposed for estimator-style consumers. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 16): DataFrame = {
+    // One shuffle, map-side combined: the min-aggregation state is 16
+    // longs per doc per mapper. A zero-shuffle array_min(transform(...))
+    // projection was measured 2× SLOWER here (sf0.1 solo 3.2 → 6.4 s):
+    // higher-order functions are evaluated outside whole-stage codegen,
+    // so its 16 identical wordSet subtrees get no subexpression
+    // elimination and the split/sort re-runs 16× per row. (minHashPairs
+    // CAN fuse — its word sets are materialized behind a checkpoint
+    // barrier, so only the hashing repeats there.)
     val words = docs.select(col(idCol).as("doc_id"),
       explode(wordSet(col(textCol))).as("word"))
     val sigExprs = (0 until numHashes).map(i =>
@@ -156,25 +164,32 @@ object Dedup {
     val members = byDigest.select("doc_id", "digest")
     val sets = byDigest.select("digest", "ws").dropDuplicates("digest")
 
-    // distinct (digest, word) pairs drive the signature aggregation
-    val words = sets.select(col("digest"), explode(col("ws")).as("word"))
-
     // numHashes independent permutations simulated by seed-prefixed md5,
-    // truncated to 60-bit BIGINTs ([[permHash]]) so the per-digest min
-    // aggregation and its shuffle move 8-byte longs, not 32-char hex.
-    // The hash depends on (seed, word) only, so hash once per DISTINCT
-    // vocabulary word and join back — occurrences outnumber the
-    // vocabulary by orders of magnitude (Heaps' law), so this trades
-    // 16 md5s per occurrence for one unhinted join (AQE broadcasts the
-    // vocab while it fits, shuffles when it doesn't).
-    val vocab = words.select("word").distinct()
-      .select(col("word") +: (0 until numHashes).map(i =>
-        permHash(i, col("word")).as(s"h$i")): _*)
-    val sigExprs = (0 until numHashes).map(i => min(col(s"h$i")).as(s"s$i"))
+    // truncated to 60-bit BIGINTs ([[permHash]]), computed IN PLACE as a
+    // projection over the checkpointed word-set arrays:
+    // s_i = array_min(transform(ws, w => permHash(i, w))). The previous
+    // shape (explode → distinct-vocab md5 join → per-digest min groupBy)
+    // hashed each vocabulary word once, but paid three data-motion steps
+    // for it — a vocab distinct shuffle, a join that re-shuffles every
+    // (digest, word) occurrence once the vocab outgrows broadcast, and
+    // the signature groupBy. At cluster scale those shuffles are the
+    // bottleneck; 16 codegen'd md5s per distinct word occurrence are
+    // embarrassingly parallel and run where the data already sits.
+    // (Measured: sf0.1 solo median unchanged at ~4.7 s — the candidate
+    // self-join dominates locally and the synthetic 30-word vocabulary
+    // made the old join a broadcast — but the sig stage's three shuffles
+    // drop to zero, and the vocab-outgrows-broadcast re-shuffle of every
+    // word occurrence can no longer happen.) `ws` is a materialized column of
+    // the checkpoint barrier, so the 16 transforms read one array
+    // attribute — CollapseProject cannot re-inline its construction.
+    // Null-text docs (null ws) produced no exploded rows under the old
+    // shape; the filter keeps that behavior identical.
+    val sigExprs = (0 until numHashes).map(i =>
+      array_min(transform(col("ws"), w => permHash(i, w))).as(s"s$i"))
     // lazy checkpoint: the banded-bucket frame below self-joins, and the
-    // signature aggregation would otherwise run once per join side
-    val sigs = words.join(vocab, "word")
-      .groupBy("digest").agg(sigExprs.head, sigExprs.tail: _*)
+    // signature projection would otherwise run once per join side
+    val sigs = sets.where(col("ws").isNotNull)
+      .select(col("digest") +: sigExprs: _*)
       .localCheckpoint(eager = false)
 
     // Band bucket = hash of the signature slice. Bucket equality means
