@@ -229,5 +229,70 @@ object Relational4 {
          WHERE l_shipdate >= TIMESTAMP '1999-01-01'
          GROUP BY l_returnflag
          ORDER BY l_returnflag"""),
+
+    // Z-order data layout — the OPTIMIZE ZORDER step lakehouse tables run
+    // so that scans filtered on EITHER (or both) of two keys prune most
+    // files: each key is range-bucketed to 4 bits, the bits interleave
+    // into an 8-bit z-value, rows sort by it, and the sorted run splits
+    // into 64 equal files. The output is the layout's pruning manifest —
+    // per-file min/max of both keys (exactly what a format's file-skipping
+    // index stores); z-ordering bounds BOTH spans per file, where a
+    // single-key sort leaves the other key's span at full width. At
+    // cluster scale the global sort is repartitionByRange(zval) + local
+    // sort-on-write (one range shuffle, the standard layout-job shape);
+    // the single-window form here pins the semantics the oracle checks.
+    // All math is integer (buckets, shifts, div) so both engines agree
+    // bit-for-bit; the sort key is padded to a unique total order because
+    // synthetic (l_orderkey, l_linenumber) is not unique.
+    QueryDef("q_layout_zorder",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        val m = broadcast(li.agg(
+          max("l_partkey").as("mp"), max("l_suppkey").as("ms"),
+          count(lit(1)).as("n")))
+        val zipped = li.crossJoin(m)
+          .withColumn("x", expr("((l_partkey - 1) * 16) div mp"))
+          .withColumn("y", expr("((l_suppkey - 1) * 16) div ms"))
+          .withColumn("zval", expr(
+            """shiftleft((x       & 1), 0) + shiftleft((y       & 1), 1) +
+               shiftleft((shiftright(x, 1) & 1), 2) + shiftleft((shiftright(y, 1) & 1), 3) +
+               shiftleft((shiftright(x, 2) & 1), 4) + shiftleft((shiftright(y, 2) & 1), 5) +
+               shiftleft((shiftright(x, 3) & 1), 6) + shiftleft((shiftright(y, 3) & 1), 7)"""))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy("zval", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        zipped
+          .withColumn("rn", row_number().over(w) - 1)
+          .withColumn("file_id", expr("rn div ((n + 63) div 64)"))
+          .groupBy("file_id")
+          .agg(count(lit(1)).cast("long").as("n_rows"),
+            min("l_partkey").cast("long").as("part_min"),
+            max("l_partkey").cast("long").as("part_max"),
+            min("l_suppkey").cast("long").as("supp_min"),
+            max("l_suppkey").cast("long").as("supp_max"))
+          .withColumn("file_id", col("file_id").cast("long"))
+          .orderBy("file_id")
+      },
+      """WITH m AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms,
+                           count(*) AS n FROM lineitem),
+         b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, n,
+                 ((l_partkey - 1) * 16) // mp AS x,
+                 ((l_suppkey - 1) * 16) // ms AS y
+               FROM lineitem, m),
+         z AS (SELECT *,
+                 ((x & 1) << 0) + ((y & 1) << 1) +
+                 (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) +
+                 (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) +
+                 (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) AS zval
+               FROM b),
+         r AS (SELECT *,
+                 (row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber,
+                                     l_partkey, l_suppkey) - 1)
+                   // ((n + 63) // 64) AS file_id
+               FROM z)
+         SELECT file_id::BIGINT AS file_id, count(*)::BIGINT AS n_rows,
+           min(l_partkey)::BIGINT AS part_min, max(l_partkey)::BIGINT AS part_max,
+           min(l_suppkey)::BIGINT AS supp_min, max(l_suppkey)::BIGINT AS supp_max
+         FROM r GROUP BY file_id ORDER BY file_id"""),
   )
 }

@@ -595,6 +595,25 @@ class OpsSpec extends SparkSpec {
       "corpus should contain terms with df above the cap for the property to bite")
   }
 
+  test("z-order layout bounds both key spans per file") {
+    // The pruning claim: a typical file's min/max range is narrow in BOTH
+    // keys (a one-key sort leaves the other key's span at full width).
+    // With 4-bit buckets and 64 files, an aligned file covers a 2×2 cell
+    // block — span ≈ range/8 per dim; assert the median stays under
+    // range/3, leaving room for boundary files that straddle z-cells.
+    val got = SparkEntry.queries("q_layout_zorder")(spark, sf).collect()
+    val li = graft.Tables.lineitem(spark, sf)
+    assert(got.map(_.getAs[Long]("n_rows")).sum == li.count())
+    val Array(pLo, pHi, sLo, sHi) = li
+      .agg(min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .collect()(0).toSeq.map(_.toString.toLong).toArray
+    def median(xs: Seq[Long]) = xs.sorted.apply(xs.size / 2)
+    val partMed = median(got.map(r => r.getAs[Long]("part_max") - r.getAs[Long]("part_min")).toSeq)
+    val suppMed = median(got.map(r => r.getAs[Long]("supp_max") - r.getAs[Long]("supp_min")).toSeq)
+    assert(partMed <= (pHi - pLo) / 3, s"part span median $partMed vs range ${pHi - pLo}")
+    assert(suppMed <= (sHi - sLo) / 3, s"supp span median $suppMed vs range ${sHi - sLo}")
+  }
+
   test("multimodal decode plumbing produces typed metadata per row") {
     val got = Multimodal.decode(Multimodal.pngPayload(docs, "doc_id"), "doc_id")
       .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.pixel_sum")
