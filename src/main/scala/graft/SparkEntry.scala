@@ -9,7 +9,8 @@ object SparkEntry {
       graft.queries.Functions.defs ++
       graft.queries.EventsQueries.defs ++ graft.queries.LlmOps.defs ++
       graft.queries.LlmOps2.defs ++ graft.queries.LlmOps3.defs ++
-      graft.queries.LlmOps4.defs ++ graft.queries.LlmOps5.defs
+      graft.queries.LlmOps4.defs ++ graft.queries.LlmOps5.defs ++
+      graft.queries.GraphOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full ALB parse pipeline over the synthetic line corpus. */

@@ -217,6 +217,81 @@ FROM canon GROUP BY 1 ORDER BY 1"""),
              AS postings_csv
          FROM r WHERE rn <= 5 GROUP BY term ORDER BY term"""),
 
+    // BM25 ranking (k1=1.2, b=0.75, the always-positive +1 idf) — the
+    // scoring half of the search story q_index_postings starts. The query
+    // is corpus-derived (the 3 globally most frequent words, ties to the
+    // lexicographically smaller) so the test needs no magic literals. All
+    // model state that broadcasts is bounded: the 3 query terms, their
+    // df rows, and one (n_docs, n_tokens) stats row; the only
+    // corpus-scaled shuffle is tf⋈dl on doc_id. Determinism: naive
+    // `tf + 1.2*(0.25 + 0.75*dl/avgdl)` float chains differed from
+    // DuckDB by 1 ulp on ~17% of rows (its compiled a+b*c can fuse into
+    // FMA; the JVM never does), so with k1=6/5 and b=3/4 both factors
+    // are restructured as single divisions of EXACT BIGINTs:
+    //   idf arg: (n-df+.5)/(df+.5)+1 = (2n+2)/(2df+1)
+    //   tf sat:  (tf·11/5)/(tf + 3/10 + (9/10)·dl·n/T)
+    //          = 22·tf·T / (10·tf·T + 3·T + 9·dl·n)
+    // leaving only individually-rounded IEEE ops (div, ln via LnIeee,
+    // mul) that both engines agree on bit-for-bit. The per-doc sum is a
+    // word-sorted left fold — the q_text_unigram_nll recipe. (Integer
+    // magnitudes stay below 2^53 up to ~10^14 corpus tokens; past that,
+    // pre-reduce T/n to avgdl in decimal.)
+    QueryDef("q_text_bm25",
+      (s, d) => {
+        graft.functions.LnIeee.register(s)
+        val docs = Tables.documents(s, d)
+        val tokens = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val stats = docs.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(tokens.agg(count(lit(1)).as("n_tokens")))
+        val qterms = tokens.groupBy("word").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word").asc).limit(3).select("word")
+        val dfq = tf.join(broadcast(qterms), "word")
+          .groupBy("word").agg(count(lit(1)).as("df"))
+        val idf = call_function("ln_ieee",
+          (col("n_docs") * 2 + lit(2)).cast("double") / (col("df") * 2 + lit(1)))
+        val num = col("tf") * lit(22L) * col("n_tokens")
+        val den = col("tf") * lit(10L) * col("n_tokens") +
+          lit(3L) * col("n_tokens") + lit(9L) * col("dl") * col("n_docs")
+        val score = idf * (num.cast("double") / den)
+        tf.join(broadcast(dfq), "word")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .select(col("doc_id"), col("word"), score.as("term"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_match"),
+            array_sort(collect_list(struct(col("word"), col("term")))).as("wt"))
+          .select(col("doc_id"), col("n_match"),
+            aggregate(transform(col("wt"), e => e.getField("term")),
+              lit(0.0), (a, x) => a + x).as("bm25"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY 1),
+         stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                          (SELECT count(*) FROM t) AS n_tokens),
+         q AS (SELECT word FROM (SELECT word, count(*) AS cnt FROM t
+                                 GROUP BY 1 ORDER BY cnt DESC, word LIMIT 3)),
+         dfq AS (SELECT word, count(*) AS df FROM tf
+                 WHERE word IN (SELECT word FROM q) GROUP BY 1),
+         scored AS (
+           SELECT doc_id, word,
+             ln((n_docs * 2 + 2)::DOUBLE / (df * 2 + 1)) *
+             ((tf * 22 * n_tokens)::DOUBLE /
+              (tf * 10 * n_tokens + 3 * n_tokens + 9 * dl * n_docs)) AS term
+           FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), stats),
+         d AS (SELECT doc_id, count(*) AS n_match,
+                 list_sort(list(struct_pack(word := word, term := term))) AS wt
+               FROM scored GROUP BY 1)
+         SELECT doc_id, n_match::BIGINT AS n_match,
+           list_reduce(list_prepend(0.0,
+             list_transform(wt, e -> struct_extract(e, 'term'))),
+             (a, b) -> a + b) AS bm25
+         FROM d ORDER BY doc_id"""),
+
     // Per-source corpus datacard — the composition report every released
     // training set ships with (doc counts, language spread, length
     // distribution). One groupBy over one scan; countDistinct(lang) is

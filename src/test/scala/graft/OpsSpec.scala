@@ -595,6 +595,40 @@ class OpsSpec extends SparkSpec {
       "corpus should contain terms with df above the cap for the property to bite")
   }
 
+  test("bm25 ranks heavier query-term usage higher at equal length") {
+    // Controlled corpus: the derived query is the top-3 words (a, b, c).
+    // d1 and d2 have identical length; d1 carries 'a' twice vs d2's once,
+    // so d1 must outrank d2. d3 shares no query term and must be absent.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    Seq((1L, "a a b c f1"), (2L, "a b c f2 f3"), (3L, "q r s t u"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_text_bm25")(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_match"), r.getAs[Double]("bm25"))).toMap
+    assert(got.keySet == Set(1L, 2L), s"got $got")
+    assert(got(1L)._1 == 3 && got(2L)._1 == 3)
+    assert(got(1L)._2 > got(2L)._2,
+      s"doc with tf=2 on a query term must outrank tf=1: $got")
+  }
+
+  test("pagerank concentrates mass on the high-degree side of the bipartite graph") {
+    // Suppliers are ~20× rarer than parts in lineitem, so each supplier
+    // node aggregates in-mass from many parts — its rank must sit well
+    // above any part node's. Parity encodes the side (part=even, supp=odd).
+    val got = SparkEntry.queries("q_graph_pagerank")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("node"), r.getAs[Long]("rank")))
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 >= 150000L), "every node keeps the damping floor")
+    val (supps, parts) = got.partition(_._1 % 2 == 1)
+    val avgSupp = supps.map(_._2).sum / supps.size
+    val avgPart = parts.map(_._2).sum / parts.size
+    assert(avgSupp > 2 * avgPart,
+      s"supplier avg $avgSupp should dominate part avg $avgPart")
+  }
+
   test("z-order layout bounds both key spans per file") {
     // The pruning claim: a typical file's min/max range is narrow in BOTH
     // keys (a one-key sort leaves the other key's span at full width).
