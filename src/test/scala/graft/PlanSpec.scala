@@ -233,4 +233,44 @@ class PlanSpec extends SparkSpec {
       }.nonEmpty)
     assert(underExchange, "bloom prefilter must run before the corpus shuffle")
   }
+
+  test("q_index_postings shares one per-term sort between stats and ranking windows") {
+    // The one-scan design: df/total_tf (unbounded-frame windows) and the
+    // top-B row_number ranking both run under a single repartition-by-term
+    // sort. Two sorts (one per window spec) would double the dominant
+    // shuffle's downstream cost.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = planOf("q_index_postings")
+    val windows = collectAll(plan) { case w: WindowExec => w }
+    assert(windows.size == 2, s"expected stats + ranking windows, got ${windows.size}")
+    val termSorts = collectAll(plan) {
+      case srt: SortExec
+        if srt.sortOrder.exists(_.child.toString.toLowerCase.contains("term")) &&
+          collectAll(srt) { case w: WindowExec => w }.isEmpty => srt
+    }
+    // exactly one term-keyed sort feeds the window pair (the final
+    // ORDER BY term sort sits ABOVE them and contains them in its subtree)
+    assert(termSorts.size == 1,
+      s"both windows must share ONE per-term sort, got ${termSorts.size}")
+  }
+
+  test("q_text_bm25 hints broadcasts only on bounded model state") {
+    // Query terms, their df rows, and the one-row stats frame carry the
+    // broadcast() hints; nothing doc-granular (tf, dl — both grow with the
+    // corpus) may be FORCED to broadcast. (At tiny SF the planner may
+    // still adaptively broadcast dl from size estimates — that choice
+    // reverses itself at scale; a hint would not.)
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    val analyzed = SparkEntry.queries("q_text_bm25")(spark, sf)
+      .queryExecution.analyzed
+    val bcast = analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+    }
+    assert(bcast.nonEmpty, "expected broadcast hints on the bounded model state")
+    val docGranular = bcast.filter(_.output.exists(a =>
+      a.name == "doc_id" || a.name == "dl" || a.name == "tf"))
+    assert(docGranular.isEmpty,
+      s"no doc-granular frame may carry a broadcast hint: $docGranular")
+  }
 }
