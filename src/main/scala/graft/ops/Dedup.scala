@@ -175,11 +175,13 @@ object Dedup {
     // the signature groupBy. At cluster scale those shuffles are the
     // bottleneck; 16 codegen'd md5s per distinct word occurrence are
     // embarrassingly parallel and run where the data already sits.
-    // (Measured: sf0.1 solo median unchanged at ~4.7 s — the candidate
-    // self-join dominates locally and the synthetic 30-word vocabulary
-    // made the old join a broadcast — but the sig stage's three shuffles
-    // drop to zero, and the vocab-outgrows-broadcast re-shuffle of every
-    // word occurrence can no longer happen.) `ws` is a materialized column of
+    // (Measured: sf0.1 solo unchanged at ~4.7 s, but at the 10× dense
+    // corpus the fusion is 5–6×: minhash 322.8→54.2 s, cluster
+    // 287.8→60.8 s, exponents 1.82→0.98 / 1.51→0.81 — the old by-WORD
+    // shuffle spread ~1M occurrence rows over a 31-key space, one
+    // straggler partition per word, skew that grew with the corpus
+    // while the key space stayed fixed. SCALING.md §measured.)
+    // `ws` is a materialized column of
     // the checkpoint barrier, so the 16 transforms read one array
     // attribute — CollapseProject cannot re-inline its construction.
     // Null-text docs (null ws) produced no exploded rows under the old

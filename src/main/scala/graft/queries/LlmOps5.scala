@@ -134,15 +134,9 @@ FROM documents ORDER BY doc_id"""),
         val frag = when(k % 5 === 0, "#sec").otherwise("")
         val raw = concat(lit("https://"), host, lit("/p/"),
           (k % 500).cast("string"), trail, query, frag)
-        val noFrag = regexp_replace(raw, "#.*$", "")
-        val noUtm = regexp_replace(noFrag, "\\?utm_[^#]*$", "")
-        // trailing-slash strip must also fire when a query string follows
-        // the slash (`/p/3/?id=5` → `/p/3?id=5`); RE2 has no lookahead, so
-        // capture-and-reinsert the query instead (Spark `$1` ≡ DuckDB `\1`)
-        val canon = concat(lit("https://"),
-          lower(regexp_extract(noUtm, "^https://([^/]+)", 1)),
-          regexp_replace(regexp_extract(noUtm, "^https://[^/]+(.*)$", 1),
-            "/(\\?.*)?$", "$1"))
+        // canonicalization steps live in [[graft.functions.UrlCanon]] —
+        // shared with the streaming incremental variant
+        val canon = graft.functions.UrlCanon.canonicalize(raw)
         Tables.orders(s, d)
           .select(k, canon.as("canonical_url"))
           .groupBy("canonical_url")

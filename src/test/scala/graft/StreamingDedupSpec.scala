@@ -98,4 +98,73 @@ class StreamingDedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(replay == got)
   }
+
+  test("streaming url dedup: canonical store == hand-computed merge, across restart") {
+    // The streaming twin of q_dedup_url: raw URLs stream in, each batch
+    // canonicalizes ([[graft.functions.UrlCanon]] — the same expression
+    // the batch query compiles) and MERGES into a standing
+    // (canonical_url, n_raw, keep_key) store: counts add, keep_key takes
+    // the min. The store never holds raw variants — the 100 TB point.
+    val in = Files.createTempDirectory("surl-in").toString
+    val store = Files.createTempDirectory("surl-store").toString + "/canon"
+    val cp = Files.createTempDirectory("surl-cp").toString
+
+    Seq.empty[(String, Long, Long)].toDF("canonical_url", "n_raw", "keep_key")
+      .write.mode(SaveMode.Overwrite).parquet(store)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("url_id LONG, raw_url STRING")
+        .parquet(in)
+        .writeStream
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.select(col("url_id"),
+              graft.functions.UrlCanon.canonicalize(col("raw_url")).as("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(count(lit(1)).as("n_raw"), min("url_id").as("keep_key"))
+          val merged = b.join(
+              spark.read.parquet(store)
+                .withColumnRenamed("n_raw", "s_n").withColumnRenamed("keep_key", "s_k"),
+              Seq("canonical_url"), "full")
+            .select(col("canonical_url"),
+              (coalesce(col("n_raw"), lit(0L)) + coalesce(col("s_n"), lit(0L))).as("n_raw"),
+              least(coalesce(col("keep_key"), col("s_k")),
+                coalesce(col("s_k"), col("keep_key"))).as("keep_key"))
+            .localCheckpoint() // materialize BEFORE overwriting what it reads
+          merged.write.mode(SaveMode.Overwrite).parquet(store)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+
+    def arrive(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("surl-tmp").toString
+      rows.toDF("url_id", "raw_url").coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, java.nio.file.Paths.get(in, s"$name.parquet"))
+    }
+
+    // batch 1: host-case + trailing-slash variants of /p/1, a utm-only query
+    arrive("b1", Seq(
+      (1L, "https://Example.COM/p/1/"),
+      (2L, "https://example.com/p/1"),
+      (3L, "https://example.com/p/2?utm_source=a1")))
+    runOnce()
+    // batch 2 AFTER a restart: a fragment variant of /p/1 (must merge into
+    // the standing entry — state lives in the store) and a real query
+    arrive("b2", Seq(
+      (4L, "https://example.com/p/1#frag"),
+      (5L, "https://example.com/p/3?id=7")))
+    runOnce()
+
+    val got = spark.read.parquet(store).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "https://example.com/p/1" -> ((3L, 1L)),
+      "https://example.com/p/2" -> ((1L, 3L)),
+      "https://example.com/p/3?id=7" -> ((1L, 5L))), s"got $got")
+  }
 }
