@@ -286,6 +286,47 @@ FROM canon GROUP BY 1 ORDER BY 1"""),
              (a, b) -> a + b) AS bm25
          FROM d ORDER BY doc_id"""),
 
+    // Skew-safe TF-IDF — same output as q_text_tfidf (same oracle SQL),
+    // different PLAN: the tf⋈df join keys on `word`, and real vocabularies
+    // are Zipf — "the" alone carries ~5% of all occurrences, so a plain
+    // shuffle-by-word sends billions of rows to one reducer at web scale
+    // (the same fixed-key-space skew the round-8 ProfScale re-measure
+    // exposed in the old signature build). The canonical split: the HEAD
+    // of the df table (top-H words by df — H=8 here, ~1e5 in production;
+    // Zipf means the head covers most occurrences) broadcasts, so every
+    // hot key bypasses the shuffle entirely; only the long tail — whose
+    // per-key row counts are bounded by construction — takes the
+    // shuffled join. A left-anti on the broadcast head splits df
+    // without a second scan of it. PlanSpec pins head=broadcast,
+    // tail=shuffled.
+    QueryDef("q_text_tfidf_skewsafe",
+      (s, d) => {
+        graft.functions.LnIeee.register(s)
+        val docs = Tables.documents(s, d)
+        val tokens = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word"))
+        val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        val dfreq = tokens.select("doc_id", "word").distinct()
+          .groupBy("word").agg(count(lit(1)).as("df"))
+          .localCheckpoint(eager = false) // feeds head AND tail splits once
+        val head = dfreq.orderBy(col("df").desc, col("word").asc).limit(8)
+        val tailDf = dfreq.join(broadcast(head.select("word")), Seq("word"), "left_anti")
+        val n = docs.agg(count(lit(1)).as("n"))
+        val joined = tf.join(broadcast(head), "word")
+          .unionByName(tf.join(tailDf.hint("SHUFFLE_HASH"), "word"))
+        joined.crossJoin(broadcast(n))
+          .select(col("doc_id"), col("word"), col("tf"),
+            (col("tf") * call_function("ln_ieee",
+              col("n").cast("double") / col("df"))).as("tfidf"))
+          .orderBy("doc_id", "word")
+      },
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT word, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         n AS (SELECT count(*) AS n FROM documents)
+         SELECT doc_id, word, tf, tf * ln(n::DOUBLE / df) AS tfidf
+         FROM tf JOIN df USING (word), n ORDER BY doc_id, word"""),
+
     // Per-source corpus datacard — the composition report every released
     // training set ships with (doc counts, language spread, length
     // distribution). One groupBy over one scan; countDistinct(lang) is

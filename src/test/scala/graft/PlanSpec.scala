@@ -273,4 +273,22 @@ class PlanSpec extends SparkSpec {
     assert(docGranular.isEmpty,
       s"no doc-granular frame may carry a broadcast hint: $docGranular")
   }
+
+  test("q_text_tfidf_skewsafe routes the vocab head by broadcast, the tail by shuffle") {
+    // The Zipf-skew split: hot words must bypass the shuffle via a
+    // broadcast of the df head; the tail join must stay a shuffled hash
+    // join (per-key volume bounded by construction). A plain single
+    // shuffle-by-word join would send a hot word's every occurrence to
+    // one reducer.
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec}
+    val plan = planOf("q_text_tfidf_skewsafe")
+    val wordBhj = collectAll(plan) {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.exists(_.toString.toLowerCase.contains("word")) => j }
+    assert(wordBhj.nonEmpty, "expected the df head to join by broadcast")
+    val wordShj = collectAll(plan) {
+      case j: ShuffledHashJoinExec
+        if j.leftKeys.exists(_.toString.toLowerCase.contains("word")) => j }
+    assert(wordShj.nonEmpty, "expected the df tail to join by shuffle")
+  }
 }
