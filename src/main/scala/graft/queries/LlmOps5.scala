@@ -327,6 +327,31 @@ FROM canon GROUP BY 1 ORDER BY 1"""),
          SELECT doc_id, word, tf, tf * ln(n::DOUBLE / df) AS tfidf
          FROM tf JOIN df USING (word), n ORDER BY doc_id, word"""),
 
+    // Per-source document cap — C4's "pages per domain" quota, the
+    // anti-domination step that stops one crawler-friendly host from
+    // owning the corpus. Keep the 20 longest docs per source (ties to the
+    // smaller doc_id). Plans as WindowGroupLimit (the q_topk shape): the
+    // per-group limit pushes below the shuffle, so each mapper forwards
+    // at most 20 rows per source instead of everything.
+    QueryDef("q_cap_per_source",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, source, n_chars, rn::BIGINT AS rn FROM (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents) WHERE rn <= 20 ORDER BY doc_id"""),
+
     // Per-source corpus datacard — the composition report every released
     // training set ships with (doc counts, language spread, length
     // distribution). One groupBy over one scan; countDistinct(lang) is

@@ -191,4 +191,28 @@ class PropertySpec extends SparkSpec {
     assert(byVerdict("dup_batch").forall(r => keepIds.get(r._2).exists(_ < r._1)),
       "every dup_batch row must trail a smaller-id keep of the same digest")
   }
+
+  test("url canonicalization is idempotent and rule-complete on fuzzed urls") {
+    // The invariant that makes a canonical form a JOIN KEY: applying the
+    // canonicalizer to its own output must be a fixpoint (otherwise two
+    // pipeline stages that canonicalize at different depths disagree).
+    // Fuzz over every combination the rules touch: host case, trailing
+    // slash, utm-only vs real vs mixed-position queries, fragments.
+    val hosts = Seq("example.com", "Example.COM", "EXAMPLE.com", "cdn.Example.org")
+    val paths = Seq("", "/", "/a", "/a/", "/a/b", "/a/b/")
+    val queries = Seq("", "?utm_source=x", "?id=1", "?id=1&utm_medium=y")
+    val frags = Seq("", "#x", "#sec/with/slash")
+    val urls = for (h <- hosts; p <- paths; q <- queries; f <- frags)
+      yield s"https://$h$p$q$f"
+    val canon = graft.functions.UrlCanon.canonicalize(col("u"))
+    val once = urls.toDF("u").select(canon.as("c1")).collect().map(_.getString(0))
+    val twice = once.toSeq.toDF("u").select(canon.as("c2")).collect().map(_.getString(0))
+    once.zip(twice).zip(urls).foreach { case ((c1, c2), raw) =>
+      assert(c1 == c2, s"not idempotent on '$raw': '$c1' -> '$c2'")
+      assert(!c1.contains("#"), s"fragment survived: '$raw' -> '$c1'")
+      assert(!c1.endsWith("/"), s"trailing slash survived: '$raw' -> '$c1'")
+      val hostOut = c1.stripPrefix("https://").takeWhile(_ != '/').takeWhile(_ != '?')
+      assert(hostOut == hostOut.toLowerCase, s"host case survived: '$c1'")
+    }
+  }
 }
