@@ -461,6 +461,64 @@ dropped AS (SELECT DISTINCT b.vec_id
 SELECT vec_id, cid FROM assigned
 WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
 ORDER BY vec_id"""),
+
+    // Centroid-distance outlier filter — the embedding-space quality cut
+    // (the CLIP-score/DataComp family): vectors far from their own
+    // cluster's centroid are mislabeled, noisy, or off-distribution, and
+    // curation drops the farthest decile per cluster. Same trained
+    // centroids as the IVF/SemDeDup family; "farthest" is lowest cosine
+    // to the assigned centroid, ties to the smaller vec_id.
+    //
+    // The cut is RANK-based, not a float-threshold: per cluster, rank by
+    // (cosine ASC, vec_id ASC) and flag rank ≤ ⌊|c|/10⌋ — integer
+    // arithmetic both engines mirror exactly, no percentile
+    // interpolation in the compare path. Scale shape: assignment is the
+    // K-path-selected narrow projection ([[assign]]), scoring joins the
+    // K-row broadcast centroid table, and the rank/count windows shuffle
+    // once on cid — cluster-scoped like q_dedup_semantic's anchor
+    // window. The exact in-cluster rank sorts N/K rows per partition; at
+    // extreme cluster sizes the loose-scale path is an approx-quantile
+    // threshold per cluster (bounded sketch state) with the SAME keep
+    // rule, traded like q_agg_percentile_approx vs q_agg_percentile.
+    QueryDef("q_filter_outliers",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val cents = trainedCentroids(s, d)
+        val cdf = cents.toDF("cid", "cvec")
+        // Similarity.cosine (the double-fold HOF), not the float-array
+        // native kernel: centroids are double vectors and the fold's
+        // element-wise double casts are what cosineSql mirrors
+        val scored = assign(s, e, cents)
+          .join(broadcast(cdf), "cid")
+          .select(col("vec_id"), col("cid"),
+            Similarity.cosine(col("embedding"), col("cvec")).as("cos_center"))
+        val byCid = Window.partitionBy("cid")
+        scored
+          .withColumn("rn", row_number().over(
+            byCid.orderBy(col("cos_center").asc, col("vec_id").asc)))
+          .withColumn("n_c", count(lit(1)).over(byCid))
+          .select(col("vec_id"), col("cid"), col("cos_center"),
+            (col("rn") <= floor(col("n_c") / 10)).as("is_outlier"))
+          .orderBy("vec_id")
+      },
+      s"""WITH $kmeansCtes,
+assignd AS (SELECT vec_id, embedding, cid,
+              row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS arn
+            FROM (SELECT e.vec_id, e.embedding, c.cid,
+                    ${Similarity.l2sqSql("e.embedding", "c.cvec")} AS dist
+                  FROM e CROSS JOIN c$iters c) s0),
+assigned AS (SELECT vec_id, embedding, cid FROM assignd WHERE arn = 1),
+scored AS (SELECT a.vec_id, a.cid,
+             ${Similarity.cosineSql("a.embedding", "c.cvec")} AS cos_center
+           FROM assigned a JOIN c$iters c ON c.cid = a.cid),
+r AS (SELECT vec_id, cid, cos_center,
+        row_number() OVER (PARTITION BY cid ORDER BY cos_center ASC, vec_id ASC) AS rn,
+        count(*) OVER (PARTITION BY cid) AS n_c
+      FROM scored)
+SELECT vec_id, cid, cos_center, (rn <= n_c // 10) AS is_outlier
+FROM r ORDER BY vec_id"""),
   )
 
   /** Trained-cluster assignment shared by q_dedup_semantic and the

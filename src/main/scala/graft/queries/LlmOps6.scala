@@ -24,6 +24,12 @@ object LlmOps6 {
     * counts make PMI a noise amplifier — the classic min-count guard). */
   private val pmiMinCount = 25L
 
+  /** Per-band bucket cap for q_dedup_editdist candidate generation — the
+    * same skew guard as q_dedup_minhash_capped: a boilerplate-heavy
+    * corpus (every page opening with the same 8 tokens) would otherwise
+    * push one bucket toward bucket². Mirrored in the oracle. */
+  private val editBucketCap = 16
+
   val defs: Seq[QueryDef] = Seq(
 
     // Deterministic epoch reshuffle — the data-ordering step of a
@@ -138,5 +144,86 @@ SELECT w1, w2, n_pair::BIGINT AS n_pair,
 FROM bgc
   JOIN unic c1 ON bgc.w1 = c1.word
   JOIN unic c2 ON bgc.w2 = c2.word, tot
-WHERE n_pair >= $pmiMinCount ORDER BY w1, w2"""))
+WHERE n_pair >= $pmiMinCount ORDER BY w1, w2"""),
+
+    // Edit-distance near-duplicate pairs — the character-level dup class
+    // the set-based detectors blur: minhash/simhash score WORD-SET
+    // overlap, so a single in-place word substitution in a long document
+    // barely moves Jaccard yet is exactly what a levenshtein bound
+    // catches (and conversely a word-order scramble scores Jaccard 1.0
+    // but a huge edit distance). Pairs within 20% relative edit distance
+    // (edit·5 ≤ max length) are reported.
+    //
+    // Candidate contract (declared, like q_dedup_prefix's): a reported
+    // pair must agree on its first 8 OR last 8 tokens — i.e. at least
+    // one end of the document is edit-free. Pairs edited at BOTH ends
+    // fall to the minhash family; in exchange candidates come from two
+    // md5 band keys instead of an N² scan. Three bounds keep the
+    // verify set a sliver at any corpus size: (a) per-band buckets cap
+    // at [[editBucketCap]] members (WindowGroupLimit planning — the
+    // capped-LSH skew guard; random text never fills it, boilerplate
+    // text can't exceed it), (b) the band self-join carries only ids +
+    // lengths + 16-byte keys, (c) a length guard IMPLIED by the edit
+    // threshold (|len1−len2| ≤ edit ≤ mx/5) prunes before texts are
+    // ever fetched — full documents join in only for surviving
+    // candidate pairs, and the O(L²) levenshtein kernel runs on that
+    // sliver alone.
+    QueryDef("q_dedup_editdist",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ws = split(col("text"), " ")
+        val keyed = Tables.documents(s, d)
+          .filter(size(ws) >= 8)
+          .select(col("doc_id"), col("n_chars"),
+            md5(concat_ws(" ", slice(ws, 1, 8)).cast("binary")).as("kpre"),
+            md5(concat_ws(" ", slice(ws, -8, 8)).cast("binary")).as("ksuf"))
+        val bands = keyed
+          .select(col("doc_id"), col("n_chars"),
+            explode(array(col("kpre"), col("ksuf"))).as("bucket"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("bucket").orderBy("doc_id")))
+          .filter(col("rn") <= editBucketCap)
+          .select("doc_id", "n_chars", "bucket")
+          // self-joins below — one materialization of the banded sliver
+          .localCheckpoint(eager = false)
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id") &&
+              abs(col("x.n_chars") - col("y.n_chars")) * 5 <=
+                greatest(col("x.n_chars"), col("y.n_chars")))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        val t = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+        cand
+          .join(t.as("a"), col("d1") === col("a.doc_id"))
+          .join(t.as("b"), col("d2") === col("b.doc_id"))
+          .select(col("d1"), col("d2"),
+            levenshtein(col("a.text"), col("b.text")).cast("long").as("edit"),
+            greatest(col("a.n_chars"), col("b.n_chars")).cast("long")
+              .as("max_chars"))
+          .filter(col("edit") * 5 <= col("max_chars"))
+          .orderBy("d1", "d2")
+      },
+      s"""WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS w
+         FROM documents WHERE len(string_split(text, ' ')) >= 8),
+keyed AS (SELECT doc_id, n_chars,
+            md5(array_to_string(list_slice(w, 1, 8), ' ')) AS kpre,
+            md5(array_to_string(list_slice(w, -8, -1), ' ')) AS ksuf
+          FROM d),
+bands AS (SELECT doc_id, n_chars, bucket FROM (
+            SELECT doc_id, n_chars, unnest([kpre, ksuf]) AS bucket FROM keyed) b0),
+capped AS (SELECT doc_id, n_chars, bucket FROM (
+             SELECT doc_id, n_chars, bucket,
+               row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+             FROM bands) c0 WHERE rn <= $editBucketCap),
+cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+         FROM capped x JOIN capped y
+           ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+         WHERE abs(x.n_chars - y.n_chars) * 5 <= greatest(x.n_chars, y.n_chars)),
+p AS (SELECT d1, d2, levenshtein(a.text, b.text) AS edit,
+        greatest(a.n_chars, b.n_chars) AS mx
+      FROM cand JOIN documents a ON a.doc_id = d1
+                JOIN documents b ON b.doc_id = d2)
+SELECT d1, d2, edit::BIGINT AS edit, mx::BIGINT AS max_chars
+FROM p WHERE edit * 5 <= mx ORDER BY d1, d2"""))
 }

@@ -648,6 +648,119 @@ class OpsSpec extends SparkSpec {
     assert(suppMed <= (sHi - sLo) / 3, s"supp span median $suppMed vs range ${sHi - sLo}")
   }
 
+  test("epoch shuffle: full permutation per epoch, contiguous shard ranks, epochs differ") {
+    val got = SparkEntry.queries("q_shuffle_epoch")(spark, sf).cache()
+    val n = graft.Tables.documents(spark, sf).count()
+    val perEpoch = got.groupBy("epoch")
+      .agg(countDistinct("doc_id").as("nd"), count(lit(1)).as("cnt")).collect()
+    assert(perEpoch.length == 2)
+    perEpoch.foreach(r =>
+      assert(r.getAs[Long]("nd") == n && r.getAs[Long]("cnt") == n))
+    // within every (epoch, shard) the ranks are exactly 1..k
+    val badRanks = got.groupBy("epoch", "shard")
+      .agg(min("rank").as("mn"), max("rank").as("mx"), count(lit(1)).as("cnt"))
+      .filter(col("mn") =!= 1 || col("mx") =!= col("cnt")).count()
+    assert(badRanks == 0)
+    // the reshuffle reshuffles: epoch 0 and epoch 1 visit docs in
+    // different orders
+    def order(e: Int) = got.filter(col("epoch") === e)
+      .orderBy("shard", "rank").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(order(0) != order(1))
+    got.unpersist()
+  }
+
+  test("collocation PMI equals the ln-sum recomputed from raw counts") {
+    val got = SparkEntry.queries("q_text_collocations")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val d = graft.Tables.documents(spark, sf)
+    val words = d.select(explode(split(col("text"), " ")).as("w")).cache()
+    val nt = words.count()
+    val uni = words.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bgs = d.select(explode(
+      TextAnalysis.bigrams(split(col("text"), " "), " ")).as("b")).cache()
+    val nb = bgs.count()
+    val bgc = bgs.groupBy("b").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val np = r.getAs[Long]("n_pair")
+      assert(np >= 25 && bgc(s"$w1 $w2") == np)
+      val want = math.log(np.toDouble) + 2.0 * math.log(nt.toDouble) -
+        math.log(nb.toDouble) - math.log(uni(w1).toDouble) -
+        math.log(uni(w2).toDouble)
+      assert(math.abs(r.getAs[Double]("pmi") - want) < 1e-9)
+    }
+    words.unpersist(); bgs.unpersist()
+  }
+
+  test("edit-distance dedup honors its one-clean-end contract and the 20% bound") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("editdist").toString
+    val mid = (1 to 40).map(i => s"w$i").mkString(" ")
+    val a = s"alpha beta gamma delta eps zeta eta theta $mid omega psi chi phi ups tau sig rho"
+    // b: one mid-doc substitution — both ends clean, tiny edit → reported
+    val b = a.replace("w20", "xx20")
+    // c: substitutions inside BOTH 8-token ends — out of contract → not reported
+    val c = a.replace("beta", "beee").replace("sig", "sgg")
+    // d: word-scramble of a (same word set, huge edit) — not reported
+    val dScr = a.split(" ").reverse.mkString(" ")
+    // e: unrelated
+    val e = (1 to 60).map(i => s"v$i").mkString(" ")
+    Seq((1L, a), (2L, b), (3L, c), (4L, dScr), (5L, e))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_dedup_editdist")(spark, dir).collect()
+    val pairs = got.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(pairs.contains((1L, 2L)), s"planted near-dup missed: $pairs")
+    assert(!pairs.exists { case (x, y) => x == 3L || y == 3L },
+      "both-ends-edited pair is outside the declared contract")
+    assert(!pairs.exists { case (x, y) => x == 4L || y == 4L },
+      "a word scramble is set-similar but not edit-similar")
+    // reported edits satisfy the bound and match a reference DP
+    def lev(s: String, t: String): Int = {
+      val dp = Array.tabulate(t.length + 1)(identity)
+      for (i <- 1 to s.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to t.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (s(i - 1) == t(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(t.length)
+    }
+    val texts = Map(1L -> a, 2L -> b, 3L -> c, 4L -> dScr, 5L -> e)
+    got.foreach { r =>
+      val (d1, d2) = (r.getAs[Long]("d1"), r.getAs[Long]("d2"))
+      val edit = r.getAs[Long]("edit")
+      assert(edit == lev(texts(d1), texts(d2)))
+      assert(edit * 5 <= r.getAs[Long]("max_chars"))
+    }
+    // the production corpus yields pairs too (the injected near-dups)
+    assert(SparkEntry.queries("q_dedup_editdist")(spark, sf).count() > 0)
+  }
+
+  test("outlier filter flags exactly the farthest decile per cluster") {
+    val got = SparkEntry.queries("q_filter_outliers")(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("cid")).distinct.length > 1)
+    got.groupBy(_.getAs[Long]("cid")).foreach { case (_, rows) =>
+      val flagged = rows.filter(_.getAs[Boolean]("is_outlier"))
+      assert(flagged.length == rows.length / 10)
+      // every flagged vector sorts strictly before every kept one under
+      // the (cosine, vec_id) order — the cut is a clean rank prefix
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Double]("cos_center"), r.getAs[Long]("vec_id"))
+      val kept = rows.filterNot(_.getAs[Boolean]("is_outlier"))
+      if (flagged.nonEmpty && kept.nonEmpty)
+        assert(Ordering[(Double, Long)].lt(flagged.map(key).max, kept.map(key).min))
+    }
+  }
+
   test("multimodal decode plumbing produces typed metadata per row") {
     val got = Multimodal.decode(Multimodal.pngPayload(docs, "doc_id"), "doc_id")
       .select("doc_id", "meta.width", "meta.height", "meta.channels", "meta.pixel_sum")
