@@ -193,14 +193,19 @@ WHERE n_pair >= $pmiMinCount ORDER BY w1, w2"""),
                 greatest(col("x.n_chars"), col("y.n_chars")))
           .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
           .distinct()
+        // both text fetches STREAM the documents scan against a broadcast
+        // candidate sliver (ids first, then ids + one text) — the corpus
+        // side is never broadcast and never shuffled; if candidates ever
+        // outgrew broadcast, the fallback is a doc_id-keyed shuffle of
+        // the sliver, still never of the corpus
         val t = Tables.documents(s, d).select("doc_id", "text", "n_chars")
-        cand
-          .join(t.as("a"), col("d1") === col("a.doc_id"))
-          .join(t.as("b"), col("d2") === col("b.doc_id"))
+        val withA = t.join(broadcast(cand), col("doc_id") === col("d1"))
           .select(col("d1"), col("d2"),
-            levenshtein(col("a.text"), col("b.text")).cast("long").as("edit"),
-            greatest(col("a.n_chars"), col("b.n_chars")).cast("long")
-              .as("max_chars"))
+            col("text").as("t1"), col("n_chars").as("c1"))
+        t.join(broadcast(withA), col("doc_id") === col("d2"))
+          .select(col("d1"), col("d2"),
+            levenshtein(col("t1"), col("text")).cast("long").as("edit"),
+            greatest(col("c1"), col("n_chars")).cast("long").as("max_chars"))
           .filter(col("edit") * 5 <= col("max_chars"))
           .orderBy("d1", "d2")
       },
