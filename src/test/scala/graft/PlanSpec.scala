@@ -291,4 +291,43 @@ class PlanSpec extends SparkSpec {
         if j.leftKeys.exists(_.toString.toLowerCase.contains("word")) => j }
     assert(wordShj.nonEmpty, "expected the df tail to join by shuffle")
   }
+
+  test("q_dedup_editdist never broadcasts the raw documents scan") {
+    // The scale claim: text fetches stream the corpus scan against
+    // broadcast candidate slivers. A broadcast whose subtree is a bare
+    // parquet scan (no join below it) would be the corpus itself — the
+    // shape AQE picks at demo scale if the join direction is left to
+    // stats, and exactly what dies at 100 TB.
+    val plan = planOf("q_dedup_editdist")
+    val rawScanBcast = collectAll(plan) { case b: BroadcastExchangeExec => b }
+      .filter { b =>
+        val scans = collectAll(b.child) { case s: FileSourceScanExec => s }
+        val joins = collectAll(b.child) { case j: BroadcastHashJoinExec => j }
+        scans.nonEmpty && joins.isEmpty
+      }
+    assert(rawScanBcast.isEmpty,
+      "a broadcast exchange carries the bare documents scan")
+    val bhj = collectAll(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 2, "both text fetches should be broadcast joins")
+  }
+
+  test("q_text_collocations joins counts to counts by broadcast; no sort-merge") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = planOf("q_text_collocations")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      "unigram counts should attach by broadcast")
+    assert(collectAll(plan) { case j: SortMergeJoinExec => j }.isEmpty,
+      "nothing in the PMI join tree is big enough to sort-merge")
+  }
+
+  test("q_filter_outliers shares one cid shuffle between its rank and count windows") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = planOf("q_filter_outliers")
+    assert(collectAll(plan) { case w: WindowExec => w }.size == 2)
+    val hashShuffles = collectAll(plan) { case e: ShuffleExchangeExec => e }
+      .filter(_.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashShuffles.size == 1,
+      s"rank and count windows must share ONE cid shuffle, got ${hashShuffles.size}")
+  }
 }
