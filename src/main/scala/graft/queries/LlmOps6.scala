@@ -230,5 +230,109 @@ p AS (SELECT d1, d2, levenshtein(a.text, b.text) AS edit,
       FROM cand JOIN documents a ON a.doc_id = d1
                 JOIN documents b ON b.doc_id = d2)
 SELECT d1, d2, edit::BIGINT AS edit, mx::BIGINT AS max_chars
-FROM p WHERE edit * 5 <= mx ORDER BY d1, d2"""))
+FROM p WHERE edit * 5 <= mx ORDER BY d1, d2"""),
+
+    // Bigram Stupid-Backoff NLL — the CCNet-style LM quality filter one
+    // model class up from q_text_unigram_nll: each document is scored by
+    // a bigram language model TRAINED ON THE TRAIN SPLIT ONLY (the same
+    // content-hash 80% as q_split_hash, so held-out docs are scored by a
+    // model that never saw them — scoring the training data with itself
+    // overstates quality). Stupid Backoff (Brants et al. 2007, "Large
+    // language models in machine translation"): score(w2|w1) = c12/c1
+    // when the model keeps the bigram, else 0.4·c(w2)/NT, else a
+    // 0.4²·1/NT OOV floor; the model prunes singleton bigrams (c12 ≥ 2
+    // — the count-cutoff every production LM table applies).
+    //
+    // Bit-exactness: every tier is ln_ieee of ONE division of exact
+    // BIGINTs (0.4·c2/NT = 2·c2/(5·NT); 0.16/NT = 4/(25·NT)) and the
+    // per-doc sum is the (w1,w2)-sorted left fold — the bm25/nll
+    // recipe. Scale shape: the only corpus-scaled shuffles are the two
+    // bigram count groupBys; the model join keys (w1,w2) against the
+    // pruned train table (vocab²-bounded; at a web-scale bigram table
+    // the q_text_tfidf_skewsafe head/tail split is the skew answer),
+    // unigram/total state broadcasts.
+    QueryDef("q_text_bigram_nll",
+      (s, d) => {
+        graft.functions.LnIeee.register(s)
+        val docs = Tables.documents(s, d)
+        def bg(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+            explode(TextAnalysis.bigrams(split(col("text"), " "), " ")).as("bigram"))
+          .select(col("doc_id"), split(col("bigram"), " ")(0).as("w1"),
+            split(col("bigram"), " ")(1).as("w2"))
+        val tf12 = bg(docs).groupBy("doc_id", "w1", "w2")
+          .agg(count(lit(1)).as("tf12"))
+        val train = docs.filter(pmod(
+          conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+            .cast("long"), lit(100L)) < 80)
+        val tbg = bg(train).groupBy("w1", "w2")
+          .agg(count(lit(1)).as("c12")).filter(col("c12") >= 2)
+        val tuni = train
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(eager = false) // feeds c1, c2, and the total
+        val nt = tuni.agg(sum("cnt").as("nt"))
+        def ln(c: org.apache.spark.sql.Column) = call_function("ln_ieee", c)
+        val score =
+          when(col("c12").isNotNull,
+            ln(col("c12").cast("double") / col("c1").cast("double")))
+          .when(col("c2").isNotNull,
+            ln((col("c2") * 2).cast("double") / (col("nt") * 5).cast("double")))
+          .otherwise(ln(lit(4).cast("double") / (col("nt") * 25).cast("double")))
+        val terms = tf12
+          .join(tbg, Seq("w1", "w2"), "left")
+          .join(broadcast(tuni.select(col("word").as("w1"), col("cnt").as("c1"))),
+            Seq("w1"), "left")
+          .join(broadcast(tuni.select(col("word").as("w2"), col("cnt").as("c2"))),
+            Seq("w2"), "left")
+          .crossJoin(broadcast(nt))
+          .select(col("doc_id"), col("w1"), col("w2"), col("tf12"),
+            when(col("c12").isNull, col("tf12")).otherwise(lit(0L)).as("bo"),
+            (col("tf12") * score).as("term"))
+        terms.groupBy("doc_id")
+          .agg(sum("tf12").as("n_bg"), sum("bo").as("n_backoff"),
+            array_sort(collect_list(struct(col("w1"), col("w2"), col("term"))))
+              .as("wt"))
+          .select(col("doc_id"), col("n_bg"), col("n_backoff"),
+            (lit(-1.0) * aggregate(
+              transform(col("wt"), e => e.getField("term")),
+              lit(0.0), (acc, x) => acc + x) / col("n_bg").cast("double"))
+              .as("nll"))
+          .orderBy("doc_id")
+      },
+      """WITH bgall AS (
+  SELECT doc_id, string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2
+  FROM (SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' '))),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+        FROM documents) b0),
+tf12 AS (SELECT doc_id, w1, w2, count(*) AS tf12 FROM bgall GROUP BY 1, 2, 3),
+train AS (SELECT * FROM documents
+          WHERE ('0x' || substring(md5(text), 1, 15))::BIGINT % 100 < 80),
+tbg AS (SELECT string_split(bigram, ' ')[1] AS w1, string_split(bigram, ' ')[2] AS w2,
+          count(*) AS c12
+        FROM (SELECT unnest(list_transform(range(1, len(string_split(text, ' '))),
+                i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+              FROM train) t0
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+tuni AS (SELECT word, count(*) AS cnt FROM
+           (SELECT unnest(string_split(text, ' ')) AS word FROM train) u0 GROUP BY 1),
+tot AS (SELECT sum(cnt) AS nt FROM tuni),
+terms AS (
+  SELECT doc_id, f.w1, f.w2, tf12,
+    CASE WHEN c12 IS NULL THEN tf12 ELSE 0 END AS bo,
+    tf12 * (CASE
+      WHEN c12 IS NOT NULL THEN ln(c12::DOUBLE / u1.cnt::DOUBLE)
+      WHEN u2.cnt IS NOT NULL THEN ln((u2.cnt * 2)::DOUBLE / (nt * 5)::DOUBLE)
+      ELSE ln(4::DOUBLE / (nt * 25)::DOUBLE) END) AS term
+  FROM tf12 f
+    LEFT JOIN tbg g ON f.w1 = g.w1 AND f.w2 = g.w2
+    LEFT JOIN tuni u1 ON f.w1 = u1.word
+    LEFT JOIN tuni u2 ON f.w2 = u2.word, tot),
+agg AS (SELECT doc_id, sum(tf12) AS n_bg, sum(bo) AS n_backoff,
+          list_sort(list(struct_pack(w1 := w1, w2 := w2, term := term))) AS wt
+        FROM terms GROUP BY 1)
+SELECT doc_id, n_bg::BIGINT AS n_bg, n_backoff::BIGINT AS n_backoff,
+  -1.0 * list_reduce(list_prepend(0.0,
+    list_transform(wt, e -> struct_extract(e, 'term'))),
+    (a, b) -> a + b) / n_bg::DOUBLE AS nll
+FROM agg ORDER BY doc_id"""))
 }

@@ -745,6 +745,56 @@ class OpsSpec extends SparkSpec {
     assert(SparkEntry.queries("q_dedup_editdist")(spark, sf).count() > 0)
   }
 
+  test("bigram NLL exercises all three Stupid-Backoff tiers on a planted corpus") {
+    import java.nio.file.Files
+    // replicate the query's content-hash split so the plant is deterministic
+    def bucket(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % 100
+    }
+    // train pool: "alpha beta" chains with a gamma/delta tail — the model
+    // sees bigrams (alpha,beta),(beta,alpha),(beta,gamma),(beta,delta)
+    // and all four words
+    val pool = (0 until 30).map { i =>
+      val tail = if (i % 2 == 0) "gamma" else "delta"
+      (100L + i, ("alpha beta " * (3 + i % 5)).trim + " " + tail)
+    }
+    assert(pool.count(p => bucket(p._2) < 80) >= 2, "need train docs")
+    // tier-3 plant: every word OOV, doc held out
+    val oov = (0 until 100).map(k => s"zoov1 zoov2 zoov3 zk$k")
+      .find(t => bucket(t) >= 80).get
+    // tier-2 plant: seen words, unseen bigrams, held out
+    val t2 = (1 to 40).map(n => ("gamma delta " * n).trim)
+      .find(t => bucket(t) >= 80).get
+    val dir = Files.createTempDirectory("bigramnll").toString
+    (pool :+ (1L, oov) :+ (2L, t2)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_text_bigram_nll")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // reference counts over the replicated train split
+    val train = pool.filter(p => bucket(p._2) < 80).map(_._2)
+    val toks = train.flatMap(_.split(" "))
+    val nt = toks.length.toDouble
+    val cnt = toks.groupBy(identity).view.mapValues(_.length).toMap
+    // tier 3: all positions hit the OOV floor
+    val p3 = got(1L)
+    assert(p3.getAs[Long]("n_backoff") == p3.getAs[Long]("n_bg"))
+    assert(math.abs(p3.getAs[Double]("nll") - math.log(25.0 * nt / 4.0)) < 1e-9)
+    // tier 2: every bigram backs off to seen-unigram scores
+    val p2 = got(2L)
+    assert(p2.getAs[Long]("n_backoff") == p2.getAs[Long]("n_bg"))
+    val t2toks = t2.split(" ")
+    val expect2 = -t2toks.drop(1)
+      .map(w => math.log(2.0 * cnt(w) / (5.0 * nt))).sum / (t2toks.length - 1)
+    assert(math.abs(p2.getAs[Double]("nll") - expect2) < 1e-9)
+    // tier 1: a train-split doc scores fully in-model
+    val trainId = pool.find(p => bucket(p._2) < 80).get._1
+    assert(got(trainId).getAs[Long]("n_backoff") == 0L)
+  }
+
   test("outlier filter flags exactly the farthest decile per cluster") {
     val got = SparkEntry.queries("q_filter_outliers")(spark, sf).collect()
     assert(got.map(_.getAs[Long]("cid")).distinct.length > 1)
