@@ -82,5 +82,71 @@ object GraphOps {
          r3 AS (SELECT n.node, 150000 + (coalesce(c.in_mass, 0) * 85) // 100 AS rank
                 FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
          SELECT node::BIGINT AS node, rank::BIGINT AS rank
-         FROM r3 ORDER BY node"""))
+         FROM r3 ORDER BY node"""),
+
+    // Per-node triangle counts over the co-order part graph (parts that
+    // appear on the same order are adjacent). The classic local-clustering
+    // signal behind community detection and spam/bot-graph filtering.
+    //
+    // Scale design — degree-ordered orientation (Suri & Vassilvitskii,
+    // "Counting triangles and the curse of the last reducer", WWW'11):
+    // every undirected edge is oriented from its (degree, id)-smaller
+    // endpoint to its larger one, which turns the graph into a DAG whose
+    // max out-degree is O(sqrt(m)). Wedges are then built by joining the
+    // oriented list to itself on the MIDDLE node (e1.dst = e2.src), so
+    // the wedge volume is Σ indeg·outdeg under the orientation — O(m^1.5)
+    // worst-case instead of the Σ deg² a star-heavy graph produces
+    // unoriented (the "last reducer" hot key is exactly the celebrity
+    // node whose wedges all land on one task). Each triangle is counted
+    // exactly once: its orientation DAG has one source (out-deg 2), and
+    // the u→v→w path plus the closing u→w edge identify it uniquely.
+    // Every join keys on node ids (AQE picks shuffle vs broadcast as the
+    // edge list shrinks); the per-order pair expansion is bounded by the
+    // small per-order line count (≤ C(7,2) pairs per TPC-H order).
+    QueryDef("q_graph_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val pairs = li.as("x").join(li.as("y"),
+            expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        val deg = pairs.select(col("a").as("n"))
+          .union(pairs.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val oriented = pairs
+          .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+          .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+          .select(
+            when(expr("struct(da, a) < struct(db, b)"), col("a")).otherwise(col("b")).as("src"),
+            when(expr("struct(da, a) < struct(db, b)"), col("b")).otherwise(col("a")).as("dst"))
+          .localCheckpoint(eager = false)
+        val tri = oriented.as("e1")
+          .join(oriented.as("e2"), expr("e1.dst = e2.src"))
+          .join(oriented.as("e3"),
+            expr("e3.src = e1.src AND e3.dst = e2.dst"), "leftsemi")
+          .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+        tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).cast("long").as("triangles"))
+          .select(col("node").cast("long").as("node"), col("triangles"))
+          .orderBy("node")
+      },
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                   FROM li x JOIN li y
+                   ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         deg AS (SELECT n, count(*) AS dg FROM (
+                   SELECT a AS n FROM pairs UNION ALL SELECT b AS n FROM pairs)
+                 GROUP BY 1),
+         o AS (SELECT CASE WHEN (da.dg, p.a) < (db.dg, p.b) THEN p.a ELSE p.b END AS src,
+                      CASE WHEN (da.dg, p.a) < (db.dg, p.b) THEN p.b ELSE p.a END AS dst
+               FROM pairs p JOIN deg da ON p.a = da.n JOIN deg db ON p.b = db.n),
+         tri AS (SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+                 FROM o e1 JOIN o e2 ON e1.dst = e2.src
+                 WHERE EXISTS (SELECT 1 FROM o e3
+                               WHERE e3.src = e1.src AND e3.dst = e2.dst))
+         SELECT node::BIGINT AS node, count(*)::BIGINT AS triangles
+         FROM (SELECT u AS node FROM tri UNION ALL
+               SELECT v FROM tri UNION ALL SELECT w FROM tri)
+         GROUP BY 1 ORDER BY node"""))
 }

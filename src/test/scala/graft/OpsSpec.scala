@@ -629,6 +629,27 @@ class OpsSpec extends SparkSpec {
       s"supplier avg $avgSupp should dominate part avg $avgPart")
   }
 
+  test("triangle counts match brute force on a known graph") {
+    // Orders build: a triangle {1,2,3}, a dangling edge {3,4}, a repeated
+    // edge {1,2} (no new triangle — pairs are DISTINCT), and a K4
+    // {5,6,7,8} (4 triangles, every node in 3). Also pins that the
+    // degree-ordered orientation counts each triangle exactly once.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tri").toString
+    Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 3L), (11L, 4L),
+      (12L, 1L), (12L, 2L),
+      (13L, 5L), (13L, 6L), (13L, 7L), (13L, 8L))
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = SparkEntry.queries("q_graph_triangles")(spark, dir).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("triangles")).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 3L, 6L -> 3L, 7L -> 3L, 8L -> 3L)
+    assert(got == want, s"got $got")
+  }
+
   test("z-order layout bounds both key spans per file") {
     // The pruning claim: a typical file's min/max range is narrow in BOTH
     // keys (a one-key sort leaves the other key's span at full width).
