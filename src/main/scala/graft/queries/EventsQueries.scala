@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -127,5 +128,65 @@ object EventsQueries {
            count(*) AS n_events,
            (SUM(CAST(value AS DECIMAL(18,2))))::DOUBLE AS total_value
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start"""),
+
+    // Time-grid gap fill: per-user hourly grid from the user's first to
+    // last event hour, forward-filling the last observed value — the
+    // resample/LOCF step behind dashboard series and feature snapshots
+    // over sparse event streams.
+    //
+    // Scale design: the hourly downsample is a groupBy max_by whose
+    // partial aggregate collapses map-side (one candidate row per
+    // (user, hour) leaves each mapper — a row_number window would
+    // shuffle every event). The grid explode is partition-local off the
+    // tiny span frame (one row per user) and bounded by span/granularity;
+    // the LOCF window partitions by user so state per task is one value.
+    // Determinism: the "last" event is max by (ms-truncated ts,
+    // event_id) on BOTH engines (events.ts keeps ns in DuckDB but µs in
+    // Spark — ms truncation + the unique-id tie-break removes the gap);
+    // the filled value is COPIED, never arithmetic, so doubles match
+    // bit-for-bit. The first grid hour is the min-event hour, so
+    // value_ff is never null.
+    QueryDef("q_events_gapfill",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val hourly = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(expr(
+            "max_by(value, struct(date_trunc('MILLISECOND', ts), event_id))")
+            .as("v_obs"))
+        val span = ev.groupBy("user_id").agg(
+          date_trunc("hour", min("ts")).as("h0"),
+          date_trunc("hour", max("ts")).as("h1"))
+        val grid = span.select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("value_ff",
+            last("v_obs", ignoreNulls = true).over(
+              Window.partitionBy("user_id").orderBy("h")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("user_id").cast("long").as("user_id"), col("h"),
+            col("value_ff"), col("v_obs").isNotNull.as("observed"))
+          .orderBy("user_id", "h")
+      },
+      """WITH ranked AS (
+           SELECT user_id, date_trunc('hour', ts) AS h, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY date_trunc('millisecond', ts) DESC, event_id DESC) AS rn
+           FROM events),
+         hourly AS (SELECT user_id, h, value AS v_obs FROM ranked WHERE rn = 1),
+         span AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                         date_trunc('hour', max(ts)) AS h1
+                  FROM events GROUP BY 1),
+         grid AS (SELECT user_id,
+                    unnest(generate_series(h0, h1, INTERVAL 1 HOUR))::TIMESTAMP AS h
+                  FROM span)
+         SELECT g.user_id::BIGINT AS user_id, g.h::TIMESTAMP AS h,
+           last_value(hy.v_obs IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h
+             ROWS UNBOUNDED PRECEDING) AS value_ff,
+           (hy.v_obs IS NOT NULL) AS observed
+         FROM grid g LEFT JOIN hourly hy
+           ON g.user_id = hy.user_id AND g.h = hy.h
+         ORDER BY user_id, h"""),
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -334,5 +335,56 @@ SELECT doc_id, n_bg::BIGINT AS n_bg, n_backoff::BIGINT AS n_backoff,
   -1.0 * list_reduce(list_prepend(0.0,
     list_transform(wt, e -> struct_extract(e, 'term'))),
     (a, b) -> a + b) / n_bg::DOUBLE AS nll
-FROM agg ORDER BY doc_id"""))
+FROM agg ORDER BY doc_id"""),
+
+    // Vocabulary growth curve (Heaps' law): cumulative distinct BIGRAM
+    // count as the corpus is consumed in doc_id order — the coverage
+    // diagnostic behind tokenizer-vocab sizing and "is more data still
+    // adding anything" calls. Bigrams, not unigrams: the synthetic
+    // corpus's closed word vocabulary saturates in two docs, while the
+    // bigram space keeps growing (the spirit of the law).
+    //
+    // Scale design: distinct tracking never materializes a running set —
+    // each gram's FIRST doc (min(doc_id), map-side-combined groupBy)
+    // reduces the curve to a prefix sum of per-doc new-gram counts, one
+    // row per introducing doc. The prefix sum itself is DISTRIBUTED
+    // (no single-partition window over the doc axis): within-shard
+    // running sums partition by doc_id div 64, and the per-shard totals
+    // — #shards rows, 64× smaller — take the one ordered window; at
+    // petabyte doc counts that fan-in level recurses (shard-of-shards),
+    // the classic tree prefix-sum. The oracle is the plain running-sum
+    // window, pinning that the two-level rewrite is exact.
+    QueryDef("q_vocab_growth",
+      (s, d) => {
+        val grams = Tables.documents(s, d).select(col("doc_id"),
+          explode(TextAnalysis.bigrams(TextAnalysis.tokens(col("text")), " "))
+            .as("gram"))
+        val nw = grams.groupBy("gram").agg(min("doc_id").as("doc_id"))
+          .groupBy("doc_id").agg(count(lit(1)).as("new_grams"))
+          .withColumn("shard", expr("doc_id div 64"))
+        val inShard = nw.withColumn("cum_in",
+          sum("new_grams").over(Window.partitionBy("shard").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val offsets = nw.groupBy("shard").agg(sum("new_grams").as("tot"))
+          .withColumn("off",
+            coalesce(sum("tot").over(Window.orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("shard", "off")
+        inShard.join(offsets, "shard")
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("new_grams").cast("long").as("new_grams"),
+            (col("cum_in") + col("off")).cast("long").as("vocab_size"))
+          .orderBy("doc_id")
+      },
+      """WITH t AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(string_split(text, ' '))),
+               i -> string_split(text, ' ')[i] || ' ' ||
+                    string_split(text, ' ')[i+1])) AS gram
+           FROM documents),
+         f AS (SELECT gram, min(doc_id) AS doc_id FROM t GROUP BY 1),
+         nw AS (SELECT doc_id, count(*) AS new_grams FROM f GROUP BY 1)
+         SELECT doc_id::BIGINT AS doc_id, new_grams::BIGINT AS new_grams,
+           (sum(new_grams) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING))::BIGINT AS vocab_size
+         FROM nw ORDER BY doc_id"""))
 }

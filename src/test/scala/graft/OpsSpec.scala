@@ -629,6 +629,59 @@ class OpsSpec extends SparkSpec {
       s"supplier avg $avgSupp should dominate part avg $avgPart")
   }
 
+  test("gapfill LOCF matches an independent driver-side fill") {
+    // Reference semantics recomputed naively over the collected sf0.001
+    // events: per (user, hour) the last value by (ms-truncated ts,
+    // event_id); hourly grid over the user's span; carry forward.
+    val got = SparkEntry.queries("q_events_gapfill")(spark, sf).collect()
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("ts"), r.getAs[Double]("value"),
+        r.getAs[Long]("event_id")))
+    val hourMs = 3600L * 1000
+    def hourOf(ts: java.sql.Timestamp): Long = ts.getTime / hourMs
+    val lastPerHour = ev.groupBy(e => (e._1, hourOf(e._2)))
+      .map { case (k, es) =>
+        k -> es.maxBy(e => (e._2.getTime, e._4))._3 }
+    val expected = ev.groupBy(_._1).flatMap { case (u, es) =>
+      val hours = es.map(e => hourOf(e._2))
+      var carry = Double.NaN
+      (hours.min to hours.max).map { h =>
+        carry = lastPerHour.getOrElse((u, h), carry)
+        (u, h) -> (carry, lastPerHour.contains((u, h)))
+      }
+    }
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("h").getTime / hourMs)
+      val (v, obs) = expected(k)
+      assert(r.getAs[Double]("value_ff") == v && r.getAs[Boolean]("observed") == obs,
+        s"mismatch at $k: got ${r.getAs[Double]("value_ff")}/${r.getAs[Boolean]("observed")} want $v/$obs")
+    }
+  }
+
+  test("vocab growth counts first-seen bigrams across shard boundaries") {
+    // doc 100 lands in prefix-sum shard 1 (doc_id div 64) — pins the
+    // cross-shard offset join, not just the within-shard running sum.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    Seq((0L, "a b c"), (1L, "a b a b"), (2L, "x"), (3L, "c a"),
+      (100L, "z z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("web"))
+      .withColumn("n_chars", length(col("text")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_vocab_growth")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("new_grams"),
+        r.getAs[Long]("vocab_size")))
+    // doc 0: {a b, b c}; doc 1: {b a}; doc 2: none; doc 3: {c a}; 100: {z z}
+    assert(got.toSeq == Seq((0L, 2L, 2L), (1L, 1L, 3L), (3L, 1L, 4L),
+      (100L, 1L, 5L)), s"got ${got.toSeq}")
+  }
+
   test("triangle counts match brute force on a known graph") {
     // Orders build: a triangle {1,2,3}, a dangling edge {3,4}, a repeated
     // edge {1,2} (no new triangle — pairs are DISTINCT), and a K4
