@@ -20,16 +20,29 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses outright — read nanos as long (legacy conf) and convert to a
-    * microsecond TimestampType (truncation, matching Spark's own µs model). */
+  /** `events.ts` has shipped in three physical encodings across corpus
+    * regenerations: parquet TIMESTAMP(NANOS) (Spark 4 refuses it outright —
+    * read nanos as long via legacy conf, then truncate to µs), plain INT64
+    * nanos, and parquet timestamp[us] (which Spark resolves as TIMESTAMP_NTZ
+    * when the file isn't UTC-adjusted, or TIMESTAMP when it is). Branch on
+    * the schema Spark actually resolved so a corpus rewrite can't silently
+    * break every event-time query again (round-8 verdict headline). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // integer `div`, NOT `/`: Long / Long is double division in Spark and
-    // ~1.7e18 ns exceeds double precision (rounds up to the next µs)
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      // integer `div`, NOT `/`: Long / Long is double division in Spark and
+      // ~1.7e18 ns exceeds double precision (rounds up to the next µs)
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // session tz is pinned UTC everywhere (Bench/Verify/tests), so the
+      // NTZ→TZ cast is value-preserving
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported physical type $other — extend Tables.events")
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -19,12 +19,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must be LOUD: a query that throws used to be logged to stderr
+    // and simply absent from the output dir, so the driver's correctness
+    // report silently shrank (round 8 lost 17 events queries this way with
+    // every visible row green). Record name → error and persist below.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (only.isEmpty || only(name))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +48,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when clean) so "file missing" and
+    // "no failures" are distinguishable downstream.
+    val fjson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failures.json"), fjson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} FAILED: ${failures.keys.mkString(", ")}")
     spark.stop()
   }
 }
