@@ -188,5 +188,124 @@ object EventsQueries {
          FROM grid g LEFT JOIN hourly hy
            ON g.user_id = hy.user_id AND g.h = hy.h
          ORDER BY user_id, h"""),
+
+    // SCD Type-2 history build: collapse each user's event stream into
+    // versioned [valid_from, valid_to) state intervals, keeping only rows
+    // where the state (event_type) actually changed — the warehouse
+    // pattern behind dimension history tables and point-in-time joins
+    // (the batch twin of the CDC pipelines every feature store runs).
+    //
+    // Determinism: ordering is (ms-truncated ts, event_id) on both
+    // engines — the unique id breaks any same-millisecond tie, so the
+    // lag-chain, the change filter, and the version numbering are all
+    // pinned. The open (current) interval carries the classic SCD2
+    // high-date sentinel instead of NULL — warehouse-standard (BETWEEN
+    // range probes need a closed interval), and the driver's compare
+    // cannot equate null timestamps (NaT != NaT), so a NULL valid_to
+    // would be unverifiable. 2200-01-01, not 9999-12-31: the driver's
+    // pandas layer holds ns-epoch timestamps that overflow past 2262.
+    // Scale shape: two windows over ONE user_id-keyed sort (the
+    // change filter runs on the first, version/lead on the filtered
+    // sliver — per-user state is one row); no joins, no corpus-wide
+    // shuffle beyond the per-user repartition every SCD build needs.
+    QueryDef("q_events_scd2",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+        val w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("MILLISECOND", col("ts")).as("tsm"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("state"), col("tsm").as("valid_from"))
+          .select(col("user_id"),
+            row_number().over(w2).cast("long").as("version"),
+            col("state"), col("valid_from"),
+            coalesce(lead("valid_from", 1).over(w2),
+              lit("2200-01-01 00:00:00").cast("timestamp")).as("valid_to"))
+          .withColumn("is_current",
+            col("valid_to") === lit("2200-01-01 00:00:00").cast("timestamp"))
+          .orderBy("user_id", "version")
+      },
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             date_trunc('milliseconds', ts) AS tsm
+           FROM events),
+         c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY tsm, event_id) AS prev FROM e),
+         chg AS (SELECT user_id, event_id, event_type AS state,
+                   tsm AS valid_from
+                 FROM c WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, (row_number() OVER w)::BIGINT AS version, state,
+           valid_from::TIMESTAMP AS valid_from,
+           coalesce(lead(valid_from) OVER w,
+             TIMESTAMP '2200-01-01 00:00:00')::TIMESTAMP AS valid_to,
+           (lead(valid_from) OVER w) IS NULL AS is_current
+         FROM chg WINDOW w AS (PARTITION BY user_id
+           ORDER BY valid_from, event_id)
+         ORDER BY user_id, version"""),
+
+    // Trailing-window rate anomaly: per (event_type, hour) counts scored
+    // as a z-score against the previous 6 OBSERVED hours — the
+    // monitoring primitive behind ingest-pipeline alerting (a collapsed
+    // source or a bot flood both show up as |z| spikes long before
+    // corpus-level stats move). Hours with fewer than 6 predecessors are
+    // warm-up and dropped.
+    //
+    // Determinism: the trailing mean/variance come from EXACT integer
+    // window sums (n, Σc, Σc² are BIGINTs) pushed through one shared
+    // division/sqrt expression tree — every double op is IEEE-determined
+    // on both engines, so z hash-matches bit-for-bit; zero-variance
+    // windows yield null z (a constant baseline has no scale for
+    // deviation). Scale shape: one map-side-combined groupBy to hourly
+    // granularity (the only corpus-scaled shuffle), then windows over
+    // the HOURLY frame — tasks hold (event_type × hours) rows, corpus
+    // size long gone.
+    QueryDef("q_events_anomaly",
+      (s, d) => {
+        val w = Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(-6, -1)
+        val mean = col("s").cast("double") / lit(6.0)
+        val variance = (col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / lit(6.0)) / lit(5.0)
+        val z = when(variance > 0.0,
+          (col("n_events").cast("double") - mean) / sqrt(variance))
+        Tables.events(s, d)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n_events"))
+          .withColumn("n_prev", count(lit(1)).over(w))
+          .withColumn("s", sum("n_events").over(w))
+          .withColumn("ss", sum(col("n_events") * col("n_events")).over(w))
+          .filter(col("n_prev") === 6)
+          .select(col("event_type"), col("h"), col("n_events"),
+            mean.as("mean_prev"), z.as("z"),
+            (abs(z) > 2.0).as("is_anomaly"))
+          .orderBy("event_type", "h")
+      },
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+             count(*) AS n_events
+           FROM events GROUP BY 1, 2),
+         fr AS (
+           SELECT event_type, h, n_events,
+             count(*) OVER w AS n_prev,
+             sum(n_events) OVER w AS s,
+             sum(n_events * n_events) OVER w AS ss
+           FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+         sc AS (
+           SELECT event_type, h, n_events,
+             s::DOUBLE / 6.0 AS mean_prev,
+             (ss::DOUBLE - s::DOUBLE * s::DOUBLE / 6.0) / 5.0 AS variance
+           FROM fr WHERE n_prev = 6)
+         SELECT event_type, h, n_events,
+           mean_prev,
+           CASE WHEN variance > 0.0
+                THEN (n_events::DOUBLE - mean_prev) / sqrt(variance) END AS z,
+           CASE WHEN variance > 0.0
+                THEN abs((n_events::DOUBLE - mean_prev) / sqrt(variance)) > 2.0
+           END AS is_anomaly
+         FROM sc ORDER BY event_type, h"""),
   )
 }

@@ -92,17 +92,24 @@ object GraphOps {
     // "Counting triangles and the curse of the last reducer", WWW'11):
     // every undirected edge is oriented from its (degree, id)-smaller
     // endpoint to its larger one, which turns the graph into a DAG whose
-    // max out-degree is O(sqrt(m)). Wedges are then built by joining the
-    // oriented list to itself on the MIDDLE node (e1.dst = e2.src), so
-    // the wedge volume is Σ indeg·outdeg under the orientation — O(m^1.5)
-    // worst-case instead of the Σ deg² a star-heavy graph produces
-    // unoriented (the "last reducer" hot key is exactly the celebrity
-    // node whose wedges all land on one task). Each triangle is counted
-    // exactly once: its orientation DAG has one source (out-deg 2), and
-    // the u→v→w path plus the closing u→w edge identify it uniquely.
-    // Every join keys on node ids (AQE picks shuffle vs broadcast as the
-    // edge list shrinks); the per-order pair expansion is bounded by the
-    // small per-order line count (≤ C(7,2) pairs per TPC-H order).
+    // max out-degree is O(sqrt(m)), killing the celebrity hot key. Each
+    // triangle then has exactly one source node with both out-edges, so
+    // it is found exactly once: for the edge u→v, every common
+    // out-neighbor w ∈ N⁺(u) ∩ N⁺(v) closes a triangle {u→v, u→w, v→w}.
+    //
+    // The intersection runs over COMPACT ADJACENCY ARRAYS, not a wedge
+    // self-join: the co-order graph is dense (sf0.1: ~20k nodes, ~0.5M
+    // edges), so materializing the Σ outdeg·indeg wedge rows through a
+    // join + semi-probe moved ~10⁹ rows and ran ~40 s; the same O(m^1.5)
+    // intersection work as one codegen'd array_intersect per edge runs
+    // in ~3 s (round-9 rewrite, hash-identical output). The whole
+    // oriented adjacency table is Σ outdeg = m longs (~4 MB at sf0.1) —
+    // explicitly broadcast twice, so edges never shuffle at all; at a
+    // web-scale m the same plan degrades gracefully to a node-id-keyed
+    // shuffle-hash join (the arrays stay O(√m) each under orientation),
+    // and exploded output is 3·#triangles rows — output-bound, never
+    // wedge-bound. The per-order pair expansion is bounded by the small
+    // per-order line count (≤ C(7,2) pairs per TPC-H order).
     QueryDef("q_graph_triangles",
       (s, d) => {
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
@@ -121,11 +128,15 @@ object GraphOps {
             when(expr("struct(da, a) < struct(db, b)"), col("a")).otherwise(col("b")).as("src"),
             when(expr("struct(da, a) < struct(db, b)"), col("b")).otherwise(col("a")).as("dst"))
           .localCheckpoint(eager = false)
-        val tri = oriented.as("e1")
-          .join(oriented.as("e2"), expr("e1.dst = e2.src"))
-          .join(oriented.as("e3"),
-            expr("e3.src = e1.src AND e3.dst = e2.dst"), "leftsemi")
-          .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+        val adj = oriented.groupBy("src")
+          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+        val tri = oriented
+          .join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
+          .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+            Seq("dst"), "left")
+          .select(col("src").as("u"), col("dst").as("v"),
+            explode(array_intersect(col("nu"),
+              coalesce(col("nv"), array().cast("array<bigint>")))).as("w"))
         tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
           .groupBy("node").agg(count(lit(1)).cast("long").as("triangles"))
           .select(col("node").cast("long").as("node"), col("triangles"))
@@ -148,5 +159,69 @@ object GraphOps {
          SELECT node::BIGINT AS node, count(*)::BIGINT AS triangles
          FROM (SELECT u AS node FROM tri UNION ALL
                SELECT v FROM tri UNION ALL SELECT w FROM tri)
+         GROUP BY 1 ORDER BY node"""),
+
+    // 3-round k-core peeling (k=3) over the co-order part graph — the
+    // degeneracy-ordering primitive behind community cores, spam-graph
+    // pruning, and graph-sampling curricula: repeatedly delete nodes of
+    // degree < k and re-induce. Three BOUNDED rounds (the PageRank
+    // discipline — a fixed unrollable round count is what makes the
+    // result oracle-checkable; full convergence is the same loop run to
+    // fixpoint, and each round strictly shrinks the edge set so later
+    // rounds cost less than earlier ones).
+    //
+    // Scale shape per round: one map-side-combined degree count (shuffle
+    // carries (node, count) longs), one filter to the keep-set, two
+    // LEFT-SEMI joins re-inducing the edge list — semi joins so edges
+    // never widen, keyed on node ids so AQE broadcasts the keep-set once
+    // it shrinks below the threshold. Lazy checkpoints truncate lineage
+    // per round (the CC/PageRank pattern); no driver-side state beyond
+    // the loop counter.
+    QueryDef("q_graph_kcore",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        var edges = li.as("x").join(li.as("y"),
+            expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        for (_ <- 1 to 3) {
+          val deg = edges.select(col("a").as("n"))
+            .union(edges.select(col("b").as("n")))
+            .groupBy("n").agg(count(lit(1)).as("dg"))
+          val keep = deg.filter(col("dg") >= 3).select("n")
+            .localCheckpoint(eager = false)
+          edges = edges
+            .join(keep.withColumnRenamed("n", "a"), Seq("a"), "leftsemi")
+            .join(keep.withColumnRenamed("n", "b"), Seq("b"), "leftsemi")
+            .select("a", "b")
+            .localCheckpoint(eager = false)
+        }
+        edges.select(col("a").as("node")).union(edges.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).cast("long").as("degree"))
+          .select(col("node").cast("long").as("node"), col("degree"))
+          .orderBy("node")
+      },
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         e0 AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                FROM li x JOIN li y
+                ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         d1 AS (SELECT n, count(*) AS dg FROM (
+                  SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) u GROUP BY 1),
+         k1 AS (SELECT n FROM d1 WHERE dg >= 3),
+         e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT n FROM k1)
+                                      AND b IN (SELECT n FROM k1)),
+         d2 AS (SELECT n, count(*) AS dg FROM (
+                  SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) u GROUP BY 1),
+         k2 AS (SELECT n FROM d2 WHERE dg >= 3),
+         e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT n FROM k2)
+                                      AND b IN (SELECT n FROM k2)),
+         d3 AS (SELECT n, count(*) AS dg FROM (
+                  SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) u GROUP BY 1),
+         k3 AS (SELECT n FROM d3 WHERE dg >= 3),
+         e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT n FROM k3)
+                                      AND b IN (SELECT n FROM k3))
+         SELECT node::BIGINT AS node, count(*)::BIGINT AS degree
+         FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) f
          GROUP BY 1 ORDER BY node"""))
 }

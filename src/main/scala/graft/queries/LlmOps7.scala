@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.TextAnalysis
+
+/** Round-9 batch: three curation ops a training pipeline runs between
+  * dedup and mixing — weighted subsampling (importance/quality-weighted
+  * corpus selection), int8 embedding quantization (the storage/serving
+  * format every ANN index at 100 TB actually holds), and duplicate-n-gram
+  * coverage (the RefinedWeb/Gopher-style per-document contamination stat
+  * one level finer than whole-doc dedup). All three follow the repo's
+  * mirrorable-hash discipline (md5 60-bit uniforms, ln_ieee, left-to-right
+  * double folds) so DuckDB verifies them hash-for-hash.
+  */
+object LlmOps7 {
+
+  /** Per-stratum sample size for q_sample_weighted. */
+  private val sampleK = 5
+
+  /** 2^60 as a double — the md5 60-bit integer's uniform divisor. Exact
+    * in IEEE754 (a power of two), so the division is pure scaling. */
+  private val two60 = 1152921504606846976.0
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+    // "Weighted random sampling with a reservoir"): each document draws
+    // an exponential key  -ln(u)/w  (u uniform, w = n_chars its weight)
+    // and the k SMALLEST keys per language stratum are the sample —
+    // distribution-identical to sequential weighted draws without
+    // replacement, but embarrassingly parallel: the key is a pure
+    // projection and per-stratum selection is an ordinary top-k.
+    //
+    // Determinism: u is the repo's standard mirrorable 60-bit md5 integer
+    // over doc_id, shifted to (0,1] by +1 (ln(0) never occurs); ln is
+    // ln_ieee (bit-equal to DuckDB's ln); the key is one negate + one
+    // divide of exact-valued doubles — no RNG state anywhere, reruns and
+    // ablations see the same sample.
+    //
+    // Scale shape: the exponential-key trick is exactly what makes
+    // weighted sampling 100 TB-safe — no global pass to normalize
+    // weights, no sequential reservoir. One projection computes keys,
+    // and the per-stratum rank ≤ k plans as WindowGroupLimit (the
+    // q_cap_per_source shape): each map task keeps at most k rows per
+    // stratum before the shuffle, so the exchange carries O(strata · k)
+    // rows regardless of corpus size.
+    QueryDef("q_sample_weighted",
+      (s, d) => {
+        graft.functions.LnIeee.register(s)
+        val h = conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 15), 16, 10).cast("long")
+        val u = (h + lit(1L)).cast("double") / lit(two60)
+        val key = negate(call_function("ln_ieee", u)) /
+          col("n_chars").cast("double")
+        val w = Window.partitionBy("lang")
+          .orderBy(col("sample_key").asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"), col("n_chars"),
+            key.as("sample_key"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= sampleK)
+          .select("lang", "rank", "doc_id", "n_chars", "sample_key")
+          .orderBy("lang", "rank")
+      },
+      s"""WITH k AS (
+  SELECT lang, doc_id, n_chars,
+    (-ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+         / $two60)) / n_chars::DOUBLE AS sample_key
+  FROM documents),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+        ORDER BY sample_key ASC, doc_id ASC) AS rank FROM k)
+SELECT lang, rank::BIGINT AS rank, doc_id, n_chars, sample_key
+FROM r WHERE rank <= $sampleK ORDER BY lang, rank"""),
+
+    // Symmetric int8 quantization of the embedding column — the format
+    // vector stores and ANN serving tiers actually hold at scale (4×
+    // smaller than float32, SIMD-friendly dot products). Per vector:
+    // scale = max|x|/127, q_i = floor(x_i/scale + 0.5) (half-up — both
+    // engines' floor is IEEE-exact, unlike their round()s, which
+    // disagree at halfway points), plus the two quality stats a
+    // quantization report needs: saturation count (|q|=127) and the
+    // reconstruction sum of squared error.
+    //
+    // Determinism: max|x| is a left fold with greatest (order-pinned,
+    // though max is order-free anyway), SSE is the repo's left-to-right
+    // double fold, and every lambda mirrors the dotSql index shape.
+    // Scale shape: a pure projection — no shuffle at all; at 100 TB this
+    // is a map-only rewrite of the embedding table, and the stats ride
+    // along per-row instead of needing a second pass.
+    QueryDef("q_emb_quantize",
+      (s, d) => {
+        val absmax = aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double"))))
+        val q = transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("long"))
+        Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            (absmax / lit(127.0)).as("scale"))
+          .withColumn("q", q)
+          .select(col("vec_id"), col("scale"),
+            size(filter(col("q"), v => abs(v) === lit(127L)))
+              .cast("long").as("n_sat"),
+            aggregate(
+              zip_with(col("embedding"), col("q"), (x, v) => {
+                val dd = x.cast("double") - v.cast("double") * col("scale")
+                dd * dd
+              }),
+              lit(0.0), (acc, v) => acc + v).as("sse"))
+          .orderBy("vec_id")
+      },
+      """WITH sc AS (
+  SELECT vec_id, embedding,
+    list_reduce(list_prepend(0.0,
+      list_transform(embedding, x -> abs(x::DOUBLE))),
+      (a, b) -> greatest(a, b)) / 127.0 AS scale
+  FROM embeddings),
+qq AS (
+  SELECT vec_id, embedding, scale,
+    list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)::BIGINT) AS q
+  FROM sc)
+SELECT vec_id, scale,
+  len(list_filter(q, v -> abs(v) = 127))::BIGINT AS n_sat,
+  list_reduce(list_prepend(0.0,
+    list_transform(range(len(embedding)),
+      i -> (embedding[i+1]::DOUBLE - q[i+1]::DOUBLE * scale)
+         * (embedding[i+1]::DOUBLE - q[i+1]::DOUBLE * scale))),
+    (a, b) -> a + b) AS sse
+FROM qq ORDER BY vec_id"""),
+
+    // Duplicate-5-gram coverage — the per-document contamination stat
+    // between exact dedup (whole doc) and q_dedup_substring (64-token
+    // windows): what fraction of a document's DISTINCT 5-grams also
+    // appear in some other document. RefinedWeb/Gopher-style pipelines
+    // threshold on exactly this to drop boilerplate-heavy pages that no
+    // whole-doc detector flags.
+    //
+    // Scale shape: per-doc distinct grams explode once; the gram
+    // document-frequency table is a map-side-combined groupBy; the join
+    // back attaches an 8-byte count to each (doc, gram) row keyed on the
+    // gram string (at web scale the q_text_tfidf_skewsafe head/tail
+    // split is the skew answer for stop-phrase grams — noted; the
+    // synthetic corpus has no such head). The final per-doc agg shuffles
+    // doc_id-keyed counts only — texts never move after the explode.
+    QueryDef("q_text_ngram_coverage",
+      (s, d) => {
+        val ws = TextAnalysis.tokens(col("text"))
+        val grams = transform(sequence(lit(1), size(ws) - 4),
+          i => concat_ws(" ", slice(ws, i, lit(5))))
+        val docGrams = Tables.documents(s, d)
+          .filter(size(ws) >= 5)
+          .select(col("doc_id"), explode(grams).as("gram"))
+          .distinct()
+          .localCheckpoint(eager = false) // feeds both the df agg and the join
+        val df = docGrams.groupBy("gram").agg(count(lit(1)).as("df"))
+        docGrams.join(df, "gram")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+          .select(col("doc_id"), col("n_grams"), col("n_dup"),
+            (col("n_dup").cast("double") / col("n_grams").cast("double"))
+              .as("coverage"))
+          .orderBy("doc_id")
+      },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE len(string_split(text, ' ')) >= 5),
+g AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(w) - 3),
+          i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS gram
+      FROM w),
+df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+agg AS (SELECT doc_id, count(*) AS n_grams,
+          sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM g JOIN df USING (gram) GROUP BY 1)
+SELECT doc_id, n_grams::BIGINT AS n_grams, n_dup::BIGINT AS n_dup,
+  n_dup::DOUBLE / n_grams::DOUBLE AS coverage
+FROM agg ORDER BY doc_id"""))
+}

@@ -294,5 +294,36 @@ object Relational4 {
            min(l_partkey)::BIGINT AS part_min, max(l_partkey)::BIGINT AS part_max,
            min(l_suppkey)::BIGINT AS supp_min, max(l_suppkey)::BIGINT AS supp_max
          FROM r GROUP BY file_id ORDER BY file_id"""),
+
+    // Distribution-rank window trio — ntile (equal-height bucketing,
+    // the quantile-assignment step behind quality-band curricula and
+    // per-segment tiering), percent_rank, and cume_dist, all over ONE
+    // (segment, balance) sort. Determinism: the order key ends in the
+    // unique c_custkey so ranks are strict; percent_rank = (rank−1)/(n−1)
+    // and cume_dist = rank/n are then single IEEE divisions of exact
+    // integers — bit-identical across engines. Scale shape: one shuffle
+    // on the partition key, one sort within; all three functions share
+    // the frame (no second exchange), and segment cardinality bounds
+    // task state.
+    QueryDef("q_window_ntile",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            percent_rank().over(w).as("pct_rank"),
+            cume_dist().over(w).as("cume"))
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+           (ntile(4) OVER w)::BIGINT AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment
+           ORDER BY c_acctbal DESC, c_custkey ASC)
+         ORDER BY c_custkey"""),
   )
 }

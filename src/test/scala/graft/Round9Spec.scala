@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic property pins for the round-9 operators, on the live sf0.001
+  * corpus (hash-equality vs DuckDB is the driver gate; these pin the
+  * CONTRACTS the hashes can't express). */
+class Round9Spec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_sample_weighted draws exactly k per stratum with nondecreasing keys") {
+    val rows = run("q_sample_weighted").collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (lang, rs) =>
+      assert(rs.length == 5, s"$lang drew ${rs.length} != 5")
+      val keys = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sample_key"))
+      assert(keys.zip(keys.tail).forall { case (a, b) => a <= b },
+        s"$lang keys not sorted by rank")
+      assert(keys.forall(_ >= 0.0))
+    }
+  }
+
+  test("q_emb_quantize saturates the max element and bounds reconstruction error") {
+    val rows = run("q_emb_quantize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val nSat = r.getAs[Long]("n_sat")
+      val sse = r.getAs[Double]("sse")
+      assert(scale > 0.0)
+      // the element achieving max|x| quantizes to exactly ±127
+      assert(nSat >= 1, s"vec ${r.getAs[Long]("vec_id")} has no saturated lane")
+      // per-lane rounding error is ≤ scale/2; 32 dims bound the SSE
+      assert(sse >= 0.0 && sse <= 32.0 * (scale / 2) * (scale / 2) * 1.0001,
+        s"sse $sse out of bound for scale $scale")
+    }
+  }
+
+  test("q_text_ngram_coverage stays a fraction and counts every multi-doc gram") {
+    val rows = run("q_text_ngram_coverage").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_grams")
+      val dup = r.getAs[Long]("n_dup")
+      val cov = r.getAs[Double]("coverage")
+      assert(n > 0 && dup >= 0 && dup <= n)
+      assert(math.abs(cov - dup.toDouble / n.toDouble) == 0.0)
+    }
+  }
+
+  test("q_events_scd2 builds consecutive, gap-free, single-current histories") {
+    val rows = run("q_events_scd2").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (uid, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("version"))
+      assert(sorted.map(_.getAs[Long]("version")).toSeq ==
+        (1L to sorted.length.toLong), s"user $uid versions not consecutive")
+      // interval chaining: valid_to == next valid_from; exactly one open row
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+            b.getAs[java.sql.Timestamp]("valid_from"), s"user $uid gap")
+          // a real state CHANGE at every version boundary
+          assert(a.getAs[String]("state") != b.getAs[String]("state"))
+        case _ =>
+      }
+      assert(rs.count(_.getAs[Boolean]("is_current")) == 1)
+      assert(sorted.last.getAs[java.sql.Timestamp]("valid_to") ==
+        java.sql.Timestamp.valueOf("2200-01-01 00:00:00"))
+    }
+  }
+
+  test("q_events_anomaly z-scores match a recomputed trailing window") {
+    val rows = run("q_events_anomaly").collect()
+    assert(rows.nonEmpty)
+    // recompute the trailing stats from the raw hourly counts
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[java.sql.Timestamp]("h"), r.getAs[Long]("n")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.getTime)).toMap
+    rows.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val h = r.getAs[java.sql.Timestamp]("h")
+      val series = hourly(et)
+      val i = series.indexWhere(_._2 == h)
+      assert(i >= 6, s"$et $h reported with <6 predecessors")
+      val prev = series.slice(i - 6, i).map(_._3.toDouble)
+      val mean = prev.sum / 6.0
+      assert(math.abs(r.getAs[Double]("mean_prev") - mean) < 1e-9)
+      Option(r.getAs[java.lang.Double]("z")).foreach { z =>
+        val varc = prev.map(x => (x - mean) * (x - mean)).sum / 5.0
+        assert(math.abs(z - (series(i)._3.toDouble - mean) / math.sqrt(varc)) < 1e-6)
+      }
+    }
+  }
+
+  test("q_graph_kcore only keeps nodes whose initial degree was >= 3") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+    val deg0 = li.as("x").join(li.as("y"),
+        expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b")).distinct()
+      .select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= 3)
+      .collect().map(_.getAs[Long]("n")).toSet
+    val out = run("q_graph_kcore").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => deg0.contains(r.getAs[Long]("node"))))
+  }
+
+  test("q_window_ntile quartiles are balanced and ranks lie in [0,1]") {
+    val rows = run("q_window_ntile").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (seg, rs) =>
+      val qs = rs.map(_.getAs[Long]("quartile"))
+      assert(qs.forall(q => q >= 1 && q <= 4))
+      // equal-height: bucket sizes differ by at most 1
+      val sizes = qs.groupBy(identity).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1, s"$seg unbalanced: $sizes")
+      assert(rs.forall { r =>
+        val p = r.getAs[Double]("pct_rank"); val c = r.getAs[Double]("cume")
+        p >= 0.0 && p <= 1.0 && c > 0.0 && c <= 1.0
+      })
+    }
+  }
+}
