@@ -307,5 +307,55 @@ object EventsQueries {
                 THEN abs((n_events::DOUBLE - mean_prev) / sqrt(variance)) > 2.0
            END AS is_anomaly
          FROM sc ORDER BY event_type, h"""),
+
+    // Last-touch attribution: each purchase is credited to the user's
+    // most recent STRICTLY-PRECEDING click within a 7-day lookback — the
+    // marketing-analytics join every event warehouse runs. Implemented
+    // as a running last-click carry (one per-user window, frame
+    // [unbounded, -1]) rather than a purchases⋈clicks as-of join: the
+    // stream is scanned once, no second shuffle, and the per-user window
+    // state is one row. Both carried fields (click ts + id) read the
+    // same frame under the same (ms-truncated ts, event_id) order, so
+    // they name the same click row by construction — no pairing drift.
+    // The attribution flag is null-safe on both engines (CASE/coalesce
+    // mirror); the nullable click_id survives the driver compare (NaN
+    // pairs equate) where a nullable TIMESTAMP would not, so click_ts
+    // stays internal.
+    QueryDef("q_events_attribution",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val clickTs = when(col("event_type") === "click", col("tsm"))
+        val clickId = when(col("event_type") === "click", col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("MILLISECOND", col("ts")).as("tsm"))
+          .withColumn("click_ts", last(clickTs, ignoreNulls = true).over(w))
+          .withColumn("click_id", last(clickId, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("tsm").as("purchase_ts"), col("click_id"),
+            coalesce(col("tsm") <=
+              col("click_ts") + expr("interval 7 days"), lit(false))
+              .as("attributed"))
+          .orderBy("user_id", "purchase_id")
+      },
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             date_trunc('milliseconds', ts) AS tsm
+           FROM events),
+         c AS (
+           SELECT user_id, event_id, event_type, tsm,
+             last_value(CASE WHEN event_type = 'click' THEN tsm END
+               IGNORE NULLS) OVER w AS click_ts,
+             last_value(CASE WHEN event_type = 'click' THEN event_id END
+               IGNORE NULLS) OVER w AS click_id
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id AS purchase_id,
+           tsm::TIMESTAMP AS purchase_ts, click_id,
+           coalesce(tsm <= click_ts + INTERVAL 7 DAY, false) AS attributed
+         FROM c WHERE event_type = 'purchase'
+         ORDER BY user_id, purchase_id"""),
   )
 }

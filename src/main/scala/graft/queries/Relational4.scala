@@ -325,5 +325,60 @@ object Relational4 {
          WINDOW w AS (PARTITION BY c_mktsegment
            ORDER BY c_acctbal DESC, c_custkey ASC)
          ORDER BY c_custkey"""),
+
+    // TPC-H Q7 shape — bilateral shipping volume: revenue flowing
+    // between two named nations (either direction), broken out by
+    // supplier nation / customer nation / ship year. Exercises the
+    // two-path dimension join (the same nation table joined through
+    // supplier AND through customer⋈orders) plus a disjunctive
+    // cross-dimension predicate. Both nation legs broadcast (25 rows →
+    // customer/supplier), the fact joins shuffle on their natural keys,
+    // revenue in exact cents (integer-BIGINT-sum deterministic).
+    QueryDef("q_tpch_natvolume",
+      (s, d) => {
+        val nats = Seq("NATION_12", "NATION_13")
+        val n = Tables.nation(s, d).filter(col("n_name").isin(nats: _*))
+          .select("n_nationkey", "n_name")
+        val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+          .join(broadcast(n.select(col("n_nationkey"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "supp_nation")
+        val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .join(broadcast(n.select(col("n_nationkey"),
+            col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "cust_nation")
+        val o = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            year(col("l_shipdate")).cast("long").as("ship_year"),
+            (cents(col("l_extendedprice")) * (lit(100) - cents(col("l_discount"))))
+              .as("rev"))
+          .join(sup, col("l_suppkey") === col("s_suppkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy("supp_nation", "cust_nation", "ship_year")
+          .agg((sum("rev").cast("double") / 1e4).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("supp_nation", "cust_nation", "ship_year")
+      },
+      s"""SELECT supp_nation, cust_nation, ship_year,
+           sum(rev)::DOUBLE / 1e4 AS revenue, count(*) AS n_items
+         FROM (
+           SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             year(l_shipdate)::BIGINT AS ship_year,
+             ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}) AS rev
+           FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation sn ON s_nationkey = sn.n_nationkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation cn ON c_nationkey = cn.n_nationkey
+           WHERE sn.n_name IN ('NATION_12', 'NATION_13')
+             AND cn.n_name IN ('NATION_12', 'NATION_13')
+             AND sn.n_name <> cn.n_name) v
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
   )
 }

@@ -330,4 +330,37 @@ class PlanSpec extends SparkSpec {
     assert(hashShuffles.size == 1,
       s"rank and count windows must share ONE cid shuffle, got ${hashShuffles.size}")
   }
+
+  test("q_sample_weighted rank-limits each stratum via WindowGroupLimit") {
+    // The 100 TB claim: per-stratum selection keeps ≤ k rows per map task
+    // before the exchange — the WindowGroupLimit pushdown, not a full
+    // per-stratum sort + filter.
+    val wgl = collectAll(planOf("q_sample_weighted")) {
+      case w: WindowGroupLimitExec => w }
+    assert(wgl.nonEmpty, "expected WindowGroupLimit for the per-stratum top-k")
+  }
+
+  test("q_emb_quantize is map-only: no hash shuffle anywhere") {
+    // The quantization rewrite is a pure projection; the only exchange
+    // allowed is the final presentation sort's range partitioning.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val hashShuffles = collectAll(planOf("q_emb_quantize")) {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.toString.contains("hashpartitioning") => e }
+    assert(hashShuffles.isEmpty,
+      s"quantization must not shuffle, got ${hashShuffles.size} hash exchanges")
+  }
+
+  test("q_graph_triangles intersects broadcast adjacency arrays; edges never shuffle into a wedge join") {
+    // The round-9 rewrite's contract: both adjacency attachments are
+    // broadcast hash joins, and no sort-merge join (the old wedge
+    // self-join shape) remains in the plan.
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plan = planOf("q_graph_triangles")
+    val smjOnNodes = collectAll(plan) { case j: SortMergeJoinExec => j }
+      .filter(_.leftKeys.exists(_.toString.contains("src")))
+    assert(smjOnNodes.isEmpty, "wedge-style sort-merge join crept back in")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      "both adjacency lookups should be broadcast hash joins")
+  }
 }

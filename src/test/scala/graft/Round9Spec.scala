@@ -112,6 +112,45 @@ class Round9Spec extends SparkSpec {
     assert(out.forall(r => deg0.contains(r.getAs[Long]("node"))))
   }
 
+  test("q_events_attribution credits the latest preceding click, never a later one") {
+    val out = run("q_events_attribution").collect()
+    assert(out.nonEmpty)
+    // independent reconstruction: for each purchase, scan the raw events
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("MILLISECOND", col("ts")).as("tsm"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("tsm")))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val pid = r.getAs[Long]("purchase_id")
+      val pTs = r.getAs[java.sql.Timestamp]("purchase_ts")
+      val events = raw(uid).sortBy(e => (e._4.getTime, e._2))
+      val ord = Ordering.Tuple2[Long, Long]
+      val before = events.takeWhile(e =>
+        ord.lt((e._4.getTime, e._2), (pTs.getTime, pid)))
+      val expectClick = before.reverse.find(_._3 == "click")
+      val gotClick = Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)
+      assert(gotClick == expectClick.map(_._2),
+        s"user $uid purchase $pid: got $gotClick expected ${expectClick.map(_._2)}")
+      val expectAttr = expectClick.exists(c =>
+        pTs.getTime - c._4.getTime <= 7L * 24 * 3600 * 1000)
+      assert(r.getAs[Boolean]("attributed") == expectAttr)
+    }
+  }
+
+  test("q_tpch_natvolume covers both directions and only the two nations") {
+    val rows = run("q_tpch_natvolume").collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r => (r.getAs[String]("supp_nation"),
+      r.getAs[String]("cust_nation"))).toSet
+    assert(pairs.subsetOf(Set(("NATION_12", "NATION_13"), ("NATION_13", "NATION_12"))))
+    assert(pairs.size == 2, "expected revenue in both directions")
+    assert(rows.forall(_.getAs[Double]("revenue") > 0.0))
+  }
+
   test("q_window_ntile quartiles are balanced and ranks lie in [0,1]") {
     val rows = run("q_window_ntile").collect()
     assert(rows.nonEmpty)
