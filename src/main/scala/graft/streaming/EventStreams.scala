@@ -232,6 +232,70 @@ object EventStreams {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Per-user SCD2 state carried by [[Scd2Processor]]: the open
+    * interval's type and its version number. */
+  case class Scd2St(lastType: String, version: Long)
+
+  /** Streaming SCD Type-2 changelog — the CDC twin of the batch
+    * q_events_scd2 query: emits one row per STATE CHANGE (user_id,
+    * version, state, valid_from_ms) as events arrive, carrying the open
+    * interval across micro-batches in a `ValueState`. A downstream
+    * MERGE (the q_merge_upsert shape) closes the previous version's
+    * `valid_to` with each emitted change — together they maintain the
+    * dimension history table incrementally, which is exactly how
+    * warehouse CDC pipelines run SCD2 at scale (the batch query is the
+    * backfill; this is the steady state).
+    *
+    * State is ONE (type, version) pair per key — O(keys), independent of
+    * stream length, no watermark needed. Ordering contract (same as
+    * [[AsOfEnrichProcessor]]): rows sort by event time within a batch;
+    * across batches per-key event time must be non-decreasing. */
+  class Scd2Processor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, String), (Long, Long, String, Long)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[Scd2St] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[Scd2St]("scd2",
+        org.apache.spark.sql.Encoders.product[Scd2St],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, String)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, String, Long)] = {
+      val sorted = rows.toSeq.sortBy(_._2)
+      var cur = if (st.exists()) Option(st.get()) else None
+      val out = Seq.newBuilder[(Long, Long, String, Long)]
+      sorted.foreach { case (_, tsMs, tpe) =>
+        if (!cur.exists(_.lastType == tpe)) {
+          val v = cur.map(_.version).getOrElse(0L) + 1
+          out += ((key, v, tpe, tsMs))
+          cur = Some(Scd2St(tpe, v))
+        }
+      }
+      cur.foreach(st.update)
+      out.result().iterator
+    }
+  }
+
+  /** [[Scd2Processor]] wired to the events frame: emits (user_id,
+    * version, state, valid_from_ms) change rows in append mode. */
+  def scd2Changes(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long, String, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"),
+        unix_millis(date_trunc("MILLISECOND", col("ts"))),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new Scd2Processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** One user's open session being accumulated across micro-batches. */
   case class OpenSession(startMs: Long, lastMs: Long, n: Long, totalCents: Long)
   /** A closed session: [start, last + gap), event count, exact value sum. */

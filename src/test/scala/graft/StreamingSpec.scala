@@ -201,6 +201,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState SCD2 changelog == batch change detection across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 3 users, strictly increasing ts, types that repeat AND change so
+      // both the suppress-repeat and emit-change paths run; the chunk
+      // boundary lands mid-run for user 1 so state must carry over
+      val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      val types = Seq("view", "view", "click", "click", "click", "purchase",
+        "view", "purchase", "purchase", "click")
+      val data = (0 until 60).map { i =>
+        Ev(new java.sql.Timestamp(base.getTime + i * 60000L), i % 3,
+          types((i / 3) % types.length), 1.0)
+      }
+
+      val mem = MemoryStream[Ev]
+      val q = EventStreams.scd2Changes(mem.toDF())
+        .toDF("user_id", "version", "state", "valid_from_ms")
+        .writeStream.format("memory").queryName("scd2_out")
+        .outputMode("append").start()
+      mem.addData(data.take(31))   // boundary mid-run
+      q.processAllAvailable()
+      mem.addData(data.drop(31))
+      q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("scd2_out")
+        .orderBy("user_id", "version")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSeq
+
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("tsm")
+      val batch = data.toDF()
+        .select(col("user_id"),
+          unix_millis(date_trunc("MILLISECOND", col("ts"))).as("tsm"),
+          col("event_type"))
+        .withColumn("prevT", lag("event_type", 1).over(w))
+        .filter(col("prevT").isNull || col("prevT") =!= col("event_type"))
+        .withColumn("version", row_number().over(w).cast("long"))
+        .select("user_id", "version", "event_type", "tsm")
+        .orderBy("user_id", "version")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getLong(3))).toSeq
+
+      assert(streamed.nonEmpty && streamed == batch)
+      // repeats were genuinely suppressed: fewer changes than events
+      assert(streamed.length < data.length)
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
+
   test("flatMapGroupsWithState sessionizer == built-in session_window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
