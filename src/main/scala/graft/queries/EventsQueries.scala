@@ -20,6 +20,52 @@ import graft.streaming.EventStreams
   */
 object EventsQueries {
 
+  /** The SCD2 history frame (user_id, version, state, valid_from,
+    * valid_to, is_current) shared by q_events_scd2 and the point-in-time
+    * join — see q_events_scd2's scaladoc for the determinism and
+    * sentinel rationale. */
+  private def scd2Frame(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+    val w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("MILLISECOND", col("ts")).as("tsm"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"), col("event_id"),
+        col("event_type").as("state"), col("tsm").as("valid_from"))
+      .select(col("user_id"),
+        row_number().over(w2).cast("long").as("version"),
+        col("state"), col("valid_from"),
+        coalesce(lead("valid_from", 1).over(w2),
+          lit("2200-01-01 00:00:00").cast("timestamp")).as("valid_to"))
+      .withColumn("is_current",
+        col("valid_to") === lit("2200-01-01 00:00:00").cast("timestamp"))
+  }
+
+  /** DuckDB CTE text for [[scd2Frame]] — defines `scd2(user_id, version,
+    * state, valid_from, valid_to, is_current)`; interpolated into both
+    * consuming oracles so the two stay one definition. */
+  private val scd2Sql: String =
+    """e AS (
+           SELECT user_id, event_id, event_type,
+             date_trunc('milliseconds', ts) AS tsm
+           FROM events),
+         c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY tsm, event_id) AS prev FROM e),
+         chg AS (SELECT user_id, event_id, event_type AS state,
+                   tsm AS valid_from
+                 FROM c WHERE prev IS NULL OR prev <> event_type),
+         scd2 AS (
+           SELECT user_id, (row_number() OVER w)::BIGINT AS version, state,
+             valid_from::TIMESTAMP AS valid_from,
+             coalesce(lead(valid_from) OVER w,
+               TIMESTAMP '2200-01-01 00:00:00')::TIMESTAMP AS valid_to,
+             (lead(valid_from) OVER w) IS NULL AS is_current
+           FROM chg WINDOW w AS (PARTITION BY user_id
+             ORDER BY valid_from, event_id))"""
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q_window_tumbling",
@@ -209,42 +255,47 @@ object EventsQueries {
     // sliver — per-user state is one row); no joins, no corpus-wide
     // shuffle beyond the per-user repartition every SCD build needs.
     QueryDef("q_events_scd2",
+      (s, d) => scd2Frame(s, d).orderBy("user_id", "version"),
+      s"""WITH $scd2Sql
+         SELECT * FROM scd2 ORDER BY user_id, version"""),
+
+    // Point-in-time join — the feature-store lookup the SCD2 table
+    // exists for: each purchase is joined to the state interval that was
+    // valid AT its event time (`valid_from <= ts < valid_to`), so
+    // training features reflect what was knowable then, never a later
+    // state (the leakage the PIT join prevents). The half-open probe
+    // matches the half-open intervals, so every purchase matches EXACTLY
+    // one version (intervals tile each user's timeline from their first
+    // event on, and a purchase IS an event, so it can never precede its
+    // user's first interval).
+    //
+    // Scale shape: an equi-join on user_id carrying the interval
+    // predicate as a residual filter — per-user interval counts are
+    // small (bounded by state changes), so the residual scans a short
+    // run per probe; the q_join_range bucketing pattern is the fallback
+    // if a key ever accumulates unbounded versions. No window over the
+    // probe side at all.
+    QueryDef("q_join_pointintime",
       (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
-        val w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            date_trunc("MILLISECOND", col("ts")).as("tsm"))
-          .withColumn("prev", lag("event_type", 1).over(w))
-          .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-          .select(col("user_id"), col("event_id"),
-            col("event_type").as("state"), col("tsm").as("valid_from"))
-          .select(col("user_id"),
-            row_number().over(w2).cast("long").as("version"),
-            col("state"), col("valid_from"),
-            coalesce(lead("valid_from", 1).over(w2),
-              lit("2200-01-01 00:00:00").cast("timestamp")).as("valid_to"))
-          .withColumn("is_current",
-            col("valid_to") === lit("2200-01-01 00:00:00").cast("timestamp"))
-          .orderBy("user_id", "version")
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            date_trunc("MILLISECOND", col("ts")).as("ptsm"), col("value"))
+        p.join(scd2Frame(s, d), Seq("user_id"))
+          .filter(col("ptsm") >= col("valid_from") &&
+            col("ptsm") < col("valid_to"))
+          .select(col("user_id"), col("purchase_id"), col("ptsm"),
+            col("value"), col("version"), col("state"))
+          .orderBy("user_id", "purchase_id")
       },
-      """WITH e AS (
-           SELECT user_id, event_id, event_type,
-             date_trunc('milliseconds', ts) AS tsm
-           FROM events),
-         c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
-                 ORDER BY tsm, event_id) AS prev FROM e),
-         chg AS (SELECT user_id, event_id, event_type AS state,
-                   tsm AS valid_from
-                 FROM c WHERE prev IS NULL OR prev <> event_type)
-         SELECT user_id, (row_number() OVER w)::BIGINT AS version, state,
-           valid_from::TIMESTAMP AS valid_from,
-           coalesce(lead(valid_from) OVER w,
-             TIMESTAMP '2200-01-01 00:00:00')::TIMESTAMP AS valid_to,
-           (lead(valid_from) OVER w) IS NULL AS is_current
-         FROM chg WINDOW w AS (PARTITION BY user_id
-           ORDER BY valid_from, event_id)
-         ORDER BY user_id, version"""),
+      s"""WITH $scd2Sql,
+         p AS (SELECT user_id, event_id AS purchase_id,
+                 date_trunc('milliseconds', ts)::TIMESTAMP AS ptsm, value
+               FROM events WHERE event_type = 'purchase')
+         SELECT p.user_id AS user_id, purchase_id, ptsm, value, version, state
+         FROM p JOIN scd2 ON p.user_id = scd2.user_id
+           AND ptsm >= valid_from AND ptsm < valid_to
+         ORDER BY p.user_id, purchase_id"""),
 
     // Trailing-window rate anomaly: per (event_type, hour) counts scored
     // as a z-score against the previous 6 OBSERVED hours — the

@@ -151,6 +151,24 @@ class Round9Spec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("revenue") > 0.0))
   }
 
+  test("q_join_pointintime matches every purchase to exactly one valid version") {
+    val out = run("q_join_pointintime").collect()
+    val nPurchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.length.toLong == nPurchases,
+      s"${out.length} PIT rows != $nPurchases purchases — a purchase matched 0 or 2 intervals")
+    // the matched state is what the SCD2 table says was live at that instant
+    val scd2 = run("q_events_scd2").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("version")) ->
+        (r.getAs[java.sql.Timestamp]("valid_from"), r.getAs[java.sql.Timestamp]("valid_to")))
+      .toMap
+    out.foreach { r =>
+      val (vf, vt) = scd2((r.getAs[Long]("user_id"), r.getAs[Long]("version")))
+      val t = r.getAs[java.sql.Timestamp]("ptsm")
+      assert(!t.before(vf) && t.before(vt))
+    }
+  }
+
   test("q_window_ntile quartiles are balanced and ranks lie in [0,1]") {
     val rows = run("q_window_ntile").collect()
     assert(rows.nonEmpty)
