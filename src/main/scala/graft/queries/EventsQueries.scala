@@ -309,7 +309,13 @@ object EventsQueries {
     // division/sqrt expression tree — every double op is IEEE-determined
     // on both engines, so z hash-matches bit-for-bit; zero-variance
     // windows yield null z (a constant baseline has no scale for
-    // deviation). Scale shape: one map-side-combined groupBy to hourly
+    // deviation) but a TOTAL is_anomaly: on a constant baseline any
+    // deviation is anomalous (infinite z) and equality is not. A null
+    // boolean would also be unverifiable — the driver compare reads
+    // Spark's null as None but DuckDB's as NaN (the NaT problem again),
+    // while null DOUBLES normalize to NaN on both sides and compare
+    // fine, which is why z may stay nullable and is_anomaly must not.
+    // Scale shape: one map-side-combined groupBy to hourly
     // granularity (the only corpus-scaled shuffle), then windows over
     // the HOURLY frame — tasks hold (event_type × hours) rows, corpus
     // size long gone.
@@ -331,7 +337,9 @@ object EventsQueries {
           .filter(col("n_prev") === 6)
           .select(col("event_type"), col("h"), col("n_events"),
             mean.as("mean_prev"), z.as("z"),
-            (abs(z) > 2.0).as("is_anomaly"))
+            when(variance > 0.0, abs(z) > 2.0)
+              .otherwise(col("n_events").cast("double") =!= mean)
+              .as("is_anomaly"))
           .orderBy("event_type", "h")
       },
       """WITH hourly AS (
@@ -356,6 +364,7 @@ object EventsQueries {
                 THEN (n_events::DOUBLE - mean_prev) / sqrt(variance) END AS z,
            CASE WHEN variance > 0.0
                 THEN abs((n_events::DOUBLE - mean_prev) / sqrt(variance)) > 2.0
+                ELSE n_events::DOUBLE <> mean_prev
            END AS is_anomaly
          FROM sc ORDER BY event_type, h"""),
 

@@ -176,5 +176,163 @@ agg AS (SELECT doc_id, count(*) AS n_grams,
         FROM g JOIN df USING (gram) GROUP BY 1)
 SELECT doc_id, n_grams::BIGINT AS n_grams, n_dup::BIGINT AS n_dup,
   n_dup::DOUBLE / n_grams::DOUBLE AS coverage
-FROM agg ORDER BY doc_id"""))
+FROM agg ORDER BY doc_id"""),
+
+    // Asymmetric containment (Broder 1997's "containment of A in B",
+    // |A∩B|/|A| over bigram sets) — the direction Jaccard blurs: a short
+    // doc fully embedded in a long one scores low Jaccard (the union is
+    // large) but containment ≈ 1, which is exactly the quote/excerpt/
+    // boilerplate-inclusion dup class. Same consecutive-pair measurement
+    // shape as q_text_jaccard (candidate GENERATION at scale is the LSH
+    // family's job; this is the scoring primitive those candidates flow
+    // into).
+    //
+    // Determinism: set sizes and intersection are exact integers; the
+    // two containment ratios and their max are single IEEE divisions.
+    QueryDef("q_dedup_containment",
+      (s, d) => {
+        val sets = Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(TextAnalysis.bigrams(split(col("text"), " "), " "))
+              .as("sset"))
+        val inter = size(array_intersect(col("x.sset"), col("y.sset")))
+        sets.as("x").join(sets.as("y"), col("y.doc_id") === col("x.doc_id") + 1)
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+            inter.cast("long").as("n_common"),
+            (inter.cast("double") / size(col("x.sset"))).as("c_in_1"),
+            (inter.cast("double") / size(col("y.sset"))).as("c_in_2"),
+            (greatest(inter.cast("double") / size(col("x.sset")),
+              inter.cast("double") / size(col("y.sset"))) >= 0.8)
+              .as("is_contained"))
+          .orderBy("d1")
+      },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, len(ws)),
+           i -> ws[i] || ' ' || ws[i+1])) AS sset
+       FROM w)
+SELECT x.doc_id AS d1, y.doc_id AS d2,
+  len(list_intersect(x.sset, y.sset))::BIGINT AS n_common,
+  len(list_intersect(x.sset, y.sset))::DOUBLE / len(x.sset) AS c_in_1,
+  len(list_intersect(x.sset, y.sset))::DOUBLE / len(y.sset) AS c_in_2,
+  greatest(len(list_intersect(x.sset, y.sset))::DOUBLE / len(x.sset),
+           len(list_intersect(x.sset, y.sset))::DOUBLE / len(y.sset)) >= 0.8
+    AS is_contained
+FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1 ORDER BY d1"""),
+
+    // Content-defined chunking (the Rabin/gear-hash storage-dedup
+    // primitive, here a 31-polynomial over 8-char windows): cut after
+    // any window whose hash ≡ 0 (mod 64) — boundaries move WITH the
+    // content, so an insertion early in a document only re-chunks its
+    // neighborhood instead of shifting every fixed-size block (the
+    // property that makes chunk-level dedup survive edits; also the
+    // chunking behind dedup-friendly training-data stores). Expected
+    // chunk ≈ 64 chars; chunk identity = md5 of the chunk text.
+    //
+    // Determinism: the window hash is exact BIGINT arithmetic (max
+    // Σ 255·31^j < 2^45); cut positions derive solely from content.
+    // Scale shape: pure projection + explode — per-row O(L·8) work, no
+    // shuffle at all before the presentation sort; chunk rows carry
+    // (doc_id, idx, span, digest), never full text twice.
+    //
+    // The hash is 8 SHIFTED SLICES combined through a zip_with chain
+    // (the bigrams/trigramDigests shape), NOT a per-position
+    // `aggregate(slice(chars, i, 8))`: a lambda-positional slice
+    // re-evaluates the inlined `split` per element (CollapseProject —
+    // the exact O(L²) trap q_multimodal_features hit in round 8), which
+    // measured 130 s at sf0.1 where this form runs in ~2 s.
+    QueryDef("q_text_cdc_chunks",
+      (s, d) => {
+        val L = length(col("text"))
+        def sj(j: Int) = transform(
+          slice(split(col("text"), ""), lit(1 + j), L - 8),
+          c => ascii(c).cast("long"))
+        val win = (1 to 7).foldLeft(sj(0))((acc, j) =>
+          zip_with(acc, sj(j), (a, b) => a * 31 + b))
+        // interior cuts only: window [i, i+7] with i+7 < L
+        val cutEnds = when(L >= 9,
+          filter(zip_with(win, sequence(lit(1), L - 8),
+            (h, i) => when(h % 64 === 0, (i + 7).cast("long"))
+              .otherwise(lit(-1L))), p => p > 0))
+          .otherwise(array().cast("array<bigint>"))
+        // Generate barrier (inline over a 1-row struct array — the
+        // multimodal round-8 pattern): ends/starts/spans all reference
+        // cut_ends, and without the barrier CollapseProject re-inlines
+        // the whole hash pipeline into each consumer (~3 evaluations;
+        // measured 13 s → ~4 s at sf0.1 with the barrier).
+        val ends = concat(col("cut_ends"), array(length(col("text")).cast("long")))
+        val starts = concat(array(lit(1L)),
+          transform(slice(col("cut_ends"), lit(1), size(col("cut_ends"))),
+            e => e + 1))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            inline(array(struct(cutEnds.as("cut_ends")))))
+          .select(col("doc_id"), col("text"),
+            zip_with(starts, ends, (a, b) => struct(a.as("s"), b.as("e")))
+              .as("spans"))
+          .select(col("doc_id"), col("text"), posexplode(col("spans")))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+            col("col.s").as("start"),
+            (col("col.e") - col("col.s") + 1).as("len"),
+            md5(col("text").substr(col("col.s").cast("int"),
+              (col("col.e") - col("col.s") + 1).cast("int")).cast("binary"))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      """WITH b AS (
+  SELECT doc_id, text, string_split(text, '') AS cs, len(text) AS L
+  FROM documents),
+cuts AS (
+  SELECT doc_id, text, L,
+    CASE WHEN L >= 9 THEN
+      list_transform(
+        list_filter(range(1, L - 7),
+          i -> list_reduce(list_prepend(0::BIGINT,
+                 list_transform(range(0, 8), j -> ascii(cs[i + j])::BIGINT)),
+               (acc, c) -> acc * 31 + c) % 64 = 0),
+        i -> (i + 7)::BIGINT)
+    ELSE [] END AS cut_ends
+  FROM b),
+spans AS (
+  SELECT doc_id, text,
+    list_append(cut_ends, L::BIGINT) AS ends,
+    list_prepend(1::BIGINT,
+      list_transform(list_slice(cut_ends, 1, len(cut_ends)), e -> e + 1))
+      AS starts
+  FROM cuts),
+k AS (SELECT doc_id, text, starts, ends,
+        unnest(range(len(starts))) AS ki FROM spans)
+SELECT doc_id, ki::BIGINT AS chunk_idx, starts[ki+1] AS start,
+  (ends[ki+1] - starts[ki+1] + 1)::BIGINT AS len,
+  md5(substr(text, starts[ki+1]::INT, (ends[ki+1] - starts[ki+1] + 1)::INT))
+    AS chunk_md5
+FROM k ORDER BY doc_id, chunk_idx"""),
+
+    // L2 normalization of the embedding column — the preprocessing step
+    // cosine-ANN indexes assume (post-normalize, cosine = dot, which is
+    // what the IVF/PQ family actually computes). Emits the normalized
+    // vector plus the original norm so downstream can invert.
+    //
+    // Determinism: the norm is the left-fold dot (the [[Similarity]]
+    // contract) and each lane is one IEEE division — the output array
+    // hash-matches elementwise. Scale shape: pure projection, no
+    // shuffle; at 100 TB this is a map-only rewrite pass.
+    QueryDef("q_emb_normalize",
+      (s, d) => {
+        val norm = sqrt(graft.functions.Similarity.dot(
+          col("embedding"), col("embedding")))
+        Tables.embeddings(s, d)
+          .withColumn("norm", norm)
+          .select(col("vec_id"), col("norm"),
+            transform(col("embedding"), x => x.cast("double") / col("norm"))
+              .as("unit"))
+          .orderBy("vec_id")
+      },
+      s"""WITH n AS (
+  SELECT vec_id, embedding,
+    sqrt(${graft.functions.Similarity.dotSql("embedding", "embedding")}) AS norm
+  FROM embeddings)
+SELECT vec_id, norm,
+  list_transform(embedding, x -> x::DOUBLE / norm) AS unit
+FROM n ORDER BY vec_id"""))
 }

@@ -169,6 +169,62 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q_dedup_containment bounds ratios and detects a planted excerpt") {
+    import spark.implicits._
+    val rows = run("q_dedup_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c1 = r.getAs[Double]("c_in_1"); val c2 = r.getAs[Double]("c_in_2")
+      assert(c1 >= 0.0 && c1 <= 1.0 && c2 >= 0.0 && c2 <= 1.0)
+    }
+    // planted pair: short doc fully embedded in a long one → containment
+    // 1.0 in the short direction even though Jaccard is low
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta " +
+        (1 to 40).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.{array_distinct, array_intersect, size, split}
+    val sets = docs.select($"doc_id",
+      array_distinct(graft.ops.TextAnalysis.bigrams(split($"text", " "), " ")).as("s"))
+    val Array(a, b) = sets.orderBy("doc_id").collect()
+    val sa = a.getSeq[String](1).toSet; val sb = b.getSeq[String](1).toSet
+    assert((sa intersect sb).size.toDouble / sa.size == 1.0)
+    assert((sa intersect sb).size.toDouble / (sa union sb).size < 0.2)
+  }
+
+  test("q_text_cdc_chunks tiles each document exactly and cuts move with content") {
+    val rows = run("q_text_cdc_chunks").collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sf).select("doc_id", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_chars")).toMap
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (did, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("chunk_idx"))
+      // chunks tile [1, n_chars] with no gaps or overlaps
+      assert(sorted.head.getAs[Long]("start") == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start") ==
+            a.getAs[Long]("start") + a.getAs[Long]("len"))
+        case _ =>
+      }
+      val last = sorted.last
+      assert(last.getAs[Long]("start") + last.getAs[Long]("len") - 1 == lens(did))
+    }
+    // content-defined, not fixed-width: chunk lengths vary across the corpus
+    assert(rows.map(_.getAs[Long]("len")).distinct.length > 1)
+  }
+
+  test("q_emb_normalize emits unit vectors") {
+    val rows = run("q_emb_normalize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("norm") > 0.0)
+      val unit = r.getSeq[Double](r.fieldIndex("unit"))
+      val n2 = unit.foldLeft(0.0)((acc, x) => acc + x * x)
+      assert(math.abs(n2 - 1.0) < 1e-9, s"vec ${r.getAs[Long]("vec_id")}: |unit|² = $n2")
+    }
+  }
+
   test("q_window_ntile quartiles are balanced and ranks lie in [0,1]") {
     val rows = run("q_window_ntile").collect()
     assert(rows.nonEmpty)
