@@ -147,8 +147,14 @@ FROM qq ORDER BY vec_id"""),
     QueryDef("q_text_ngram_coverage",
       (s, d) => {
         val ws = TextAnalysis.tokens(col("text"))
-        val grams = transform(sequence(lit(1), size(ws) - 4),
-          i => concat_ws(" ", slice(ws, i, lit(5))))
+        // 5 shifted slices under a zip_with chain (the bigrams shape),
+        // NOT `slice(ws, i, 5)` per sequence element — a lambda-
+        // positional slice re-evaluates the inlined split per element
+        // (the CollapseProject O(L²) trap; hidden at this corpus's doc
+        // lengths but real at book-length documents)
+        def sj(j: Int) = slice(ws, lit(1 + j), size(ws) - 4)
+        val grams = (1 to 4).foldLeft(sj(0))((acc, j) =>
+          zip_with(acc, sj(j), (a, b) => concat(a, lit(" "), b)))
         val docGrams = Tables.documents(s, d)
           .filter(size(ws) >= 5)
           .select(col("doc_id"), explode(grams).as("gram"))
