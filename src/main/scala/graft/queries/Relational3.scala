@@ -310,5 +310,67 @@ object Relational3 {
            AND EXISTS (SELECT 1 FROM orders
                        WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
          ORDER BY c_custkey"""),
+
+    // Correlated SCALAR subquery — the TPC-H Q17 shape q_sql_subquery's
+    // uncorrelated scalar + correlated EXISTS don't cover: each order is
+    // compared against ITS OWN customer's average order value. Catalyst
+    // cannot execute this row-at-a-time; it must decorrelate into a
+    // per-customer aggregate joined back on the correlation key — the
+    // rewrite (DecorrelateInnerQuery) this query exists to exercise.
+    // Determinism: the average is the exact DECIMAL sum divided once in
+    // DOUBLE (the q_sql_subquery recipe), identical on both engines.
+    // Scale shape post-decorrelation: one map-side-combined aggregate
+    // over orders + one custkey equi-join — no per-row subquery, no
+    // nested loop.
+    QueryDef("q_sql_correlated",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_corr_v")
+        s.sql("""
+          SELECT o_orderkey, o_custkey, o_totalprice
+          FROM orders_corr_v o
+          WHERE o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / COUNT(*)
+            FROM orders_corr_v i WHERE i.o_custkey = o.o_custkey)
+          ORDER BY o_orderkey""")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > 2 * (
+           SELECT (SUM(CAST(i.o_totalprice AS DECIMAL(18,2))))::DOUBLE / COUNT(*)
+           FROM orders i WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey"""),
+
+    // Distinct counting over a running window — an operator Spark has NO
+    // direct form for (COUNT(DISTINCT) OVER is unsupported): the
+    // documented rewrite is size(collect_set() OVER w), which this query
+    // pins against an independent oracle formulation
+    // (len(list_distinct(list() OVER w)) — DuckDB's window DISTINCT
+    // support is likewise partial, so the oracle uses the same
+    // list-based identity rather than a native DISTINCT window).
+    // State per (customer) window is the distinct-value set — bounded by
+    // the 5-value priority domain here; at an unbounded domain the
+    // approx path (HLL sketch per frame) is the scale answer, noted in
+    // SCALING.md.
+    QueryDef("q_window_countdistinct",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            size(collect_set(col("o_orderpriority")).over(w))
+              .cast("long").as("distinct_priorities"))
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+           len(list_distinct(list(o_orderpriority) OVER w))::BIGINT
+             AS distinct_priorities
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey"""),
   )
 }

@@ -331,6 +331,18 @@ class PlanSpec extends SparkSpec {
       s"rank and count windows must share ONE cid shuffle, got ${hashShuffles.size}")
   }
 
+  test("q_sql_correlated decorrelates to an aggregate + equi-join, no nested loop") {
+    // Catalyst must rewrite the correlated scalar subquery into a
+    // per-custkey aggregate joined back on the correlation key; a
+    // nested-loop (per-row subquery) shape would be quadratic.
+    val plan = planOf("q_sql_correlated")
+    assert(collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+      "correlated scalar subquery must not plan a nested-loop join")
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    assert(collectAll(plan) { case a: BaseAggregateExec => a }.nonEmpty,
+      "expected the decorrelated per-customer aggregate")
+  }
+
   test("q_sample_weighted rank-limits each stratum via WindowGroupLimit") {
     // The 100 TB claim: per-stratum selection keeps ≤ k rows per map task
     // before the exchange — the WindowGroupLimit pushdown, not a full
