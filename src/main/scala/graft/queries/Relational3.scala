@@ -372,5 +372,27 @@ object Relational3 {
            ORDER BY o_orderdate, o_orderkey
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY o_orderkey"""),
+
+    // The SCALE path for q_window_countdistinct: an HLL sketch per frame
+    // (Spark 4's datasketches hll_sketch_agg/estimate) instead of a
+    // materialized distinct-value set — O(sketch) window state at ANY
+    // value cardinality where collect_set grows with the domain. No SQL
+    // oracle (DuckDB has no datasketches mirror → rows-only check);
+    // Round9Spec pins estimate == exact on this domain (HLL's sparse
+    // mode is exact far beyond the 5-value priority space) against the
+    // independently-computed collect_set twin.
+    QueryDef("q_window_countdistinct_approx",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            hll_sketch_estimate(hll_sketch_agg(col("o_orderpriority")).over(w))
+              .as("approx_priorities"))
+          .orderBy("o_orderkey")
+      },
+      None),
   )
 }

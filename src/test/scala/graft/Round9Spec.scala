@@ -225,6 +225,20 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q_window_countdistinct_approx equals the exact twin on this domain") {
+    // HLL's sparse mode is exact far beyond the 5-value priority space,
+    // so the sketch path must reproduce the collect_set path exactly
+    val exact = run("q_window_countdistinct").collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Long]("distinct_priorities"))
+      .toMap
+    val approx = run("q_window_countdistinct_approx").collect()
+    assert(approx.nonEmpty && approx.length == exact.size)
+    approx.foreach { r =>
+      assert(r.getAs[Long]("approx_priorities") ==
+        exact(r.getAs[Long]("o_orderkey")))
+    }
+  }
+
   test("q_window_ntile quartiles are balanced and ranks lie in [0,1]") {
     val rows = run("q_window_ntile").collect()
     assert(rows.nonEmpty)
