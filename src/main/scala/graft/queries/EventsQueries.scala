@@ -417,5 +417,63 @@ object EventsQueries {
            coalesce(tsm <= click_ts + INTERVAL 7 DAY, false) AS attributed
          FROM c WHERE event_type = 'purchase'
          ORDER BY user_id, purchase_id"""),
+
+    // Session path mining — the top user journeys: sessionize (same
+    // 10-minute-gap islands as q_window_session), render each session's
+    // ordered event-type sequence as a ">"-joined path, count sessions
+    // per path, top 20. The product-analytics member the funnel/cohort/
+    // attribution family was missing: funnels ask "how many reached step
+    // N", paths ask "what sequences actually happen".
+    //
+    // Determinism: in-session order is array_sort over (ms-truncated ts,
+    // event_id, type) structs — the unique id pins same-ms ties, and the
+    // DuckDB list(... ORDER BY tsm, event_id) mirror is the same total
+    // order; the top-20 tie-break is (count desc, path asc). Scale
+    // shape: the lag-break flag and the running session-id sum share ONE
+    // user-keyed sort (same partitioning + order); per-session lists are
+    // session-length-bounded; path counting is a map-side-combined
+    // groupBy on short strings; top-20 plans as TakeOrdered, never a
+    // global sort.
+    QueryDef("q_events_paths",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("MILLISECOND", col("ts")).as("tsm"))
+          .withColumn("prev", lag("tsm", 1).over(w))
+          .withColumn("brk", when(col("prev").isNull ||
+            col("tsm") >= col("prev") + expr("interval 10 minutes"), 1L)
+            .otherwise(0L))
+          .withColumn("sid", sum("brk").over(wRun))
+          .groupBy("user_id", "sid")
+          .agg(array_sort(collect_list(struct(col("tsm"), col("event_id"),
+            col("event_type")))).as("evs"))
+          .select(concat_ws(">",
+            transform(col("evs"), e => e.getField("event_type"))).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path").asc)
+          .limit(20)
+      },
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             date_trunc('milliseconds', ts) AS tsm
+           FROM events),
+         b AS (
+           SELECT *, CASE WHEN lag(tsm) OVER w IS NULL
+                            OR tsm >= lag(tsm) OVER w + INTERVAL 10 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+         s AS (
+           SELECT *, sum(brk) OVER (PARTITION BY user_id
+             ORDER BY tsm, event_id ROWS UNBOUNDED PRECEDING) AS sid
+           FROM b),
+         p AS (
+           SELECT user_id, sid,
+             array_to_string(list(event_type ORDER BY tsm, event_id), '>') AS path
+           FROM s GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions
+         FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path ASC LIMIT 20"""),
   )
 }

@@ -239,6 +239,36 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("q_events_paths step counts and session universe agree with q_window_session") {
+    val paths = run("q_events_paths").collect()
+    assert(paths.nonEmpty && paths.length <= 20)
+    // every path decomposes into known event types
+    val types = Tables.events(spark, sf).select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    paths.foreach { r =>
+      r.getAs[String]("path").split(">").foreach(t => assert(types(t)))
+    }
+    // the full (un-limited) path distribution must partition the exact
+    // session universe q_window_session builds — same gap rule, so the
+    // total session count must match
+    import org.apache.spark.sql.functions.sum
+    val nSessions = run("q_window_session").count()
+    // rebuild the session count from the same break rule (the query's
+    // top-20 limit hides the tail of the distribution)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("tsm", "event_id")
+    val full = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("MILLISECOND", col("ts")).as("tsm"))
+      .withColumn("prev", lag("tsm", 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("tsm") >= col("prev") + expr("interval 10 minutes"), 1L)
+        .otherwise(0L))
+      .agg(sum("brk")).head().getLong(0)
+    assert(full == nSessions,
+      s"path session universe $full != session-window count $nSessions")
+  }
+
   test("q_window_ntile quartiles are balanced and ranks lie in [0,1]") {
     val rows = run("q_window_ntile").collect()
     assert(rows.nonEmpty)
