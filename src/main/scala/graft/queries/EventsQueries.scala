@@ -475,5 +475,54 @@ object EventsQueries {
          SELECT path, count(*) AS n_sessions
          FROM p GROUP BY 1
          ORDER BY n_sessions DESC, path ASC LIMIT 20"""),
+
+    // Within-session transition matrix (first-order Markov counts +
+    // row-normalized probabilities) — the aggregate view of the same
+    // journeys q_events_paths enumerates: which step follows which, and
+    // with what probability. Feeds next-action prediction baselines and
+    // journey anomaly detection.
+    //
+    // A transition is an ADJACENT pair inside one session, read off the
+    // SAME single user-keyed sort as the sessionizer: a row whose break
+    // flag is 0 continues its predecessor's session, so (lag(type),
+    // type) on that row IS the transition — no second window, no
+    // per-session regroup. Probabilities are exact counts divided once
+    // in DOUBLE (per-from totals via one small window over the matrix
+    // frame, which is |types|²-bounded, not corpus-scaled).
+    QueryDef("q_events_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("MILLISECOND", col("ts")).as("tsm"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .withColumn("prev_tsm", lag("tsm", 1).over(w))
+          .filter(col("prev_tsm").isNotNull &&
+            col("tsm") < col("prev_tsm") + expr("interval 10 minutes"))
+          .groupBy(col("prev_type").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("prob", col("n").cast("double") /
+            sum("n").over(Window.partitionBy("from_type")).cast("double"))
+          .orderBy("from_type", "to_type")
+      },
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             date_trunc('milliseconds', ts) AS tsm
+           FROM events),
+         l AS (
+           SELECT *, lag(event_type) OVER w AS prev_type,
+             lag(tsm) OVER w AS prev_tsm
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+         t AS (
+           SELECT prev_type AS from_type, event_type AS to_type,
+             count(*) AS n
+           FROM l
+           WHERE prev_tsm IS NOT NULL
+             AND tsm < prev_tsm + INTERVAL 10 MINUTE
+           GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           n::DOUBLE / (sum(n) OVER (PARTITION BY from_type))::DOUBLE AS prob
+         FROM t ORDER BY from_type, to_type"""),
   )
 }

@@ -269,6 +269,16 @@ class Round9Spec extends SparkSpec {
       s"path session universe $full != session-window count $nSessions")
   }
 
+  test("q_events_transitions rows sum to probability 1 per from_type") {
+    val rows = run("q_events_transitions").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (from, rs) =>
+      val total = rs.map(_.getAs[Double]("prob")).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$from probs sum to $total")
+      assert(rs.forall(_.getAs[Long]("n") > 0))
+    }
+  }
+
   test("q_window_ntile quartiles are balanced and ranks lie in [0,1]") {
     val rows = run("q_window_ntile").collect()
     assert(rows.nonEmpty)
