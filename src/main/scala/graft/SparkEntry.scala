@@ -11,6 +11,8 @@ object SparkEntry {
       graft.queries.LlmOps2.defs ++ graft.queries.LlmOps3.defs ++
       graft.queries.LlmOps4.defs ++ graft.queries.LlmOps5.defs ++
       graft.queries.LlmOps6.defs ++ graft.queries.LlmOps7.defs ++
+      graft.queries.LlmOps8.defs ++ graft.queries.WarehouseOps.defs ++
+      graft.queries.EventsQueries2.defs ++
       graft.queries.GraphOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

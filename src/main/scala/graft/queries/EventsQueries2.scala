@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-9 event-analytics closers: the concurrency curve (peak-load /
+  * capacity view of the session family) and DAU/WAU engagement with
+  * stickiness — the two product-analytics aggregates still missing
+  * around funnels / cohorts / paths / transitions.
+  *
+  * Both sessionize with the SAME 10-minute-gap islands as
+  * q_window_session / q_events_paths (one user-keyed sort; (ms-truncated
+  * ts, event_id) pins order) so the session universes agree across the
+  * whole family.
+  */
+object EventsQueries2 {
+
+  /** Shared sessionizer SQL (user_id, sid, st, en) — min/max ms-truncated
+    * ts per 10-minute-gap island. */
+  private val sessSql =
+    """e AS (
+      |  SELECT user_id, event_id,
+      |    date_trunc('milliseconds', ts) AS tsm
+      |  FROM events),
+      |b AS (
+      |  SELECT *, CASE WHEN lag(tsm) OVER w IS NULL
+      |                   OR tsm >= lag(tsm) OVER w + INTERVAL 10 MINUTE
+      |            THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+      |sid AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+      |    ORDER BY tsm, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM b),
+      |sess AS (
+      |  SELECT user_id, sid, min(tsm) AS st, max(tsm) AS en
+      |  FROM sid GROUP BY 1, 2)""".stripMargin
+
+  /** Spark twin of [[sessSql]]: one user-keyed sort carries the break
+    * flag and the running session id (same partitioning + order, so
+    * Catalyst plans a single exchange + sort). */
+  private def sessFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("MILLISECOND", col("ts")).as("tsm"))
+      .withColumn("prev", lag("tsm", 1).over(w))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("tsm") >= col("prev") + expr("interval 10 minutes"), 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum("brk").over(wRun))
+      .groupBy("user_id", "sid")
+      .agg(min("tsm").as("st"), max("tsm").as("en"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Session concurrency curve: how many sessions are active in each
+    // hour — the capacity-planning / peak-load view every serving team
+    // asks of an event warehouse. A session is active in every hour its
+    // [st, en] span touches.
+    //
+    // Scale shape: sessions collapse to ONE (st, en) row each before
+    // any expansion, and the hour explode is bounded by session
+    // DURATION in hours (gap-bounded sessions are short by
+    // construction — a 10-minute-gap session spanning h hours needs
+    // ≥ 6h events, so the explode is amortized O(events/6) worst
+    // case, not span-of-corpus like a naive time grid). The final
+    // count is a map-side-combined groupBy on the hour key. No global
+    // sort, no interval self-join, no +1/-1 global prefix sum (that
+    // alternative needs a corpus-wide ordered window; the grid
+    // explode keeps everything partition-local until one short-key
+    // shuffle).
+    QueryDef("q_events_concurrency",
+      (s, d) => sessFrame(s, d)
+        .select(explode(sequence(date_trunc("hour", col("st")),
+          date_trunc("hour", col("en")), expr("interval 1 hour"))).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("n_active"))
+        .orderBy("h"),
+      s"""WITH $sessSql
+         |SELECT h::TIMESTAMP AS h, count(*) AS n_active
+         |FROM (SELECT unnest(generate_series(date_trunc('hour', st),
+         |               date_trunc('hour', en), INTERVAL 1 HOUR)) AS h
+         |      FROM sess)
+         |GROUP BY 1 ORDER BY h""".stripMargin),
+
+    // DAU / WAU engagement: distinct active users per day, trailing
+    // 7-day distinct actives, and stickiness = DAU/WAU — the retention
+    // dashboard's headline trio. Exact (the sketch twin at unbounded
+    // user cardinality is the q_window_countdistinct_approx HLL path).
+    //
+    // The WAU rewrite is contribution explode, not a range self-join:
+    // each (user, day) activity row contributes to the 7 target days
+    // [day, day+6], distinct-per-(user, target) collapses multi-day
+    // users, and a count per target day is WAU. Everything is
+    // partial-aggregated groupBys on (user, day)-shaped short keys —
+    // the explode is a fixed ×7, never corpus², and the final join
+    // attaches DAU to WAU on the day-bounded frame. Target days with
+    // no activity of their own drop via the inner join (a day without
+    // events has no DAU row — and its WAU would mislead anyway).
+    QueryDef("q_events_engagement",
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .distinct()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = ud
+          .select(col("user_id"), explode(sequence(col("day"),
+            col("day") + expr("interval 6 days"), expr("interval 1 day"))).as("day"))
+          .distinct()
+          .groupBy("day").agg(count(lit(1)).as("wau"))
+        dau.join(wau, Seq("day"))
+          .select(col("day"), col("dau"), col("wau"),
+            (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+          .orderBy("day")
+      },
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+        |wau AS (
+        |  SELECT day, count(*) AS wau FROM (
+        |    SELECT DISTINCT user_id, td AS day FROM (
+        |      SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
+        |               INTERVAL 1 DAY)) AS td
+        |      FROM ud))
+        |  GROUP BY 1)
+        |SELECT day::TIMESTAMP AS day, dau, wau,
+        |  dau::DOUBLE / wau::DOUBLE AS stickiness
+        |FROM dau JOIN wau USING (day)
+        |ORDER BY day""".stripMargin),
+  )
+}

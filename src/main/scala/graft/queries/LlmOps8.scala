@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-9 late batch (tokenizer + association mining): BPE merge
+  * training — the tokenizer-construction step (Sennrich et al. 2016)
+  * every LLM data pipeline runs before token counting means anything —
+  * and market-basket pair mining (support/lift), the co-occurrence
+  * association primitive behind recommendation candidates and
+  * "frequently bought together".
+  *
+  * Both follow the repo's mirrorable-determinism discipline: exact
+  * integer counts everywhere, single IEEE divisions for the ratio
+  * outputs, (count DESC, key ASC) tie-breaks pinned on both engines.
+  */
+object LlmOps8 {
+
+  /** Number of unrolled BPE merge iterations. */
+  private val bpeRounds = 3
+
+  /** Adjacent symbol pairs of the space-joined symbol string, exploded
+    * with the word's corpus frequency. Rows with fewer than two symbols
+    * contribute no pairs (slice/zip_with both see length-0 slices). */
+  private def pairRows(syms: DataFrame): DataFrame = {
+    val arr = col("arr")
+    syms
+      .withColumn("arr", split(col("sym"), " "))
+      .filter(size(arr) >= 2)
+      .withColumn("pair", explode(zip_with(
+        slice(arr, lit(1), size(arr) - 1),
+        slice(arr, lit(2), size(arr) - 1),
+        (a, b) => concat(a, lit(" "), b))))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+  }
+
+  /** One BPE merge round: count weighted adjacent pairs, pick the
+    * (cnt DESC, pair ASC) argmax, apply the merge to every symbol
+    * string. Returns (next syms frame, this round's 1-row merge table).
+    *
+    * The merge application is the classic space-doubling trick (the
+    * same left-to-right non-overlapping semantics as the original BPE
+    * reference loop, without regex lookarounds DuckDB's RE2 lacks):
+    * double every separator so each adjacent pair owns a private
+    * delimiter, literal-replace " a  b " with " ab ", then collapse
+    * runs of spaces. `replace` scans left-to-right and resumes AFTER
+    * the substitution on both engines, which is exactly BPE's greedy
+    * non-overlapping merge order.
+    */
+  private def bpeRound(syms: DataFrame, iter: Int): (DataFrame, DataFrame) = {
+    val best = pairRows(syms)
+      .orderBy(col("cnt").desc, col("pair").asc).limit(1)
+      .select(col("pair").as("bp"), col("cnt").as("bcnt"))
+    val doubled = concat(lit(" "), replace(col("sym"), lit(" "), lit("  ")), lit(" "))
+    val pat = concat(lit(" "), replace(col("bp"), lit(" "), lit("  ")), lit(" "))
+    val rep = concat(lit(" "), replace(col("bp"), lit(" "), lit("")), lit(" "))
+    val next = syms.crossJoin(broadcast(best))
+      .withColumn("sym", trim(regexp_replace(replace(doubled, pat, rep), " +", " ")))
+      .select("word", "freq", "sym")
+    val merges = best.select(
+      lit(iter.toLong).as("iter"),
+      col("bp").as("pair"),
+      replace(col("bp"), lit(" "), lit("")).as("new_sym"),
+      col("bcnt").as("cnt"))
+    (next, merges)
+  }
+
+  /** DuckDB mirror of one BPE round, as three CTEs. Kept textually
+    * parallel to [[bpeRound]] — one definition, two renderings. */
+  private def bpeRoundSql(i: Int): String = {
+    s"""pairs$i AS (
+       |  SELECT pair, sum(freq) AS cnt
+       |  FROM (SELECT freq,
+       |          unnest(list_transform(range(1, len(string_split(sym, ' '))),
+       |            j -> string_split(sym, ' ')[j] || ' ' || string_split(sym, ' ')[j+1])) AS pair
+       |        FROM syms$i)
+       |  GROUP BY pair),
+       |best$i AS (
+       |  SELECT pair AS bp, cnt AS bcnt FROM pairs$i
+       |  ORDER BY cnt DESC, pair ASC LIMIT 1),
+       |syms${i + 1} AS (
+       |  SELECT word, freq,
+       |    trim(regexp_replace(
+       |      replace(' ' || replace(sym, ' ', '  ') || ' ',
+       |              ' ' || replace(bp, ' ', '  ') || ' ',
+       |              ' ' || replace(bp, ' ', '') || ' '),
+       |      ' +', ' ', 'g')) AS sym
+       |  FROM syms$i CROSS JOIN best$i)""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // BPE merge training (Sennrich, Haddow & Birch, ACL 2016 — "Neural
+    // Machine Translation of Rare Words with Subword Units"): build the
+    // word-frequency table, explode each word into characters, then
+    // greedily merge the most frequent adjacent symbol pair for
+    // `bpeRounds` unrolled iterations. Output = the learned merge table
+    // (iteration, pair, merged symbol, weighted count) — the artifact a
+    // tokenizer ships.
+    //
+    // Scale shape: this is the textbook reduce-to-vocab pattern. The
+    // ONLY corpus-scaled work is the initial token count (map-side
+    // combined groupBy whose output is the vocabulary, Heaps-law
+    // sublinear in corpus size). Every merge iteration — pair counting,
+    // argmax, merge application — runs over the VOCAB frame, weighted
+    // by stored frequencies; the corpus is never rescanned. The argmax
+    // plans as TakeOrdered(1) (never a global sort) and broadcasts one
+    // row back onto the vocab; at petabyte scale each round's vocab
+    // frame would be checkpointed like the PageRank edge list, but its
+    // size is vocab-bounded either way.
+    //
+    // Determinism: weighted counts are exact BIGINTs; the merge pick
+    // tie-breaks (cnt DESC, pair ASC); symbolization is the ASCII-only
+    // per-char regex (both regex engines agree per code point on
+    // [a-z]); the space-doubling literal replace has identical
+    // left-to-right semantics on both engines.
+    QueryDef("q_text_bpe_train",
+      (s, d) => {
+        val words = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(col("word").rlike("^[a-z]+$"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+        var syms = words.withColumn("sym",
+          trim(regexp_replace(col("word"), "(.)", "$1 ")))
+        val merged = (0 until bpeRounds).map { i =>
+          val (next, m) = bpeRound(syms, i + 1)
+          syms = next
+          m
+        }
+        merged.reduce(_.unionAll(_)).orderBy("iter")
+      },
+      s"""WITH words AS (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE regexp_full_match(word, '[a-z]+')
+         |  GROUP BY word),
+         |syms0 AS (
+         |  SELECT word, cnt AS freq,
+         |    trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+         |  FROM words),
+         |${(0 until bpeRounds).map(bpeRoundSql).mkString(",\n")}
+         |${(0 until bpeRounds).map(i =>
+              s"SELECT ${i + 1}::BIGINT AS iter, bp AS pair, " +
+              s"replace(bp, ' ', '') AS new_sym, bcnt AS cnt FROM best$i")
+              .mkString("\nUNION ALL\n")}
+         |ORDER BY iter""".stripMargin),
+
+    // Market-basket pair mining: distinct (order, part) baskets, all
+    // within-order part pairs oriented p1 < p2, scored by support
+    // (co-occurrence fraction of baskets) and lift (observed co-rate
+    // over the independence expectation) — the association-rule
+    // primitive (Agrawal & Srikant, VLDB 1994) behind "frequently
+    // bought together" candidate generation.
+    //
+    // Scale shape: the pair expansion is per-basket C(n,2) with n the
+    // basket's line count — bounded by basket size (TPC-H ≤ 7; a
+    // real pipeline caps outlier baskets with the per-bucket-cap
+    // idiom before expanding). Pair counting and the per-part basket
+    // counts are map-side-combined groupBys; the part-count attach
+    // joins a part-dim-bounded frame (broadcast here; shuffle-hash
+    // once a part dim outgrows broadcast), and the basket total is a
+    // single broadcast row. Ratios are single IEEE divisions of exact
+    // BIGINTs; top-20 plans as TakeOrdered.
+    QueryDef("q_basket_pairs",
+      (s, d) => {
+        val b = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val pairs = b.as("b1").join(b.as("b2"),
+            col("b1.l_orderkey") === col("b2.l_orderkey") &&
+              col("b1.l_partkey") < col("b2.l_partkey"))
+          .groupBy(col("b1.l_partkey").as("p1"), col("b2.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("n12"))
+        val partN = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        val total = b.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+        pairs
+          .join(broadcast(partN.select(col("l_partkey").as("p1"), col("n").as("n1"))), "p1")
+          .join(broadcast(partN.select(col("l_partkey").as("p2"), col("n").as("n2"))), "p2")
+          .crossJoin(broadcast(total))
+          .select(col("p1"), col("p2"), col("n12"),
+            (col("n12").cast("double") / col("n_baskets").cast("double")).as("support"),
+            ((col("n12") * col("n_baskets")).cast("double") /
+              (col("n1") * col("n2")).cast("double")).as("lift"))
+          .orderBy(col("n12").desc, col("p1").asc, col("p2").asc)
+          .limit(20)
+      },
+      """WITH b AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pairs AS (
+        |  SELECT b1.l_partkey AS p1, b2.l_partkey AS p2, count(*) AS n12
+        |  FROM b b1 JOIN b b2
+        |    ON b1.l_orderkey = b2.l_orderkey AND b1.l_partkey < b2.l_partkey
+        |  GROUP BY 1, 2),
+        |pn AS (SELECT l_partkey, count(*) AS n FROM b GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT l_orderkey) AS n_baskets FROM b)
+        |SELECT p1, p2, n12,
+        |  n12::DOUBLE / n_baskets::DOUBLE AS support,
+        |  (n12 * n_baskets)::DOUBLE / (n1 * n2)::DOUBLE AS lift
+        |FROM pairs
+        |  JOIN (SELECT l_partkey AS p1, n AS n1 FROM pn) USING (p1)
+        |  JOIN (SELECT l_partkey AS p2, n AS n2 FROM pn) USING (p2)
+        |  CROSS JOIN tot
+        |ORDER BY n12 DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin),
+  )
+}

@@ -1,0 +1,278 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-9 warehouse-maintenance batch: full CDC apply (inserts +
+  * updates + DELETE tombstones under sequence order), snapshot diff
+  * (the table-compare behind reconciliation and replication audits),
+  * and a Deequ-style data-quality constraint suite. Together with
+  * q_merge_upsert / q_upsert_latest / q_events_scd2 these complete the
+  * table-maintenance story a lakehouse pipeline runs around the
+  * analytics itself.
+  *
+  * All inputs are staged deterministically from `orders`/`lineitem` by
+  * key arithmetic (the AlbFixture build-then-process pattern), so both
+  * engines derive bit-identical change feeds and the driver hash-check
+  * is meaningful.
+  */
+object WarehouseOps {
+
+  /** Shared CDC changelog staging (Spark-side scaladoc = the contract;
+    * the SQL mirror below is line-for-line parallel):
+    *   - key % 7 == 0 → seq 1 UPDATE (price + 10)
+    *   - key % 21 == 0 → ALSO seq 2 UPDATE (price + 20) — multi-change
+    *     keys prove latest-seq-wins ordering
+    *   - key % 7 == 3 → seq 1 DELETE tombstone
+    *   - key % 7 == 5 → seq 1 INSERT of a brand-new key (key + 10^7)
+    */
+  private val cdcSql =
+    """ch AS (
+      |  SELECT o_orderkey AS k, 1::BIGINT AS seq, 'U' AS op,
+      |         o_custkey, o_orderstatus, o_totalprice + 10.0 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', o_custkey, o_orderstatus, o_totalprice + 20.0
+      |  FROM orders WHERE o_orderkey % 21 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 1, 'D', NULL, NULL, NULL
+      |  FROM orders WHERE o_orderkey % 7 = 3
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, 1, 'I', o_custkey, 'N', o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 5)""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Full CDC MERGE: apply a changelog carrying inserts, whole-row
+    // updates AND delete tombstones to a snapshot, latest sequence
+    // number winning per key — the Debezium/Delta `MERGE` semantics
+    // q_merge_upsert (no deletes) and q_upsert_latest (no base
+    // snapshot) each cover half of.
+    //
+    // Scale shape: changelog compaction is the q_upsert_latest
+    // max_by-struct partial aggregate (map-side combine; one row per
+    // key reaches the reducer), then ONE full-outer shuffle join on the
+    // key applies it to the snapshot — the minimal-shuffle MERGE plan.
+    // Tombstones survive compaction (a delete must beat an older
+    // update) and drop the row at merge time; nothing rescans either
+    // input twice.
+    //
+    // Determinism: seq is unique per key by construction, so
+    // max_by(..., seq) and the oracle's row_number pick the same row;
+    // money math stays in doubles only through +10/+20 (exact: TPC-H
+    // prices are 2-decimal values well inside IEEE range).
+    QueryDef("q_merge_cdc",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val upd = o.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey").as("k"), lit(1L).as("seq"), lit("U").as("op"),
+            col("o_custkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 10.0).as("o_totalprice"))
+        val upd2 = o.filter(col("o_orderkey") % 21 === 0)
+          .select(col("o_orderkey").as("k"), lit(2L).as("seq"), lit("U").as("op"),
+            col("o_custkey"), col("o_orderstatus"),
+            (col("o_totalprice") + 20.0).as("o_totalprice"))
+        val del = o.filter(col("o_orderkey") % 7 === 3)
+          .select(col("o_orderkey").as("k"), lit(1L).as("seq"), lit("D").as("op"),
+            lit(null).cast("long").as("o_custkey"),
+            lit(null).cast("string").as("o_orderstatus"),
+            lit(null).cast("double").as("o_totalprice"))
+        val ins = o.filter(col("o_orderkey") % 7 === 5)
+          .select((col("o_orderkey") + 10000000L).as("k"), lit(1L).as("seq"),
+            lit("I").as("op"), col("o_custkey"), lit("N").as("o_orderstatus"),
+            col("o_totalprice"))
+        val latest = upd.unionAll(upd2).unionAll(del).unionAll(ins)
+          .groupBy("k")
+          .agg(max_by(struct(col("op"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice")), col("seq")).as("c"))
+          .select(col("k"), col("c.op").as("op"), col("c.o_custkey").as("c_custkey"),
+            col("c.o_orderstatus").as("c_status"), col("c.o_totalprice").as("c_price"))
+        val snap = o.select(col("o_orderkey").as("k"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        snap.join(latest, Seq("k"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("k").as("o_orderkey"),
+            when(col("op").isNotNull, col("c_custkey"))
+              .otherwise(col("o_custkey")).as("o_custkey"),
+            when(col("op").isNotNull, col("c_status"))
+              .otherwise(col("o_orderstatus")).as("o_orderstatus"),
+            when(col("op").isNotNull, col("c_price"))
+              .otherwise(col("o_totalprice")).as("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      s"""WITH $cdcSql,
+         |latest AS (
+         |  SELECT k, op, o_custkey AS c_custkey, o_orderstatus AS c_status,
+         |         o_totalprice AS c_price
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+         |        FROM ch)
+         |  WHERE rn = 1),
+         |snap AS (SELECT o_orderkey AS k, o_custkey, o_orderstatus, o_totalprice
+         |         FROM orders)
+         |SELECT k AS o_orderkey,
+         |  CASE WHEN op IS NOT NULL THEN c_custkey ELSE o_custkey END AS o_custkey,
+         |  CASE WHEN op IS NOT NULL THEN c_status ELSE o_orderstatus END AS o_orderstatus,
+         |  CASE WHEN op IS NOT NULL THEN c_price ELSE o_totalprice END AS o_totalprice
+         |FROM snap FULL OUTER JOIN latest USING (k)
+         |WHERE op IS NULL OR op <> 'D'
+         |ORDER BY o_orderkey""".stripMargin),
+
+    // Snapshot diff: row-level compare of two table versions — the
+    // reconciliation/replication-audit primitive (and the read side of
+    // incremental view maintenance). Old = orders minus the keys
+    // "added later" (% 13), new = orders minus the keys "removed"
+    // (% 17) with % 5 keys repriced; output only the added / removed /
+    // changed rows.
+    //
+    // Scale shape: ONE full-outer shuffle join on the key; the change
+    // predicate is a null-safe column compare (no row serialization,
+    // no md5-of-concat — string-rendering doubles is engine-dependent
+    // and banned by the repo's determinism rules). Unchanged rows (the
+    // overwhelming majority at scale) are filtered before any
+    // downstream work. A bucketed/z-ordered layout makes the join
+    // co-located; the residual is codegen'd.
+    QueryDef("q_snapshot_diff",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val old = o.filter(col("o_orderkey") % 13 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("old_status"),
+            col("o_totalprice").as("old_price"))
+        val neu = o.filter(col("o_orderkey") % 17 =!= 0)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("new_status"),
+            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")).as("new_price"))
+        old.join(neu, Seq("k"), "full_outer")
+          .withColumn("status",
+            when(col("old_price").isNull, "added")
+              .when(col("new_price").isNull, "removed")
+              .when(!(col("old_price") <=> col("new_price")) ||
+                !(col("old_status") <=> col("new_status")), "changed")
+              .otherwise("unchanged"))
+          .filter(col("status") =!= "unchanged")
+          .select(col("k").as("o_orderkey"), col("status"),
+            col("old_price"), col("new_price"))
+          .orderBy("o_orderkey")
+      },
+      """WITH old AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS old_status,
+        |         o_totalprice AS old_price
+        |  FROM orders WHERE o_orderkey % 13 <> 0),
+        |neu AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS new_status,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderkey % 17 <> 0),
+        |j AS (
+        |  SELECT k, old_status, old_price, new_status, new_price,
+        |    CASE WHEN old_price IS NULL THEN 'added'
+        |         WHEN new_price IS NULL THEN 'removed'
+        |         WHEN old_price IS DISTINCT FROM new_price
+        |           OR old_status IS DISTINCT FROM new_status THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old FULL OUTER JOIN neu USING (k))
+        |SELECT k AS o_orderkey, status, old_price, new_price
+        |FROM j WHERE status <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Data-quality constraint suite (the Deequ/Great-Expectations
+    // shape): validate a deliberately-dirtied staging of orders +
+    // lineitem against five declared constraints — column completeness,
+    // key uniqueness, numeric range, value domain, and referential
+    // integrity — and emit the (check, metric, passed) report a
+    // pipeline gates promotion on. Violations are INJECTED by key
+    // arithmetic (%97 nulls, %89 negative prices, %101 bad status,
+    // %61 duplicated keys, %53 orphaned FKs) so the report exercises
+    // both pass and fail paths and both engines stage identical dirt.
+    //
+    // Scale shape: all four orders-side metrics come from ONE
+    // conditional-aggregation pass over one scan (count/countDistinct
+    // partial-aggregate; the distinct expands to the standard two-stage
+    // plan); the FK check is one left-semi join (bloom-prunable, the
+    // q_dedup_incremental runtime-filter pattern) plus a count. The
+    // report assembly cross-joins three 1-row frames — no corpus-scaled
+    // shuffle beyond the semi join. Metrics are single IEEE divisions
+    // of exact BIGINTs; `passed` is total (never null).
+    QueryDef("q_quality_constraints",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          when(col("o_orderkey") % 61 === 0, lit(999999L))
+            .otherwise(col("o_orderkey")).as("k"),
+          when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("ck"),
+          when(col("o_orderkey") % 89 === 0, lit(-1.0))
+            .otherwise(col("o_totalprice")).as("price"),
+          when(col("o_orderkey") % 101 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("st"))
+        val om = o.agg(
+          count(lit(1)).as("o_total"),
+          count(col("ck")).as("o_ck_nn"),
+          countDistinct(col("k")).as("o_k_distinct"),
+          sum(when(col("price") >= 0.0 && col("price") <= 1000000.0, 1L)
+            .otherwise(0L)).as("o_price_ok"),
+          sum(when(col("st").isin("O", "F", "P"), 1L).otherwise(0L)).as("o_st_ok"))
+        val l = Tables.lineitem(s, d).select(
+          when(col("l_orderkey") % 53 === 0, -col("l_orderkey"))
+            .otherwise(col("l_orderkey")).as("fk"))
+        val lm = l.agg(count(lit(1)).as("l_total"))
+        val lmatch = l.join(Tables.orders(s, d).select(col("o_orderkey").as("fk")),
+            Seq("fk"), "left_semi")
+          .agg(count(lit(1)).as("l_matched"))
+        def frac(n: org.apache.spark.sql.Column, dn: org.apache.spark.sql.Column) =
+          n.cast("double") / dn.cast("double")
+        om.crossJoin(lm).crossJoin(lmatch)
+          .select(explode(array(
+            struct(lit("completeness_custkey").as("check"),
+              frac(col("o_ck_nn"), col("o_total")).as("metric"),
+              lit(0.99).as("threshold")),
+            struct(lit("uniqueness_orderkey").as("check"),
+              frac(col("o_k_distinct"), col("o_total")).as("metric"),
+              lit(1.0).as("threshold")),
+            struct(lit("range_totalprice").as("check"),
+              frac(col("o_price_ok"), col("o_total")).as("metric"),
+              lit(0.98).as("threshold")),
+            struct(lit("domain_orderstatus").as("check"),
+              frac(col("o_st_ok"), col("o_total")).as("metric"),
+              lit(0.98).as("threshold")),
+            struct(lit("fk_lineitem_orderkey").as("check"),
+              frac(col("l_matched"), col("l_total")).as("metric"),
+              lit(0.99).as("threshold")))).as("r"))
+          .select(col("r.check").as("check"), col("r.metric").as("metric"),
+            (col("r.metric") >= col("r.threshold")).as("passed"))
+          .orderBy("check")
+      },
+      """WITH o AS (
+        |  SELECT CASE WHEN o_orderkey % 61 = 0 THEN 999999 ELSE o_orderkey END AS k,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS ck,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN -1.0 ELSE o_totalprice END AS price,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN 'X' ELSE o_orderstatus END AS st
+        |  FROM orders),
+        |om AS (
+        |  SELECT count(*) AS o_total, count(ck) AS o_ck_nn,
+        |    count(DISTINCT k) AS o_k_distinct,
+        |    sum(CASE WHEN price >= 0.0 AND price <= 1000000.0 THEN 1 ELSE 0 END) AS o_price_ok,
+        |    sum(CASE WHEN st IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS o_st_ok
+        |  FROM o),
+        |l AS (
+        |  SELECT CASE WHEN l_orderkey % 53 = 0 THEN -l_orderkey
+        |              ELSE l_orderkey END AS fk
+        |  FROM lineitem),
+        |lm AS (SELECT count(*) AS l_total FROM l),
+        |lx AS (SELECT count(*) AS l_matched FROM l
+        |       WHERE fk IN (SELECT o_orderkey FROM orders)),
+        |checks AS (
+        |  SELECT 'completeness_custkey' AS "check", o_ck_nn::DOUBLE / o_total::DOUBLE AS metric,
+        |         0.99 AS threshold FROM om
+        |  UNION ALL
+        |  SELECT 'uniqueness_orderkey', o_k_distinct::DOUBLE / o_total::DOUBLE, 1.0 FROM om
+        |  UNION ALL
+        |  SELECT 'range_totalprice', o_price_ok::DOUBLE / o_total::DOUBLE, 0.98 FROM om
+        |  UNION ALL
+        |  SELECT 'domain_orderstatus', o_st_ok::DOUBLE / o_total::DOUBLE, 0.98 FROM om
+        |  UNION ALL
+        |  SELECT 'fk_lineitem_orderkey', l_matched::DOUBLE / l_total::DOUBLE, 0.99
+        |  FROM lm CROSS JOIN lx)
+        |SELECT "check", metric, metric >= threshold AS passed
+        |FROM checks ORDER BY "check"""".stripMargin),
+  )
+}

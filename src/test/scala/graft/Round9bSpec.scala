@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for the round-9 late batch (BPE training, basket
+  * mining, CDC merge, snapshot diff, quality constraints, concurrency,
+  * engagement) — each checked against an INDEPENDENT driver-side
+  * reference recomputation on the live sf0.001 corpus, the contracts
+  * the driver's hash gate can't express. */
+class Round9bSpec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // ---- reference BPE (straightforward list-based implementation) ----
+
+  private def refBpe(words: Map[String, Long], rounds: Int): Seq[(String, Long)] = {
+    var syms: Map[Vector[String], Long] =
+      words.groupMapReduce { case (w, _) => w.toVector.map(_.toString) }(_._2)(_ + _)
+    (1 to rounds).map { _ =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      syms.foreach { case (s, f) =>
+        s.indices.dropRight(1).foreach { i =>
+          counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+        }
+      }
+      val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, s"$x $y") }
+      syms = syms.groupMapReduce { case (s, _) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < s.length) {
+          if (i < s.length - 1 && s(i) == a && s(i + 1) == b) { out += a + b; i += 2 }
+          else { out += s(i); i += 1 }
+        }
+        out.result()
+      }(_._2)(_ + _)
+      (s"$a $b", cnt)
+    }
+  }
+
+  test("q_text_bpe_train matches a reference BPE implementation merge-for-merge") {
+    val words = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy("word").count().collect()
+      .map(r => r.getAs[String]("word") -> r.getAs[Long]("count")).toMap
+    val expected = refBpe(words, 3)
+    val got = run("q_text_bpe_train").collect()
+      .sortBy(_.getAs[Long]("iter"))
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("cnt")))
+      .toSeq
+    assert(got == expected, s"got $got, expected $expected")
+    // merged symbol is the pair's concatenation
+    run("q_text_bpe_train").collect().foreach { r =>
+      assert(r.getAs[String]("new_sym") == r.getAs[String]("pair").replace(" ", ""))
+    }
+  }
+
+  test("q_basket_pairs scores oriented pairs with brute-force support and lift") {
+    val baskets = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nBaskets = byOrder.size.toLong
+    val partN = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairN = scala.collection.mutable.Map[(Long, Long), Long]()
+    byOrder.values.foreach { parts =>
+      val ps = parts.toSeq.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        pairN((ps(i), ps(j))) = pairN.getOrElse((ps(i), ps(j)), 0L) + 1
+    }
+    val rows = run("q_basket_pairs").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (p1, p2) = (r.getAs[Long]("p1"), r.getAs[Long]("p2"))
+      assert(p1 < p2, "pair not oriented")
+      val n12 = r.getAs[Long]("n12")
+      assert(n12 == pairN((p1, p2)))
+      assert(r.getAs[Double]("support") == n12.toDouble / nBaskets.toDouble)
+      assert(r.getAs[Double]("lift") ==
+        (n12 * nBaskets).toDouble / (partN(p1) * partN(p2)).toDouble)
+    }
+    // top-20 really is the count-descending head of the full pair set
+    val minShown = rows.map(_.getAs[Long]("n12")).min
+    assert(pairN.count { case (_, c) => c > minShown } <= rows.length)
+  }
+
+  test("q_merge_cdc applies latest-seq updates, drops tombstones, adds inserts") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val merged = run("q_merge_cdc").collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    val expectedCount = orders.size - orders.keys.count(_ % 7 == 3) +
+      orders.keys.count(_ % 7 == 5)
+    assert(merged.size == expectedCount)
+    orders.foreach { case (k, price) =>
+      if (k % 7 == 3) assert(!merged.contains(k), s"tombstoned key $k survived")
+      else if (k % 21 == 0)
+        assert(merged(k).getAs[Double]("o_totalprice") == price + 20.0,
+          s"key $k missed the seq-2 update")
+      else if (k % 7 == 0)
+        assert(merged(k).getAs[Double]("o_totalprice") == price + 10.0)
+      else assert(merged(k).getAs[Double]("o_totalprice") == price)
+      if (k % 7 == 5) {
+        val ins = merged(k + 10000000L)
+        assert(ins.getAs[String]("o_orderstatus") == "N" &&
+          ins.getAs[Double]("o_totalprice") == price)
+      }
+    }
+  }
+
+  test("q_snapshot_diff labels added/removed/changed by the staging arithmetic") {
+    val keys = Tables.orders(spark, sf).select("o_orderkey").collect().map(_.getLong(0))
+    val rows = run("q_snapshot_diff").collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[String]("status")).toMap
+    keys.foreach { k =>
+      val expected =
+        if (k % 13 == 0 && k % 17 != 0) Some("added")
+        else if (k % 17 == 0 && k % 13 != 0) Some("removed")
+        else if (k % 13 == 0 && k % 17 == 0) None // in neither snapshot
+        else if (k % 5 == 0) Some("changed")
+        else None
+      assert(rows.get(k) == expected, s"key $k: got ${rows.get(k)}, want $expected")
+    }
+  }
+
+  test("q_quality_constraints reports the injected violation fractions") {
+    val keys = Tables.orders(spark, sf).select("o_orderkey").collect().map(_.getLong(0))
+    val lkeys = Tables.lineitem(spark, sf).select("l_orderkey").collect().map(_.getLong(0))
+    val n = keys.length.toDouble
+    val rows = run("q_quality_constraints").collect()
+      .map(r => r.getAs[String]("check") ->
+        (r.getAs[Double]("metric"), r.getAs[Boolean]("passed"))).toMap
+    assert(rows.size == 5)
+    val completeness = keys.count(_ % 97 != 0) / n
+    assert(rows("completeness_custkey")._1 == completeness)
+    val distinct = keys.map(k => if (k % 61 == 0) 999999L else k).distinct.length / n
+    assert(rows("uniqueness_orderkey")._1 == distinct)
+    // staged fk is -k for %53 keys; -0 == 0 is still a live order key
+    val orderKeys = keys.toSet
+    val fk = lkeys.count(k => k % 53 != 0 || orderKeys.contains(-k)) /
+      lkeys.length.toDouble
+    assert(rows("fk_lineitem_orderkey")._1 == fk)
+    // thresholds gate as declared
+    assert(rows("completeness_custkey")._2 == (completeness >= 0.99))
+    assert(rows("uniqueness_orderkey")._2 == (distinct >= 1.0))
+    assert(rows("fk_lineitem_orderkey")._2 == (fk >= 0.99))
+    // the suite must exercise both outcomes on this corpus
+    assert(rows.values.exists(_._2) && rows.values.exists(!_._2))
+  }
+
+  // ---- shared reference sessionizer (10-min gap, (tsm, event_id) order) ----
+
+  private def refSessions(): Seq[(Long, Long)] = { // (startMs, endMs)
+    Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("MILLISECOND", col("ts")).as("tsm"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("tsm").getTime))
+      .groupBy(_._1).values.flatMap { evs =>
+        val sorted = evs.sortBy(e => (e._3, e._2))
+        val spans = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        sorted.foreach { case (_, _, t) =>
+          if (spans.nonEmpty && t < spans.last._2 + 600000L)
+            spans(spans.length - 1) = (spans.last._1, t)
+          else spans += ((t, t))
+        }
+        spans
+      }.toSeq
+  }
+
+  test("q_events_concurrency matches hour-by-hour reference session overlap") {
+    val expected = refSessions()
+      .flatMap { case (st, en) =>
+        (st / 3600000L) to (en / 3600000L) map (_ * 3600000L)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run("q_events_concurrency").collect()
+      .map(r => r.getAs[java.sql.Timestamp]("h").getTime -> r.getAs[Long]("n_active"))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("q_events_engagement computes exact DAU/WAU with DAU <= WAU") {
+    val userDays = Tables.events(spark, sf)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("day").getTime))
+    val days = userDays.map(_._2).distinct.sorted
+    val rows = run("q_events_engagement").collect()
+    assert(rows.map(_.getAs[java.sql.Timestamp]("day").getTime).toSeq == days.toSeq)
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Timestamp]("day").getTime
+      val dau = userDays.count(_._2 == d).toLong
+      val wau = userDays.filter { case (_, ud) =>
+        ud <= d && ud >= d - 6L * 86400000L
+      }.map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau") == dau)
+      assert(r.getAs[Long]("wau") == wau, s"day $d")
+      assert(dau <= wau)
+      assert(r.getAs[Double]("stickiness") == dau.toDouble / wau.toDouble)
+    }
+  }
+}
