@@ -375,4 +375,48 @@ class PlanSpec extends SparkSpec {
     assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 2,
       "both adjacency lookups should be broadcast hash joins")
   }
+
+  test("q_text_bpe_train picks each merge via TakeOrdered, never a global sort") {
+    // The scale claim: the per-round argmax is TakeOrdered(1) over the
+    // vocab-bounded pair frame. A refactor to orderBy().limit() that
+    // loses the fusion would plan a full SortExec over the pair counts.
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val top = collectAll(planOf("q_text_bpe_train")) {
+      case t: TakeOrderedAndProjectExec => t
+    }
+    assert(top.size >= 3, s"expected one TakeOrdered per merge round, got ${top.size}")
+  }
+
+  test("q_basket_pairs attaches part counts by broadcast and takes top-20 as TakeOrdered") {
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    val plan = planOf("q_basket_pairs")
+    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 2,
+      "both part-count attachments should be broadcast hash joins")
+    assert(collectAll(plan) { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
+      "top-20 should plan as TakeOrdered, not sort+limit")
+  }
+
+  test("q_merge_cdc applies the changelog through exactly one full-outer join") {
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = planOf("q_merge_cdc")
+    val fullOuter = collectAll(plan) {
+      case j: SortMergeJoinExec if j.joinType == FullOuter => j
+      case j: ShuffledHashJoinExec if j.joinType == FullOuter => j
+    }
+    assert(fullOuter.size == 1, s"expected one full-outer merge join, got ${fullOuter.size}")
+    // compaction must stay a partial aggregate, never a row_number window
+    assert(collectAll(plan) { case w: WindowExec => w }.isEmpty,
+      "changelog compaction regressed to a window sort")
+  }
+
+  test("q_quality_constraints checks referential integrity via one semi join") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec}
+    val semis = collectAll(planOf("q_quality_constraints")) {
+      case j: BaseJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(semis.size == 1, s"expected exactly one left-semi FK probe, got ${semis.size}")
+  }
 }
