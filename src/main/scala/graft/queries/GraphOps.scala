@@ -223,5 +223,73 @@ object GraphOps {
                                       AND b IN (SELECT n FROM k3))
          SELECT node::BIGINT AS node, count(*)::BIGINT AS degree
          FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3) f
-         GROUP BY 1 ORDER BY node"""))
+         GROUP BY 1 ORDER BY node"""),
+
+    // 3-round multi-source BFS over the co-order part graph: hop
+    // distance from the seed set (part keys ≡ 0 mod 100) — the
+    // reachability/radius primitive behind "N hops from a flagged
+    // node" fraud and spam sweeps, and the frontier-expansion shape
+    // label propagation shares. Unreached nodes simply don't appear
+    // (a null distance would also be driver-unverifiable).
+    //
+    // Scale shape (the pregel family contract): per round, ONE join of
+    // the distance frame to the edge list on src plus one
+    // map-side-combined min per dst; the merged frame groupBy(node)
+    // min keeps state at O(reached nodes) ints. Integer min is exact
+    // and order-independent, so the unrolled-CTE oracle hash-matches.
+    // The edge list checkpoints once; each round's frame checkpoints
+    // lazily to truncate lineage (the PageRank/kcore pattern). The
+    // round count is fixed (bounded-hop sweeps are the production
+    // shape; an unbounded BFS would loop until the frontier empties,
+    // same per-round plan).
+    QueryDef("q_graph_bfs",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val pairs = li.as("x").join(li.as("y"),
+            expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .distinct()
+        val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+          .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+          .localCheckpoint(eager = false)
+        val nodes = li.select(col("l_partkey").as("node")).distinct()
+        var dist = nodes.filter(col("node") % 100 === 0)
+          .withColumn("dist", lit(0L))
+        for (_ <- 1 to 3) {
+          val next = edges
+            .join(dist.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+          dist = dist.unionAll(next)
+            .groupBy("node").agg(min("dist").as("dist"))
+            .localCheckpoint(eager = false)
+        }
+        dist.select(col("node").cast("long").as("node"),
+            col("dist").cast("long").as("dist"))
+          .orderBy("node")
+      },
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                   FROM li x JOIN li y
+                   ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION ALL SELECT b, a FROM pairs),
+         d0 AS (SELECT DISTINCT l_partkey AS node, 0::BIGINT AS dist
+                FROM li WHERE l_partkey % 100 = 0),
+         d1 AS (SELECT node, min(dist) AS dist FROM (
+                  SELECT node, dist FROM d0
+                  UNION ALL
+                  SELECT e.dst, d.dist + 1 FROM edges e JOIN d0 d ON e.src = d.node)
+                GROUP BY 1),
+         d2 AS (SELECT node, min(dist) AS dist FROM (
+                  SELECT node, dist FROM d1
+                  UNION ALL
+                  SELECT e.dst, d.dist + 1 FROM edges e JOIN d1 d ON e.src = d.node)
+                GROUP BY 1),
+         d3 AS (SELECT node, min(dist) AS dist FROM (
+                  SELECT node, dist FROM d2
+                  UNION ALL
+                  SELECT e.dst, d.dist + 1 FROM edges e JOIN d2 d ON e.src = d.node)
+                GROUP BY 1)
+         SELECT node::BIGINT AS node, dist::BIGINT AS dist
+         FROM d3 ORDER BY node"""))
 }

@@ -202,5 +202,59 @@ object LlmOps8 {
         |  JOIN (SELECT l_partkey AS p2, n AS n2 FROM pn) USING (p2)
         |  CROSS JOIN tot
         |ORDER BY n12 DESC, p1 ASC, p2 ASC LIMIT 20""".stripMargin),
+
+    // Audio-shaped multimodal processing: fixed-width PCM framing with
+    // per-frame RMS energy and a silence flag — the VAD / silence-trim
+    // front end of every speech-data pipeline (frame energy decides
+    // what is worth sending to an ASR model). The "decode" is the
+    // repo's deterministic fake (chars as centered samples, space = 0 —
+    // the container ships no audio codec; the multimodal contract is
+    // that the FRAMING/aggregation plumbing is real), same stance as
+    // q_multimodal_features' pseudo-byte histogram.
+    //
+    // Scale shape: framing is PARTITION-LOCAL — one projection builds
+    // the per-frame struct list (each frame's sum-of-squares via
+    // `aggregate` over a 64-sample slice; total work O(samples) per
+    // row) and one explode emits samples/64 rows; no per-sample
+    // explode, no (doc, frame)-keyed shuffle at all — the only
+    // exchange in the plan is the output sort. Energy is an exact
+    // BIGINT sum of squares; rms = sqrt(ss/n) is two IEEE ops on
+    // exact ints, bit-equal on both engines; the silence flag is total.
+    QueryDef("q_multimodal_audio",
+      (s, d) => {
+        val codes = transform(split(col("text"), ""),
+          c => (ascii(c) - 32).cast("long"))
+        val base = Tables.documents(s, d).select(
+          col("doc_id"), length(col("text")).cast("long").as("n"),
+          inline(array(struct(codes.as("codes")))))
+        val nFrames = ((col("n") + 63L) / lit(64L)).cast("long")
+        val ns = least(lit(64L), col("n") - col("idx") * 64L)
+        val rms = sqrt(col("ss").cast("double") / col("n_samples").cast("double"))
+        base
+          .select(col("doc_id"), col("n"), col("codes"),
+            explode(sequence(lit(0L), nFrames - 1L)).as("idx"))
+          .select(col("doc_id"), col("idx").as("frame"),
+            ns.as("n_samples"),
+            aggregate(slice(col("codes"), (col("idx") * 64L + 1L).cast("int"), ns.cast("int")),
+              lit(0L), (a, x) => a + x * x).as("ss"))
+          .select(col("doc_id"), col("frame"), col("n_samples"), col("ss"),
+            rms.as("rms"), (rms < 68.0).as("is_silence"))
+          .orderBy("doc_id", "frame")
+      },
+      """WITH c AS (SELECT doc_id, length(text) AS n, text FROM documents),
+        |f AS (SELECT doc_id, n, text, unnest(range(0, (n + 63) // 64)) AS idx
+        |      FROM c),
+        |s AS (SELECT doc_id, idx AS frame,
+        |        least(64, n - idx * 64)::BIGINT AS n_samples,
+        |        list_reduce(list_prepend(0::BIGINT,
+        |          list_transform(range(idx*64 + 1, idx*64 + least(64, n - idx*64) + 1),
+        |            i -> ((ascii(substring(text, i, 1)) - 32)::BIGINT
+        |                  * (ascii(substring(text, i, 1)) - 32)::BIGINT))),
+        |          (a, b) -> a + b) AS ss
+        |      FROM f)
+        |SELECT doc_id, frame::BIGINT AS frame, n_samples, ss,
+        |  sqrt(ss::DOUBLE / n_samples::DOUBLE) AS rms,
+        |  sqrt(ss::DOUBLE / n_samples::DOUBLE) < 68.0 AS is_silence
+        |FROM s ORDER BY doc_id, frame""".stripMargin),
   )
 }

@@ -182,6 +182,87 @@ class Round9bSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q_customer_rfm grades against the population quartiles, not ntile") {
+    val rows = run("q_customer_rfm").collect()
+    assert(rows.nonEmpty)
+    def quartiles(vs: Array[Long]): (Double, Double, Double) = {
+      val s = vs.sorted
+      def q(p: Double): Double = {
+        val pos = p * (s.length - 1)
+        val lo = s(pos.toInt).toDouble
+        val hi = s(math.min(pos.toInt + 1, s.length - 1)).toDouble
+        lo + (pos - pos.toInt) * (hi - lo)
+      }
+      (q(0.25), q(0.5), q(0.75))
+    }
+    def grade(v: Long, q: (Double, Double, Double)): Long =
+      1L + (if (v > q._1) 1 else 0) + (if (v > q._2) 1 else 0) + (if (v > q._3) 1 else 0)
+    val rq = quartiles(rows.map(_.getAs[Long]("rdays")))
+    val fq = quartiles(rows.map(_.getAs[Long]("frequency")))
+    val mq = quartiles(rows.map(_.getAs[Long]("monetary_cents")))
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"),
+        r.getAs[Long]("m_score"))
+      assert(rs == grade(r.getAs[Long]("rdays"), rq))
+      assert(fs == grade(r.getAs[Long]("frequency"), fq))
+      assert(ms == grade(r.getAs[Long]("monetary_cents"), mq))
+      assert(r.getAs[String]("segment") == s"$rs$fs$ms")
+    }
+    // every dimension populates more than one grade on this corpus
+    assert(rows.map(_.getAs[Long]("m_score")).distinct.length >= 3)
+  }
+
+  test("q_graph_bfs matches reference multi-source hop distances") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    li.groupBy(_._1).values.foreach { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b)
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+    }
+    val nodes = li.map(_._2).distinct
+    var dist = nodes.filter(_ % 100 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val next = dist.toSeq.flatMap { case (n, dd) =>
+        adj.getOrElse(n, Set.empty).map(_ -> (dd + 1))
+      }
+      dist = (dist.toSeq ++ next).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val got = run("q_graph_bfs").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("dist")).toMap
+    assert(got == dist)
+    assert(got.values.toSet.size >= 2, "expected multiple hop distances")
+  }
+
+  test("q_multimodal_audio tiles frames exactly and recomputes energy per char") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = run("q_multimodal_audio").collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == texts.keySet)
+    byDoc.foreach { case (id, frames) =>
+      val text = texts(id)
+      // frames tile the sample stream without gap or overlap
+      assert(frames.map(_.getAs[Long]("n_samples")).sum == text.length.toLong)
+      assert(frames.map(_.getAs[Long]("frame")).sorted.toSeq ==
+        (0L until frames.length.toLong))
+      frames.foreach { f =>
+        val start = f.getAs[Long]("frame").toInt * 64
+        val ss = text.slice(start, start + 64)
+          .map(c => { val v = (c - 32).toLong; v * v }).sum
+        assert(f.getAs[Long]("ss") == ss, s"doc $id frame ${f.getAs[Long]("frame")}")
+        val rms = math.sqrt(ss.toDouble / f.getAs[Long]("n_samples").toDouble)
+        assert(f.getAs[Double]("rms") == rms)
+        assert(f.getAs[Boolean]("is_silence") == (rms < 68.0))
+      }
+    }
+    // the threshold actually separates classes on this corpus
+    assert(rows.exists(_.getAs[Boolean]("is_silence")) &&
+      rows.exists(!_.getAs[Boolean]("is_silence")))
+  }
+
   test("q_events_engagement computes exact DAU/WAU with DAU <= WAU") {
     val userDays = Tables.events(spark, sf)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
