@@ -62,4 +62,41 @@ class PartitionedWriteSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("joins on the partition column get dynamic partition pruning") {
+    // The 100 TB star-join contract: when the partition key is only
+    // constrained THROUGH a dimension join (no literal predicate on the
+    // fact), Catalyst must inject a dynamicpruning subquery so the scan
+    // still prunes at file-listing time — a fact scan that reads every
+    // partition because the filter sits on the dim side is exactly the
+    // plan that dies at scale.
+    val dir = java.nio.file.Files.createTempDirectory("evdpp").toString
+    Tables.events(spark, sf)
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim must be a real source (a LocalRelation folds its filter away
+    // and leaves no selective predicate for the PartitionPruning rule)
+    val dimDir = java.nio.file.Files.createTempDirectory("evdim").toString
+    spark.createDataFrame(Seq(
+        ("click", 1), ("view", 2), ("purchase", 3), ("error", 4)))
+      .toDF("event_type", "type_id")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+      .filter(col("type_id") === 1) // selective filter on the DIM only
+    val joined = fact.join(dim, "event_type")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scansOf(p: SparkPlan): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      }.flatten
+    val scans = scansOf(joined.queryExecution.executedPlan)
+    val factScan = scans.find(_.metadata("Location").contains("evdpp")).get
+    assert(factScan.partitionFilters.exists(_.toString.contains("dynamicpruning")),
+      s"expected a dynamicpruning partition filter, got ${factScan.partitionFilters}")
+    // and the pruned result equals the literal-predicate plan
+    val expected = fact.filter(col("event_type") === "click").count()
+    assert(joined.count() == expected)
+  }
 }
