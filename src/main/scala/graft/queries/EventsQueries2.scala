@@ -130,5 +130,58 @@ object EventsQueries2 {
         |  dau::DOUBLE / wau::DOUBLE AS stickiness
         |FROM dau JOIN wau USING (day)
         |ORDER BY day""".stripMargin),
+
+    // Time-weighted average value per user — the correct mean for
+    // irregular observations (IoT gauges, account balances, prices):
+    // each reading's value holds until the NEXT reading, so it weighs
+    // by its holding interval. The arithmetic mean over-weights bursts;
+    // TWA is what billing/risk systems actually need.
+    //
+    // Determinism: holding intervals are exact epoch-ms BIGINTs from
+    // the lead() chain under the pinned (ms-truncated ts, event_id)
+    // order; values clamp to DECIMAL(18,2) first (the repo's dsum
+    // idiom), so weight sums are EXACT decimal arithmetic on both
+    // engines and the final TWA is a single double division. The last
+    // reading per user has no holding interval and contributes no
+    // weight (standard left-closed convention).
+    //
+    // Scale shape: one user-keyed sort carries the lead() chain, one
+    // partial-aggregated groupBy collapses to a row per user — the
+    // same single-exchange shape as the sessionizer.
+    QueryDef("q_events_twa",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            date_trunc("MILLISECOND", col("ts")).as("tsm"),
+            col("value").cast("decimal(18,2)").as("v"))
+          .withColumn("dt_ms",
+            (unix_millis(lead("tsm", 1).over(w)) - unix_millis(col("tsm"))))
+          .filter(col("dt_ms").isNotNull)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum("dt_ms").as("total_ms"),
+            sum(col("v") * col("dt_ms")).as("wsum"))
+          .select(col("user_id"), col("n_intervals"), col("total_ms"),
+            (col("wsum").cast("double") / col("total_ms").cast("double"))
+              .as("twa_value"))
+          .orderBy("user_id")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, date_trunc('milliseconds', ts) AS tsm,
+        |    value::DECIMAL(18,2) AS v
+        |  FROM events),
+        |iv AS (
+        |  SELECT user_id, v,
+        |    epoch_ms(lead(tsm) OVER w) - epoch_ms(tsm) AS dt_ms
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+        |g AS (
+        |  SELECT user_id, count(*) AS n_intervals, sum(dt_ms) AS total_ms,
+        |    sum(v * dt_ms) AS wsum
+        |  FROM iv WHERE dt_ms IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT user_id, n_intervals, total_ms,
+        |  wsum::DOUBLE / total_ms::DOUBLE AS twa_value
+        |FROM g ORDER BY user_id""".stripMargin),
   )
 }

@@ -291,5 +291,66 @@ object GraphOps {
                   SELECT e.dst, d.dist + 1 FROM edges e JOIN d2 d ON e.src = d.node)
                 GROUP BY 1)
          SELECT node::BIGINT AS node, dist::BIGINT AS dist
-         FROM d3 ORDER BY node"""))
+         FROM d3 ORDER BY node"""),
+
+    // Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003):
+    // score non-adjacent part pairs by how many CAPPED common
+    // neighbors they share, top-20 — the candidate generator behind
+    // "you may also like" edges and graph-completion heuristics.
+    //
+    // The declared contract (the capped-LSH pattern dedup uses): each
+    // middle node contributes pairs only among its 16 smallest-id
+    // neighbors. Uncapped wedge enumeration is C(deg,2) per node —
+    // quadratic in the hottest degree, the celebrity blow-up the
+    // triangle rewrite dodged via orientation; orientation is NOT
+    // available here because a pair's common-neighbor count needs ALL
+    // its wedges, not one canonical one. The cap bounds per-node work
+    // at C(16,2) while keeping every pair of well-connected nodes
+    // visible through SOME early neighbor — approximate by contract,
+    // deterministic by id order, and mirrored exactly in the oracle.
+    //
+    // Scale shape: the cap plans as WindowGroupLimit below the
+    // neighbor shuffle; pair counting is a map-side-combined groupBy
+    // on (a, b) keys; the existing-edge exclusion is one anti join on
+    // the same key shape; top-20 = TakeOrdered.
+    QueryDef("q_graph_neighbors",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        val pairs = li.as("x").join(li.as("y"),
+            expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+          .distinct()
+        val adj = pairs.select(col("a").as("node"), col("b").as("nbr"))
+          .unionAll(pairs.select(col("b").as("node"), col("a").as("nbr")))
+        val w = Window.partitionBy("node").orderBy("nbr")
+        val capped = adj.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 16).select("node", "nbr")
+        val cand = capped.as("x").join(capped.as("y"),
+            expr("x.node = y.node AND x.nbr < y.nbr"))
+          .groupBy(col("x.nbr").as("a"), col("y.nbr").as("b"))
+          .agg(count(lit(1)).as("common"))
+        cand.join(pairs, Seq("a", "b"), "left_anti")
+          .orderBy(col("common").desc, col("a").asc, col("b").asc)
+          .limit(20)
+      },
+      """WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+         pairs AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                   FROM li x JOIN li y
+                   ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         adj AS (SELECT a AS node, b AS nbr FROM pairs
+                 UNION ALL SELECT b, a FROM pairs),
+         capped AS (SELECT node, nbr FROM (
+                      SELECT node, nbr,
+                        row_number() OVER (PARTITION BY node ORDER BY nbr) AS rn
+                      FROM adj)
+                    WHERE rn <= 16),
+         cand AS (SELECT x.nbr AS a, y.nbr AS b, count(*) AS common
+                  FROM capped x JOIN capped y
+                  ON x.node = y.node AND x.nbr < y.nbr
+                  GROUP BY 1, 2)
+         SELECT a, b, common FROM cand
+         WHERE NOT EXISTS (SELECT 1 FROM pairs p
+                           WHERE p.a = cand.a AND p.b = cand.b)
+         ORDER BY common DESC, a ASC, b ASC LIMIT 20"""))
 }

@@ -256,5 +256,48 @@ object LlmOps8 {
         |  sqrt(ss::DOUBLE / n_samples::DOUBLE) AS rms,
         |  sqrt(ss::DOUBLE / n_samples::DOUBLE) < 68.0 AS is_silence
         |FROM s ORDER BY doc_id, frame""".stripMargin),
+
+    // Feature hashing ("the hashing trick", Weinberger et al. 2009):
+    // bag-of-words folded into a fixed 64-bucket sparse vector per
+    // document via the repo's mirrorable 60-bit md5 — the
+    // vocabulary-free vectorization every large-scale linear/GBDT
+    // baseline uses (no vocab build pass, no OOV problem, bounded
+    // width). Output = doc_id, active bucket count, L1 mass, and the
+    // sparse "bucket:count" CSV in bucket order.
+    //
+    // Scale shape: explode → one (doc_id, bucket)-keyed map-side
+    // combined groupBy → one doc_id-keyed aggregation; both shuffles
+    // carry short keys and pre-combined counts, and the vector width
+    // is a constant — no vocabulary state anywhere (that absence IS
+    // the operator). The CSV render is an array_sort over ≤ 64
+    // entries per doc.
+    QueryDef("q_text_hashfeatures",
+      (s, d) => {
+        val bucket = (conv(substring(md5(col("word").cast("binary")), 1, 15),
+          16, 10).cast("long") % 64).as("bucket")
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .select(col("doc_id"), bucket)
+          .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_active"),
+            sum("cnt").as("l1_mass"),
+            concat_ws(";", transform(
+              array_sort(collect_list(struct(col("bucket"), col("cnt")))),
+              e => concat(e.getField("bucket"), lit(":"), e.getField("cnt"))))
+              .as("features_csv"))
+          .orderBy("doc_id")
+      },
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substring(md5(word), 1, 15))::BIGINT % 64 AS bucket,
+        |    count(*) AS cnt
+        |  FROM w GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS n_active, sum(cnt) AS l1_mass,
+        |  string_agg(bucket::VARCHAR || ':' || cnt::VARCHAR, ';'
+        |    ORDER BY bucket) AS features_csv
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
   )
 }

@@ -394,5 +394,29 @@ object Relational3 {
           .orderBy("o_orderkey")
       },
       None),
+
+    // Mergeable-sketch rollup: per-type HLL user sketches UNIONED into
+    // the all-types distinct count (hll_union_agg) — the property that
+    // makes sketch cubes work at 100 TB: distinct counts re-aggregate
+    // WITHOUT revisiting the data (a pre-aggregated daily sketch table
+    // rolls up to any coarser grain; exact distincts cannot). The
+    // per-type sketch pass is the only corpus-scaled work; the union
+    // runs over |types| sketch blobs. No SQL oracle (DuckDB has no
+    // datasketches mirror → rows-only); Round9bSpec pins every estimate
+    // == exact on this domain (sparse-mode HLL is exact there) and the
+    // rollup == the direct global sketch.
+    QueryDef("q_agg_hll_union",
+      (s, d) => {
+        val sk = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val per = sk.select(col("event_type"),
+          hll_sketch_estimate(col("sk")).as("n_users_est"))
+        val all = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .as("n_users_est"))
+          .select(lit("__all__").as("event_type"), col("n_users_est"))
+        per.unionAll(all).orderBy("event_type")
+      },
+      None),
   )
 }

@@ -29,6 +29,20 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Windowed distinct-user sketch: HLL per 1-hour window — the
+    * streaming half of the q_agg_hll_union mergeable-sketch story. The
+    * per-window state is ONE sketch (bounded at any user cardinality,
+    * where an exact streaming countDistinct would hold the full value
+    * set per open window); partial sketches merge across micro-batches
+    * exactly like map-side partials in batch, so append-mode results
+    * equal the batch aggregation bit-for-bit. */
+  def windowedUserSketch(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"))
+      .select(col("window.start").as("window_start"), col("approx_users"))
+
   /** Sliding (hopping) 1h/30min windows per event_type. */
   def sliding(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events

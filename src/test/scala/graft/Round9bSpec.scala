@@ -263,6 +263,104 @@ class Round9bSpec extends SparkSpec {
       rows.exists(!_.getAs[Boolean]("is_silence")))
   }
 
+  test("q_graph_neighbors scores capped common neighbors of non-edges") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = scala.collection.mutable.Map[Long, List[Long]]()
+    edges.foreach { case (a, b) =>
+      adj(a) = b :: adj.getOrElse(a, Nil)
+      adj(b) = a :: adj.getOrElse(b, Nil)
+    }
+    val counts = scala.collection.mutable.Map[(Long, Long), Long]()
+    adj.foreach { case (_, nbrs) =>
+      val capped = nbrs.sorted.take(16)
+      for (i <- capped.indices; j <- i + 1 until capped.length)
+        counts((capped(i), capped(j))) =
+          counts.getOrElse((capped(i), capped(j)), 0L) + 1
+    }
+    val nonEdge = counts.filterNot { case (p, _) => edges(p) }
+    val rows = run("q_graph_neighbors").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val p = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      assert(!edges(p), s"$p is an existing edge")
+      assert(r.getAs[Long]("common") == nonEdge(p), s"$p")
+    }
+    val minShown = rows.map(_.getAs[Long]("common")).min
+    assert(nonEdge.count { case (_, c) => c > minShown } <= 20,
+      "top-20 must be the true head of the candidate scores")
+  }
+
+  test("q_text_hashfeatures folds words into 64 buckets with exact counts") {
+    def bucket(word: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(word.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = run("q_text_hashfeatures").collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == texts.keySet)
+    rows.foreach { r =>
+      val words = texts(r.getAs[Long]("doc_id")).split(" ")
+      val expected = words.groupBy(bucket).view
+        .mapValues(_.length.toLong).toMap
+      assert(r.getAs[Long]("n_active") == expected.size.toLong)
+      assert(r.getAs[Long]("l1_mass") == words.length.toLong)
+      val csv = expected.toSeq.sortBy(_._1)
+        .map { case (b, c) => s"$b:$c" }.mkString(";")
+      assert(r.getAs[String]("features_csv") == csv)
+    }
+  }
+
+  test("q_events_twa equals the interval-weighted reference mean") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        date_trunc("MILLISECOND", col("ts")).as("tsm"), col("value"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("tsm").getTime, r.getAs[Double]("value")))
+    val rows = run("q_events_twa").collect()
+    val byUser = rows.map(r => r.getAs[Long]("user_id") -> r).toMap
+    evs.groupBy(_._1).foreach { case (uid, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      if (sorted.length < 2) assert(!byUser.contains(uid))
+      else {
+        val ivs = sorted.zip(sorted.tail).map { case (a, b) =>
+          val v = BigDecimal(a._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          (b._3 - a._3, v)
+        }
+        val r = byUser(uid)
+        assert(r.getAs[Long]("n_intervals") == ivs.length.toLong)
+        val totalMs = ivs.map(_._1).sum
+        assert(r.getAs[Long]("total_ms") == totalMs)
+        val wsum = ivs.map { case (dt, v) => v * BigDecimal(dt) }.sum
+        assert(r.getAs[Double]("twa_value") ==
+          wsum.toDouble / totalMs.toDouble, s"user $uid")
+      }
+    }
+  }
+
+  test("q_agg_hll_union rolls sketches up to the exact distinct counts") {
+    val events = Tables.events(spark, sf)
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+    val rows = run("q_agg_hll_union").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users_est")).toMap
+    // sparse-mode HLL is exact at this cardinality: per-type estimates
+    // and the unioned rollup must equal the true distincts
+    events.groupBy(_._1).foreach { case (t, es) =>
+      assert(rows(t) == es.map(_._2).distinct.length.toLong, s"type $t")
+    }
+    assert(rows("__all__") == events.map(_._2).distinct.length.toLong)
+    assert(rows.size == events.map(_._1).distinct.length + 1)
+  }
+
   test("q_events_engagement computes exact DAU/WAU with DAU <= WAU") {
     val userDays = Tables.events(spark, sf)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))

@@ -42,6 +42,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("windowed HLL user sketch: streaming (append) == batch == exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.windowedUserSketch(mem.toDF(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("sketch_out")
+      .outputMode("append").start()
+    // two micro-batches so per-window sketches must MERGE across batches
+    val (a, b) = evs.splitAt(50)
+    mem.addData(a); q.processAllAvailable()
+    mem.addData(b); q.processAllAvailable()
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("sketch_out")
+      .filter(col("window_start") < java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      .orderBy("window_start").collect().toSeq
+    val batch = EventStreams.windowedUserSketch(evs.toDF())
+      .orderBy("window_start").collect().toSeq
+    assert(streamed == batch)
+    // sparse-mode sketches are exact on this 3-user domain
+    val exact = evs.toDF()
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .select(col("window.start").as("ws"), col("n"))
+      .orderBy("ws").collect().toSeq
+    assert(streamed.map(r => (r.getTimestamp(0), r.getLong(1))) ==
+      exact.map(r => (r.getTimestamp(0), r.getLong(1))))
+  }
+
   test("watermark drops late data in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
