@@ -405,6 +405,41 @@ object Relational3 {
     // datasketches mirror → rows-only); Round9bSpec pins every estimate
     // == exact on this domain (sparse-mode HLL is exact there) and the
     // rollup == the direct global sketch.
+    // Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoopExec): walk
+    // the synthetic key-division forest (child k → parent k div 10,
+    // roots k < 10) to its roots, emitting (key, root, depth) — the
+    // hierarchy/transitive-closure query BOM explosions, org charts,
+    // and category trees need, running through the SQL FRONTEND rather
+    // than the repo's hand-unrolled iteration (q_graph_bfs /
+    // q_dedup_cluster show the DataFrame-loop equivalent; this pins
+    // the declarative form Spark now plans natively).
+    //
+    // Scale shape: each UnionLoop iteration is one equi-join of the
+    // remaining children against the previous frontier on the parent
+    // key — the same per-round join/shuffle profile as the unrolled
+    // loops, with depth bounded by log10(keyspace). Termination is
+    // structural (every key strictly shrinks under div 10), no cycle
+    // risk; integer arithmetic end to end.
+    QueryDef("q_sql_recursive",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_rec")
+        s.sql("""
+          WITH RECURSIVE anc(key, root, depth) AS (
+            SELECT o_orderkey, o_orderkey, 0L FROM orders_rec WHERE o_orderkey < 10
+            UNION ALL
+            SELECT c.o_orderkey, a.root, a.depth + 1L
+            FROM orders_rec c JOIN anc a ON c.o_orderkey div 10 = a.key
+            WHERE c.o_orderkey >= 10)
+          SELECT key, root, depth FROM anc ORDER BY key""")
+      },
+      """WITH RECURSIVE anc(key, root, depth) AS (
+        |  SELECT o_orderkey, o_orderkey, 0::BIGINT FROM orders WHERE o_orderkey < 10
+        |  UNION ALL
+        |  SELECT c.o_orderkey, a.root, a.depth + 1
+        |  FROM orders c JOIN anc a ON c.o_orderkey // 10 = a.key
+        |  WHERE c.o_orderkey >= 10)
+        |SELECT key, root, depth FROM anc ORDER BY key""".stripMargin),
+
     QueryDef("q_agg_hll_union",
       (s, d) => {
         val sk = Tables.events(s, d)

@@ -19,6 +19,30 @@ import graft.Tables
   */
 object WarehouseOps {
 
+  /** Shared snapshot staging for q_snapshot_diff / q_agg_incremental:
+    * old = orders minus the %13 keys ("added later"), new = orders
+    * minus the %17 keys ("removed") with %5 keys repriced (+1.0). One
+    * definition, Spark and SQL renderings kept textually parallel. */
+  private def oldFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).filter(col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("old_status"),
+        col("o_totalprice").as("old_price"))
+  private def neuFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.orders(s, d).filter(col("o_orderkey") % 17 =!= 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("new_status"),
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("new_price"))
+  private val snapSql =
+    """old AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS old_status,
+      |         o_totalprice AS old_price
+      |  FROM orders WHERE o_orderkey % 13 <> 0),
+      |neu AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS new_status,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+      |         ELSE o_totalprice END AS new_price
+      |  FROM orders WHERE o_orderkey % 17 <> 0)""".stripMargin
+
   /** Shared CDC changelog staging (Spark-side scaladoc = the contract;
     * the SQL mirror below is line-for-line parallel):
     *   - key % 7 == 0 → seq 1 UPDATE (price + 10)
@@ -134,15 +158,7 @@ object WarehouseOps {
     // co-located; the residual is codegen'd.
     QueryDef("q_snapshot_diff",
       (s, d) => {
-        val o = Tables.orders(s, d)
-        val old = o.filter(col("o_orderkey") % 13 =!= 0)
-          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("old_status"),
-            col("o_totalprice").as("old_price"))
-        val neu = o.filter(col("o_orderkey") % 17 =!= 0)
-          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("new_status"),
-            when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
-              .otherwise(col("o_totalprice")).as("new_price"))
-        old.join(neu, Seq("k"), "full_outer")
+        oldFrame(s, d).join(neuFrame(s, d), Seq("k"), "full_outer")
           .withColumn("status",
             when(col("old_price").isNull, "added")
               .when(col("new_price").isNull, "removed")
@@ -154,15 +170,7 @@ object WarehouseOps {
             col("old_price"), col("new_price"))
           .orderBy("o_orderkey")
       },
-      """WITH old AS (
-        |  SELECT o_orderkey AS k, o_orderstatus AS old_status,
-        |         o_totalprice AS old_price
-        |  FROM orders WHERE o_orderkey % 13 <> 0),
-        |neu AS (
-        |  SELECT o_orderkey AS k, o_orderstatus AS new_status,
-        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
-        |         ELSE o_totalprice END AS new_price
-        |  FROM orders WHERE o_orderkey % 17 <> 0),
+      s"""WITH $snapSql,
         |j AS (
         |  SELECT k, old_status, old_price, new_status, new_price,
         |    CASE WHEN old_price IS NULL THEN 'added'
@@ -350,5 +358,57 @@ object WarehouseOps {
         |  r_score, f_score, m_score,
         |  r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
         |FROM sc ORDER BY o_custkey""".stripMargin),
+
+    // Incremental view maintenance: apply the q_snapshot_diff change
+    // sliver as ±deltas to the OLD pre-aggregate (count + exact cents
+    // per status) instead of rescanning the new snapshot — the IVM
+    // step behind materialized-view refresh and streaming upsert
+    // sinks. THE ORACLE IS THE PROOF: the Spark side computes the
+    // delta-maintained aggregate, the DuckDB side aggregates the new
+    // snapshot DIRECTLY — the driver's hash equality is exactly the
+    // maintained == recomputed theorem.
+    //
+    // Scale shape: the unchanged majority is touched ONCE (in the old
+    // pre-aggregate, which a real pipeline has stored; here it is
+    // rebuilt for self-containment) — the delta path reads only the
+    // diff join's changed sliver, contributes -old/+new rows grouped
+    // by status (group-bounded frames), and merges with one
+    // full-outer join on the tiny group key. Counts and cents are
+    // exact BIGINTs, so delta application is associative and
+    // order-free — the property IVM needs.
+    QueryDef("q_agg_incremental",
+      (s, d) => {
+        val cents = (c: org.apache.spark.sql.Column) =>
+          floor(c * 100 + 0.5).cast("long")
+        val diff = oldFrame(s, d).join(neuFrame(s, d), Seq("k"), "full_outer")
+          .filter(col("old_price").isNull || col("new_price").isNull ||
+            !(col("old_price") <=> col("new_price")) ||
+            !(col("old_status") <=> col("new_status")))
+        val minus = diff.filter(col("old_price").isNotNull)
+          .groupBy(col("old_status").as("o_orderstatus"))
+          .agg((-count(lit(1))).as("dn"), (-sum(cents(col("old_price")))).as("dc"))
+        val plus = diff.filter(col("new_price").isNotNull)
+          .groupBy(col("new_status").as("o_orderstatus"))
+          .agg(count(lit(1)).as("dn"), sum(cents(col("new_price"))).as("dc"))
+        val delta = minus.unionAll(plus)
+          .groupBy("o_orderstatus").agg(sum("dn").as("dn"), sum("dc").as("dc"))
+        val oldAgg = oldFrame(s, d)
+          .groupBy(col("old_status").as("o_orderstatus"))
+          .agg(count(lit(1)).as("n0"), sum(cents(col("old_price"))).as("c0"))
+        oldAgg.join(delta, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_orders"),
+            (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .as("total_cents"))
+          .filter(col("n_orders") > 0)
+          .orderBy("o_orderstatus")
+      },
+      // the DIRECT aggregate of the new snapshot — hash equality with
+      // the Spark side's delta-maintained aggregate is the IVM proof
+      s"""WITH $snapSql
+        |SELECT new_status AS o_orderstatus, count(*) AS n_orders,
+        |  sum(floor(new_price * 100 + 0.5)::BIGINT) AS total_cents
+        |FROM neu GROUP BY 1 ORDER BY 1""".stripMargin),
   )
 }

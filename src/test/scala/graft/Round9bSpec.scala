@@ -346,6 +346,55 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  test("q_agg_incremental delta-maintenance equals the direct recompute") {
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    // direct aggregate of the staged NEW snapshot
+    val direct = orders.filter(_._1 % 17 != 0)
+      .map { case (k, st, p) =>
+        val price = if (k % 5 == 0) p + 1.0 else p
+        (st, math.floor(price * 100 + 0.5).toLong)
+      }
+      .groupBy(_._1).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val got = run("q_agg_incremental").collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Long]("n_orders"), r.getAs[Long]("total_cents"))).toMap
+    assert(got == direct)
+  }
+
+  test("q_sql_recursive walks every key to its forest root at digit depth") {
+    val keys = Tables.orders(spark, sf).select("o_orderkey").collect()
+      .map(_.getLong(0)).toSet
+    val rows = run("q_sql_recursive").collect()
+      .map(r => r.getAs[Long]("key") ->
+        (r.getAs[Long]("root"), r.getAs[Long]("depth"))).toMap
+    // reference walk: repeated div-10 while every intermediate exists
+    keys.foreach { k =>
+      var (cur, depth) = (k, 0L)
+      var alive = true
+      while (alive && cur >= 10) {
+        if (keys.contains(cur / 10)) { cur /= 10; depth += 1 }
+        else alive = false
+      }
+      if (alive) assert(rows(k) == (cur, depth), s"key $k")
+      else assert(!rows.contains(k), s"orphan chain $k should be absent")
+    }
+    assert(rows.size == keys.count { k =>
+      Iterator.iterate(k)(_ / 10).takeWhile(_ >= 10).forall(c => keys.contains(c / 10))
+    })
+    // and it really executes through the native recursive operator
+    import org.apache.spark.sql.execution.{SparkPlan, UnionLoopExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def loops(p: SparkPlan): Seq[UnionLoopExec] = p.collect {
+      case u: UnionLoopExec => Seq(u)
+      case a: AdaptiveSparkPlanExec => loops(a.executedPlan)
+    }.flatten
+    assert(loops(run("q_sql_recursive").queryExecution.executedPlan).nonEmpty,
+      "expected UnionLoopExec in the recursive plan")
+  }
+
   test("q_agg_hll_union rolls sketches up to the exact distinct counts") {
     val events = Tables.events(spark, sf)
       .select("event_type", "user_id").collect()
