@@ -340,5 +340,75 @@ FROM k ORDER BY doc_id, chunk_idx"""),
   FROM embeddings)
 SELECT vec_id, norm,
   list_transform(embedding, x -> x::DOUBLE / norm) AS unit
-FROM n ORDER BY vec_id"""))
+FROM n ORDER BY vec_id"""),
+
+    // Per-dimension standardization (z-score feature scaling) — the
+    // preprocessing step distance-based ML (k-means, kNN, linear
+    // models) needs when dimensions carry different scales: corpus
+    // mean/std per lane, then z = (v - mean)/std per element.
+    //
+    // Determinism (the kmeans fixed-point discipline): lanes quantize
+    // to 1e-8 BIGINTs (`floor(v·1e8 + 0.5)` — half-up via floor, no
+    // round() tie ambiguity); per-dim Σv is an exact BIGINT sum and
+    // Σv² sums exact 1e-16-scale products as DECIMAL(38,0) (the
+    // product fits i64, only the sum would overflow); mean/std/z then
+    // read those exact integers through ONE shared IEEE expression
+    // tree, so the output arrays hash-match elementwise. The z output
+    // standardizes the QUANTIZED value — exact on both engines, and
+    // 1e-8 is far below float32 input precision anyway.
+    //
+    // Scale shape: the stats pass is one posexplode + map-side-combined
+    // groupBy(dim) whose output is DIMS rows; the application pass is
+    // map-only — the 32-row stats frame collapses to a dim-ordered
+    // array broadcast via crossJoin, and each vector standardizes by
+    // positional zip_with. No corpus-scaled lane shuffle on the apply
+    // side (the q_emb_quantize shape).
+    QueryDef("q_emb_standardize",
+      (s, d) => {
+        val vfx = floor(col("v").cast("double") * lit(1e8) + lit(0.5)).cast("long")
+        val stats = Tables.embeddings(s, d)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .select(col("dim"), vfx.as("vfx"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n"), sum("vfx").as("s"),
+            sum((col("vfx") * col("vfx")).cast("decimal(38,0)")).as("ss"))
+        val mean = (col("s").cast("double") / col("n").cast("double")) / lit(1e8)
+        val varnum = col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n").cast("double")
+        val std = sqrt(varnum / (col("n") - 1L).cast("double")) / lit(1e8)
+        val statsArr = stats
+          .select(col("dim"), mean.as("mean"), std.as("sd"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("mean"), col("sd"))))
+            .as("sarr"))
+        Tables.embeddings(s, d).crossJoin(broadcast(statsArr))
+          .select(col("vec_id"),
+            zip_with(col("embedding"), col("sarr"), (v, st) =>
+              (floor(v.cast("double") * lit(1e8) + lit(0.5)) / lit(1e8) -
+                st.getField("mean")) / st.getField("sd")).as("zvec"))
+          .orderBy("vec_id")
+      },
+      """WITH lanes AS (
+        |  SELECT u.dim AS dim, u.vfx AS vfx FROM (
+        |    SELECT unnest(list_transform(range(1, len(embedding) + 1),
+        |      i -> {dim: i - 1,
+        |            vfx: floor(embedding[i]::DOUBLE * 100000000.0 + 0.5)::BIGINT})) AS u
+        |    FROM embeddings)),
+        |stats AS (
+        |  SELECT dim, count(*) AS n, sum(vfx) AS s,
+        |    sum((vfx * vfx)::DECIMAL(38,0)) AS ss
+        |  FROM lanes GROUP BY dim),
+        |ms AS (
+        |  SELECT dim,
+        |    (s::DOUBLE / n::DOUBLE) / 100000000.0 AS mean,
+        |    sqrt((ss::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+        |         / (n - 1)::DOUBLE) / 100000000.0 AS sd
+        |  FROM stats),
+        |sarr AS (
+        |  SELECT list({'mean': mean, 'sd': sd} ORDER BY dim) AS arr FROM ms)
+        |SELECT vec_id,
+        |  list_transform(range(1, len(embedding) + 1),
+        |    i -> (floor(embedding[i]::DOUBLE * 100000000.0 + 0.5) / 100000000.0
+        |          - arr[i].mean) / arr[i].sd) AS zvec
+        |FROM embeddings CROSS JOIN sarr
+        |ORDER BY vec_id""".stripMargin))
 }

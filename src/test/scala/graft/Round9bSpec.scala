@@ -346,6 +346,43 @@ class Round9bSpec extends SparkSpec {
     }
   }
 
+  test("q_emb_standardize matches the fixed-point z-score reference lane-for-lane") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val dims = vecs.head._2.length
+    val n = vecs.length.toLong
+    val zref = Array.tabulate(dims) { d =>
+      val fx = vecs.map { case (_, v) => math.floor(v(d).toDouble * 1e8 + 0.5).toLong }
+      val s = fx.sum // exact: |Σ| < 2^63 at this scale
+      val ss = fx.map(x => BigInt(x) * BigInt(x)).sum
+      val mean = (s.toDouble / n.toDouble) / 1e8
+      val varnum = ss.toDouble - s.toDouble * s.toDouble / n.toDouble
+      val sd = math.sqrt(varnum / (n - 1).toDouble) / 1e8
+      (mean, sd)
+    }
+    val rows = run("q_emb_standardize").collect()
+    assert(rows.length == vecs.length)
+    val byId = vecs.toMap
+    rows.foreach { r =>
+      val v = byId(r.getAs[Long]("vec_id"))
+      val z = r.getAs[scala.collection.Seq[Double]]("zvec")
+      assert(z.length == dims)
+      (0 until dims).foreach { d =>
+        val (mean, sd) = zref(d)
+        val expected = (math.floor(v(d).toDouble * 1e8 + 0.5) / 1e8 - mean) / sd
+        assert(z(d) == expected, s"vec ${r.getAs[Long]("vec_id")} dim $d")
+      }
+    }
+    // standardization did its job: per-dim z mean ~0 and std ~1
+    (0 until dims).foreach { d =>
+      val zs = rows.map(_.getAs[scala.collection.Seq[Double]]("zvec")(d))
+      val m = zs.sum / zs.length
+      val sd = math.sqrt(zs.map(x => (x - m) * (x - m)).sum / (zs.length - 1))
+      assert(math.abs(m) < 1e-9 && math.abs(sd - 1.0) < 1e-9, s"dim $d: $m, $sd")
+    }
+  }
+
   test("q_agg_incremental delta-maintenance equals the direct recompute") {
     val orders = Tables.orders(spark, sf)
       .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
