@@ -49,15 +49,21 @@ object LlmOps8 {
     * the substitution on both engines, which is exactly BPE's greedy
     * non-overlapping merge order.
     */
+  /** The merge application expression, exposed for PropertySpec's fuzz
+    * pin against the reference greedy left-to-right merge. */
+  private[graft] def mergeExpr(sym: Column, bp: Column): Column = {
+    val doubled = concat(lit(" "), replace(sym, lit(" "), lit("  ")), lit(" "))
+    val pat = concat(lit(" "), replace(bp, lit(" "), lit("  ")), lit(" "))
+    val rep = concat(lit(" "), replace(bp, lit(" "), lit("")), lit(" "))
+    trim(regexp_replace(replace(doubled, pat, rep), " +", " "))
+  }
+
   private def bpeRound(syms: DataFrame, iter: Int): (DataFrame, DataFrame) = {
     val best = pairRows(syms)
       .orderBy(col("cnt").desc, col("pair").asc).limit(1)
       .select(col("pair").as("bp"), col("cnt").as("bcnt"))
-    val doubled = concat(lit(" "), replace(col("sym"), lit(" "), lit("  ")), lit(" "))
-    val pat = concat(lit(" "), replace(col("bp"), lit(" "), lit("  ")), lit(" "))
-    val rep = concat(lit(" "), replace(col("bp"), lit(" "), lit("")), lit(" "))
     val next = syms.crossJoin(broadcast(best))
-      .withColumn("sym", trim(regexp_replace(replace(doubled, pat, rep), " +", " ")))
+      .withColumn("sym", mergeExpr(col("sym"), col("bp")))
       .select("word", "freq", "sym")
     val merges = best.select(
       lit(iter.toLong).as("iter"),

@@ -215,4 +215,42 @@ class PropertySpec extends SparkSpec {
       assert(hostOut == hostOut.toLowerCase, s"host case survived: '$c1'")
     }
   }
+
+  test("BPE space-doubling merge == reference greedy left-to-right merge") {
+    // q_text_bpe_train applies merges via `replace` on a space-doubled
+    // symbol string. The contract: identical to the canonical greedy
+    // non-overlapping left-to-right merge — including the adversarial
+    // shapes (consecutive occurrences "a b a b", self-pairs "a a a",
+    // pair straddles "b a b a b"). Fuzzed over random symbol strings
+    // from a 3-letter alphabet, every possible merge pair applied.
+    def refMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val rng = new scala.util.Random(9)
+    val cases = (1 to 300).map { _ =>
+      val syms = Vector.fill(1 + rng.nextInt(10))(("a" + rng.nextInt(3)).intern())
+      val pair = s"a${rng.nextInt(3)} a${rng.nextInt(3)}"
+      (syms.mkString(" "), pair)
+    } ++ Seq( // pinned adversarial shapes
+      ("a0 a1 a0 a1", "a0 a1"), ("a0 a0 a0", "a0 a0"),
+      ("a1 a0 a1 a0 a1", "a0 a1"), ("a0", "a0 a0"))
+    val df = cases.toDF("sym", "bp")
+    val got = df.withColumn("merged",
+        graft.queries.LlmOps8.mergeExpr(col("sym"), col("bp")))
+      .collect()
+    got.foreach { r =>
+      val Array(a, b) = r.getAs[String]("bp").split(" ")
+      val expected = refMerge(
+        r.getAs[String]("sym").split(" ").toVector, a, b).mkString(" ")
+      assert(r.getAs[String]("merged") == expected,
+        s"sym='${r.getAs[String]("sym")}' pair='${r.getAs[String]("bp")}'")
+    }
+  }
 }
