@@ -93,42 +93,42 @@ object EventsQueries2 {
     //
     // The WAU rewrite is contribution explode, not a range self-join:
     // each (user, day) activity row contributes to the 7 target days
-    // [day, day+6], distinct-per-(user, target) collapses multi-day
-    // users, and a count per target day is WAU. Everything is
-    // partial-aggregated groupBys on (user, day)-shaped short keys —
-    // the explode is a fixed ×7, never corpus², and the final join
-    // attaches DAU to WAU on the day-bounded frame. Target days with
-    // no activity of their own drop via the inner join (a day without
-    // events has no DAU row — and its WAU would mislead anyway).
+    // [day, day+6] with its offset carried along, and ONE aggregation
+    // computes both counts — WAU = countDistinct(user), DAU =
+    // countDistinct(user where offset = 0). Single events scan, one
+    // (user, day) distinct, a fixed ×7 explode, one Expand-planned
+    // two-distinct aggregate — no second scan, no dau⋈wau join (the
+    // first formulation read the corpus twice; `.explain` showed two
+    // parquet scans with no exchange reuse). Target days with no
+    // activity of their own (dau = 0) drop — a day without events has
+    // no DAU row, and its WAU would mislead anyway.
     QueryDef("q_events_engagement",
       (s, d) => {
         val ud = Tables.events(s, d)
           .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
           .distinct()
-        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
-        val wau = ud
-          .select(col("user_id"), explode(sequence(col("day"),
-            col("day") + expr("interval 6 days"), expr("interval 1 day"))).as("day"))
-          .distinct()
-          .groupBy("day").agg(count(lit(1)).as("wau"))
-        dau.join(wau, Seq("day"))
+        ud.select(col("user_id"), col("day"),
+            explode(sequence(lit(0), lit(6))).as("off"))
+          .groupBy((col("day") + col("off") * expr("interval 1 day")).as("day"))
+          .agg(countDistinct(when(col("off") === 0, col("user_id"))).as("dau"),
+            countDistinct(col("user_id")).as("wau"))
+          .filter(col("dau") > 0)
           .select(col("day"), col("dau"), col("wau"),
             (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
           .orderBy("day")
       },
       """WITH ud AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
-        |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
-        |wau AS (
-        |  SELECT day, count(*) AS wau FROM (
-        |    SELECT DISTINCT user_id, td AS day FROM (
-        |      SELECT user_id, unnest(generate_series(day, day + INTERVAL 6 DAY,
-        |               INTERVAL 1 DAY)) AS td
-        |      FROM ud))
-        |  GROUP BY 1)
+        |c AS (
+        |  SELECT user_id, day + to_days(off::INTEGER) AS day, off
+        |  FROM ud, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(off)),
+        |g AS (
+        |  SELECT day, count(DISTINCT CASE WHEN off = 0 THEN user_id END) AS dau,
+        |    count(DISTINCT user_id) AS wau
+        |  FROM c GROUP BY 1)
         |SELECT day::TIMESTAMP AS day, dau, wau,
         |  dau::DOUBLE / wau::DOUBLE AS stickiness
-        |FROM dau JOIN wau USING (day)
+        |FROM g WHERE dau > 0
         |ORDER BY day""".stripMargin),
 
     // Time-weighted average value per user — the correct mean for
