@@ -5,13 +5,14 @@ object SparkEntry {
   private def all: Seq[graft.queries.QueryDef] =
     graft.queries.EtlQueries.defs ++ graft.queries.Relational.defs ++
       graft.queries.Relational2.defs ++ graft.queries.Relational3.defs ++
-      graft.queries.Relational4.defs ++
+      graft.queries.Relational4.defs ++ graft.queries.TpchQueries.defs ++
       graft.queries.Functions.defs ++
       graft.queries.EventsQueries.defs ++ graft.queries.LlmOps.defs ++
       graft.queries.LlmOps2.defs ++ graft.queries.LlmOps3.defs ++
       graft.queries.LlmOps4.defs ++ graft.queries.LlmOps5.defs ++
       graft.queries.LlmOps6.defs ++ graft.queries.LlmOps7.defs ++
-      graft.queries.LlmOps8.defs ++ graft.queries.WarehouseOps.defs ++
+      graft.queries.LlmOps8.defs ++ graft.queries.LlmOps9.defs ++
+      graft.queries.WarehouseOps.defs ++
       graft.queries.EventsQueries2.defs ++
       graft.queries.GraphOps.defs
 

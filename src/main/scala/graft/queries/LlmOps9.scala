@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-9 additions, batch 2 — corpus statistics and fingerprinting:
+  * the full covariance/correlation matrix over the embedding column
+  * (the Gramian every PCA/whitening pipeline starts from), MOSS-style
+  * winnowing fingerprints (the classic robust local-minimum document
+  * fingerprint, cf. Schleimer/Wilkerson/Aiken SIGMOD'03), and WET-style
+  * HTML→text extraction (the first stage of every web-corpus pipeline).
+  *
+  * Determinism follows the house rules: floats quantize to BIGINT
+  * lanes before any aggregation (the q_emb_standardize discipline —
+  * but at 1e-4 here, not 1e-8: covariance SUMS cross products, and
+  * 1e-4 lanes keep every Σv·v and Σv·Σv term below 2^53, so each
+  * DECIMAL/BIGINT→DOUBLE read is exact on both engines; at 1e-8 the
+  * ~1e20 sums round differently in DuckDB's int128→double path),
+  * integer products sum as DECIMAL(38,0), hashes are md5-derived
+  * BIGINTs via the shared `conv(substring(md5(x),1,n),16,10)` ≡
+  * `('0x' || substring(md5(x),1,n))::BIGINT` bridge, and every final
+  * double is ONE shared IEEE expression over exact integers.
+  */
+object LlmOps9 {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Covariance + Pearson correlation matrix of the embedding lanes —
+    // upper triangle (i ≤ j), d(d+1)/2 = 2080 rows at d=64. The pair
+    // products are generated ROW-LOCALLY (nested transform + one
+    // explode): no self-join, no corpus-sized shuffle — partial
+    // aggregation combines each partition down to 2080 groups before
+    // the exchange, so the shuffle volume is #partitions × 2080
+    // regardless of N. That is the distributed Gramian X'X pattern;
+    // CPU is the irreducible N·d²/2 multiply-adds. Per-dim sums ride
+    // the small side and broadcast back twice for the mean/variance
+    // corrections.
+    QueryDef("q_emb_covariance",
+      (s, d) => {
+        val a = transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e4) + lit(0.5)).cast("long"))
+        val emb = Tables.embeddings(s, d).select(a.as("a"))
+        val pstats = emb
+          .select(explode(expr(
+            """flatten(transform(sequence(0, size(a)-1), i ->
+              |  transform(sequence(i, size(a)-1), j ->
+              |    named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+              |                 'p', a[i] * a[j]))))""".stripMargin)).as("t"))
+          .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+          .groupBy("i", "j")
+          .agg(sum(col("p").cast("decimal(38,0)")).as("spp"))
+        val dstats = emb
+          .select(posexplode(col("a")).as(Seq("dim", "v")))
+          .groupBy(col("dim").cast("long").as("dim"))
+          .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+            sum((col("v") * col("v")).cast("decimal(38,0)")).as("ssv"))
+          .select(col("dim"), col("n"), col("sv"),
+            (col("ssv").cast("double") -
+              col("sv").cast("double") * col("sv").cast("double") /
+                col("n").cast("double")).as("varnum"))
+        val di = dstats.select(col("dim").as("di"), col("n"),
+          col("sv").as("si"), col("varnum").as("vi"))
+        val dj = dstats.select(col("dim").as("dj"),
+          col("sv").as("sj"), col("varnum").as("vj"))
+        val covnum = col("spp").cast("double") -
+          col("si").cast("double") * col("sj").cast("double") /
+            col("n").cast("double")
+        pstats
+          .join(broadcast(di), col("i") === col("di"))
+          .join(broadcast(dj), col("j") === col("dj"))
+          .select(col("i"), col("j"),
+            (covnum / (col("n") - 1L).cast("double") / lit(1e8)).as("cov"),
+            (covnum / sqrt(col("vi") * col("vj"))).as("corr"))
+          .orderBy("i", "j")
+      },
+      """WITH lanes AS (
+        |  SELECT list_transform(embedding,
+        |    x -> floor(x::DOUBLE * 1e4 + 0.5)::BIGINT) AS a
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT u.i AS i, u.j AS j, u.p AS p FROM (
+        |    SELECT unnest(flatten(list_transform(range(len(a)), i ->
+        |      list_transform(range(i, len(a)), j ->
+        |        {i: i, j: j, p: a[i+1] * a[j+1]})))) AS u
+        |    FROM lanes)),
+        |pstats AS (
+        |  SELECT i, j, sum(p::DECIMAL(38,0)) AS spp
+        |  FROM pairs GROUP BY i, j),
+        |dims AS (
+        |  SELECT u.dim AS dim, u.v AS v FROM (
+        |    SELECT unnest(list_transform(range(len(a)),
+        |      i -> {dim: i, v: a[i+1]})) AS u
+        |    FROM lanes)),
+        |dstats AS (
+        |  SELECT dim, count(*) AS n, sum(v) AS sv,
+        |    (sum((v*v)::DECIMAL(38,0))::DOUBLE
+        |      - sum(v)::DOUBLE * sum(v)::DOUBLE / count(*)::DOUBLE) AS varnum
+        |  FROM dims GROUP BY dim)
+        |SELECT i, j,
+        |  (spp::DOUBLE - di.sv::DOUBLE * dj.sv::DOUBLE / di.n::DOUBLE)
+        |    / (di.n - 1)::DOUBLE / 1e8 AS cov,
+        |  (spp::DOUBLE - di.sv::DOUBLE * dj.sv::DOUBLE / di.n::DOUBLE)
+        |    / sqrt(di.varnum * dj.varnum) AS corr
+        |FROM pstats
+        |  JOIN dstats di ON i = di.dim
+        |  JOIN dstats dj ON j = dj.dim
+        |ORDER BY i, j""".stripMargin),
+
+    // Winnowing fingerprints (SIGMOD'03): 8-char k-gram hashes, window
+    // w=4, rightmost-minimum selection — the guarantee is every match
+    // of length ≥ k+w−1 shares a fingerprint, with ~2/(w+1) density.
+    // The rightmost-min-per-window argmin is ONE aggregation, not a
+    // window-sort: (hash, position) packs into a single BIGINT key
+    // `h·2048 + (2047 − pos)` whose MIN is exactly (min hash, max pos)
+    // — so the whole selection is two map-side-combined groupBys
+    // (doc×window → key, then doc×pos dedup), shuffling only
+    // fingerprint-density rows. Per-doc summary output keeps the
+    // verified surface N-rows-proportional, not fingerprint-
+    // proportional; text capped at 1 KiB per doc (curation-pipeline
+    // convention for fingerprinting).
+    QueryDef("q_text_winnowing",
+      (s, d) => {
+        val k = 8; val w = 4
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 1024).as("txt"))
+          .select(col("doc_id"), col("txt"),
+            (length(col("txt")) - k + 1).as("n"))
+          .filter(col("n") >= w)
+        val hashes = base
+          .select(col("doc_id"), col("txt"), col("n"),
+            explode(sequence(lit(1), col("n"))).as("pos"))
+          .select(col("doc_id"), col("n"), col("pos"),
+            conv(substring(md5(expr(s"substring(txt, pos, $k)").cast("binary")),
+              1, 8), 16, 10).cast("long").as("h"))
+        val windows = hashes
+          .select(col("doc_id"),
+            explode(sequence(greatest(lit(1), col("pos") - (w - 1)),
+              least(col("pos"), col("n") - (w - 1)))).as("t"),
+            (col("h") * 2048L + (lit(2047) - col("pos"))).as("key"))
+        windows
+          .groupBy("doc_id", "t")
+          .agg(min(col("key")).as("key"))
+          .select(col("doc_id"),
+            (lit(2047L) - expr("key % 2048")).as("pos"),
+            expr("key div 2048").as("h"))
+          .groupBy("doc_id", "pos")
+          .agg(min(col("h")).as("h"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fp"), sum(col("h")).as("sum_fp"),
+            min(col("h")).as("min_fp"), max(col("h")).as("max_fp"))
+          .orderBy("doc_id")
+      },
+      """WITH d0 AS (
+        |  SELECT doc_id, substr(text, 1, 1024) AS txt FROM documents),
+        |d1 AS (
+        |  SELECT doc_id, txt, (length(txt) - 8 + 1) AS n
+        |  FROM d0 WHERE (length(txt) - 8 + 1) >= 4),
+        |hs AS (
+        |  SELECT doc_id, txt, n, unnest(range(1, n + 1)) AS pos FROM d1),
+        |hh AS (
+        |  SELECT doc_id, n, pos,
+        |    ('0x' || substring(md5(substr(txt, pos::INT, 8)), 1, 8))::BIGINT AS h
+        |  FROM hs),
+        |ws AS (
+        |  SELECT doc_id,
+        |    unnest(range(greatest(1, pos - 3), least(pos, n - 3) + 1)) AS t,
+        |    h * 2048 + (2047 - pos) AS key
+        |  FROM hh),
+        |sel AS (
+        |  SELECT doc_id, t, min(key) AS key FROM ws GROUP BY doc_id, t),
+        |fp AS (
+        |  SELECT doc_id, 2047 - (key % 2048) AS pos, min(key // 2048) AS h
+        |  FROM sel GROUP BY doc_id, 2047 - (key % 2048))
+        |SELECT doc_id, count(*) AS n_fp, sum(h) AS sum_fp,
+        |  min(h) AS min_fp, max(h) AS max_fp
+        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // WET-style HTML→text extraction — the first operator of every web
+    // corpus (Common Crawl WARC→WET) pipeline: drop script/style
+    // subtrees, strip tags, collapse whitespace, report the text-to-
+    // markup ratio. The corpus has no raw HTML column, so the page is
+    // CONSTRUCTED deterministically around each document's text (same
+    // concat on both engines) — the extraction operators under test
+    // (dotall non-greedy block removal, tag strip, whitespace
+    // normalize) are the real thing and the md5 round-trip pins their
+    // output exactly. Pure projection: map-only at any scale, no
+    // shuffle, regexes run in whole-stage codegen.
+    QueryDef("q_text_extract_html",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>t</title><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+            "<style>.a { color: red; }</style></head><body><h1 class=\"hd\">"),
+          substring(col("text"), 1, 40),
+          lit("</h1>\n<p>"), col("text"),
+          lit("</p>\n<div class=\"footer\">&copy; footer</div></body></html>"))
+        val noBlocks = regexp_replace(html,
+          "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+        val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+        val clean = trim(regexp_replace(noTags, "\\s+", " "))
+        Tables.documents(s, d)
+          .select(col("doc_id"), html.as("html"), clean.as("clean"))
+          .select(col("doc_id"), md5(col("clean").cast("binary")).as("text_md5"),
+            length(col("clean")).cast("long").as("text_len"),
+            (length(col("clean")).cast("double") /
+              length(col("html")).cast("double")).as("text_ratio"))
+          .orderBy("doc_id")
+      },
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>t</title><script type="text/javascript">var x = 1 < 2;</script>'
+        |    || '<style>.a { color: red; }</style></head><body><h1 class="hd">'
+        |    || substr(text, 1, 40) || '</h1>' || chr(10) || '<p>' || text
+        |    || '</p>' || chr(10)
+        |    || '<div class="footer">&copy; footer</div></body></html>' AS html
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(html, '<(script|style)[^>]*>.*?</(script|style)>',
+        |          ' ', 'gs'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '\s+', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id, md5(clean) AS text_md5,
+        |  length(clean)::BIGINT AS text_len,
+        |  length(clean)::DOUBLE / length(html)::DOUBLE AS text_ratio
+        |FROM c ORDER BY doc_id""".stripMargin),
+  )
+}
