@@ -8,8 +8,10 @@ import graft.Tables
   * the full covariance/correlation matrix over the embedding column
   * (the Gramian every PCA/whitening pipeline starts from), MOSS-style
   * winnowing fingerprints (the classic robust local-minimum document
-  * fingerprint, cf. Schleimer/Wilkerson/Aiken SIGMOD'03), and WET-style
-  * HTML→text extraction (the first stage of every web-corpus pipeline).
+  * fingerprint, cf. Schleimer/Wilkerson/Aiken SIGMOD'03), WET-style
+  * HTML→text extraction (the first stage of every web-corpus pipeline),
+  * and the top principal component by power iteration over that
+  * covariance (distributed Gramian pass + bounded driver-side solve).
   *
   * Determinism follows the house rules: floats quantize to BIGINT
   * lanes before any aggregation (the q_emb_standardize discipline —
@@ -23,6 +25,52 @@ import graft.Tables
   * double is ONE shared IEEE expression over exact integers.
   */
 object LlmOps9 {
+
+  /** Shared Gramian pieces for q_emb_covariance / q_emb_pca_power:
+    * (pair-product sums over the upper triangle, per-dim stats).
+    * Lanes quantize at 1e-4 (see object scaladoc). */
+  private def covParts(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val a = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1e4) + lit(0.5)).cast("long"))
+    val emb = Tables.embeddings(s, d).select(a.as("a"))
+    val pstats = emb
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(a)-1), i ->
+          |  transform(sequence(i, size(a)-1), j ->
+          |    named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
+          |                 'p', a[i] * a[j]))))""".stripMargin)).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      .groupBy("i", "j")
+      .agg(sum(col("p").cast("decimal(38,0)")).as("spp"))
+    val dstats = emb
+      .select(posexplode(col("a")).as(Seq("dim", "v")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
+        sum((col("v") * col("v")).cast("decimal(38,0)")).as("ssv"))
+      .select(col("dim"), col("n"), col("sv"),
+        (col("ssv").cast("double") -
+          col("sv").cast("double") * col("sv").cast("double") /
+            col("n").cast("double")).as("varnum"))
+    (pstats, dstats)
+  }
+
+  /** Upper-triangle covariance entries (i, j, cov) — the exact
+    * expression q_emb_covariance's `cov` column verifies. */
+  private def covUpper(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (pstats, dstats) = covParts(s, d)
+    val di = dstats.select(col("dim").as("di"), col("n"), col("sv").as("si"))
+    val dj = dstats.select(col("dim").as("dj"), col("sv").as("sj"))
+    val covnum = col("spp").cast("double") -
+      col("si").cast("double") * col("sj").cast("double") /
+        col("n").cast("double")
+    pstats
+      .join(broadcast(di), col("i") === col("di"))
+      .join(broadcast(dj), col("j") === col("dj"))
+      .select(col("i"), col("j"),
+        (covnum / (col("n") - 1L).cast("double") / lit(1e8)).as("cov"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -38,27 +86,7 @@ object LlmOps9 {
     // corrections.
     QueryDef("q_emb_covariance",
       (s, d) => {
-        val a = transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1e4) + lit(0.5)).cast("long"))
-        val emb = Tables.embeddings(s, d).select(a.as("a"))
-        val pstats = emb
-          .select(explode(expr(
-            """flatten(transform(sequence(0, size(a)-1), i ->
-              |  transform(sequence(i, size(a)-1), j ->
-              |    named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
-              |                 'p', a[i] * a[j]))))""".stripMargin)).as("t"))
-          .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
-          .groupBy("i", "j")
-          .agg(sum(col("p").cast("decimal(38,0)")).as("spp"))
-        val dstats = emb
-          .select(posexplode(col("a")).as(Seq("dim", "v")))
-          .groupBy(col("dim").cast("long").as("dim"))
-          .agg(count(lit(1)).as("n"), sum("v").as("sv"),
-            sum((col("v") * col("v")).cast("decimal(38,0)")).as("ssv"))
-          .select(col("dim"), col("n"), col("sv"),
-            (col("ssv").cast("double") -
-              col("sv").cast("double") * col("sv").cast("double") /
-                col("n").cast("double")).as("varnum"))
+        val (pstats, dstats) = covParts(s, d)
         val di = dstats.select(col("dim").as("di"), col("n"),
           col("sv").as("si"), col("varnum").as("vi"))
         val dj = dstats.select(col("dim").as("dj"),
@@ -227,5 +255,88 @@ object LlmOps9 {
         |  length(clean)::BIGINT AS text_len,
         |  length(clean)::DOUBLE / length(html)::DOUBLE AS text_ratio
         |FROM c ORDER BY doc_id""".stripMargin),
+
+    // Top principal component by power iteration — the canonical
+    // distributed-PCA split: ONE distributed pass builds the exact
+    // d×d covariance (the q_emb_covariance Gramian — shuffle volume
+    // #partitions × d²/2, independent of N), then the O(d²) iteration
+    // runs on the DRIVER over that bounded model state (the kmeans/PQ
+    // collect discipline: K×dims, never corpus rows). 30 iterations,
+    // ones start vector, re-normalized each step; the eigenvalue is
+    // the final ‖Cv‖ (C is PSD so the dominant eigenvalue is ≥ 0).
+    //
+    // Determinism: the collected cov entries are the hash-verified
+    // q_emb_covariance doubles; every driver-side fold seeds with the
+    // FIRST term and accumulates in ascending index order, exactly
+    // matching the oracle's list_reduce left fold — so 30 iterations
+    // stay bit-identical to DuckDB's recursive CTE.
+    QueryDef("q_emb_pca_power",
+      (s, d) => {
+        val rows = covUpper(s, d).collect() // d(d+1)/2 rows — bounded model state
+        val dim = rows.iterator.map(_.getLong(1)).max.toInt + 1
+        val m = Array.ofDim[Double](dim, dim)
+        rows.foreach { r =>
+          val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+          val c = r.getDouble(2); m(i)(j) = c; m(j)(i) = c
+        }
+        var v = Array.fill(dim)(1.0)
+        var nrm = 0.0
+        for (_ <- 1 to 30) {
+          val w = Array.tabulate(dim) { i =>
+            var acc = m(i)(0) * v(0)
+            var j = 1
+            while (j < dim) { acc += m(i)(j) * v(j); j += 1 }
+            acc
+          }
+          var ss = w(0) * w(0)
+          var i = 1
+          while (i < dim) { ss += w(i) * w(i); i += 1 }
+          nrm = math.sqrt(ss)
+          v = w.map(_ / nrm)
+        }
+        s.createDataFrame((0 until dim).map(i => (i.toLong, v(i), nrm)))
+          .toDF("dim", "loading", "eigenvalue")
+          .orderBy("dim")
+      },
+      """WITH RECURSIVE lanes AS (
+        |  SELECT list_transform(embedding,
+        |    x -> floor(x::DOUBLE * 1e4 + 0.5)::BIGINT) AS a FROM embeddings),
+        |pairs AS (
+        |  SELECT u.i AS i, u.j AS j, u.p AS p FROM (
+        |    SELECT unnest(flatten(list_transform(range(len(a)), i ->
+        |      list_transform(range(i, len(a)), j ->
+        |        {i: i, j: j, p: a[i+1] * a[j+1]})))) AS u FROM lanes)),
+        |pstats AS (
+        |  SELECT i, j, sum(p::DECIMAL(38,0)) AS spp FROM pairs GROUP BY i, j),
+        |dstats AS (
+        |  SELECT u.dim AS dim, count(*) AS n, sum(u.v) AS sv FROM (
+        |    SELECT unnest(list_transform(range(len(a)),
+        |      i -> {dim: i, v: a[i+1]})) AS u FROM lanes) GROUP BY u.dim),
+        |cov AS (
+        |  SELECT i, j,
+        |    (spp::DOUBLE - di.sv::DOUBLE * dj.sv::DOUBLE / di.n::DOUBLE)
+        |      / (di.n - 1)::DOUBLE / 1e8 AS c
+        |  FROM pstats JOIN dstats di ON i = di.dim JOIN dstats dj ON j = dj.dim),
+        |fullcov AS (
+        |  SELECT i, j, c FROM cov
+        |  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
+        |mat AS (SELECT i, list(c ORDER BY j) AS row_ FROM fullcov GROUP BY i),
+        |m AS (SELECT list(row_ ORDER BY i) AS mm FROM mat),
+        |it AS (
+        |  SELECT 0 AS k, list_transform(range(len(mm)), x -> 1.0::DOUBLE) AS v,
+        |    0.0::DOUBLE AS nrm FROM m
+        |  UNION ALL
+        |  SELECT k + 1, list_transform(w, x -> x / nrm2) AS v, nrm2 AS nrm FROM (
+        |    SELECT k, w,
+        |      sqrt(list_reduce(list_transform(w, x -> x * x),
+        |        (a, b) -> a + b)) AS nrm2 FROM (
+        |      SELECT k, list_transform(range(len(mm)), i ->
+        |        list_reduce(list_transform(range(len(mm)),
+        |          j -> mm[i+1][j+1] * v[j+1]), (a, b) -> a + b)) AS w
+        |      FROM it, m) w1) w2
+        |  WHERE k < 30)
+        |SELECT u AS dim, v[u + 1] AS loading, nrm AS eigenvalue
+        |FROM (SELECT v, nrm FROM it WHERE k = 30), unnest(range(len(v))) AS t(u)
+        |ORDER BY dim""".stripMargin),
   )
 }

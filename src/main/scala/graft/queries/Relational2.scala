@@ -374,5 +374,37 @@ object Relational2 {
           expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25_price"))
         .orderBy("l_returnflag"),
       None),
+
+    // Mode (most-frequent-value) aggregate — the missing member of the
+    // central-tendency family (mean/median/percentiles above): per
+    // event type, the most frequent integer value bucket. Built as
+    // count-per-(group, bucket) + one argmax window, both map-side-
+    // combinable; ties break on the SMALLER bucket so the answer is
+    // deterministic on both engines (Spark `mode()` and DuckDB
+    // `mode()` leave ties unspecified — neither is used).
+    QueryDef("q_agg_mode",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.events(s, d)
+          .select(col("event_type"), floor(col("value")).cast("long").as("bucket"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("cnt").desc, col("bucket").asc)
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("bucket").as("mode_bucket"),
+            col("cnt").as("mode_count"))
+          .orderBy("event_type")
+      },
+      """SELECT event_type, bucket AS mode_bucket, cnt AS mode_count
+        |FROM (
+        |  SELECT event_type, bucket, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cnt DESC, bucket ASC) AS rn
+        |  FROM (
+        |    SELECT event_type, floor(value)::BIGINT AS bucket, count(*) AS cnt
+        |    FROM events GROUP BY 1, 2) c) r
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin),
   )
 }
