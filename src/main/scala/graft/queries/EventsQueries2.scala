@@ -183,5 +183,70 @@ object EventsQueries2 {
         |SELECT user_id, n_intervals, total_ms,
         |  wsum::DOUBLE / total_ms::DOUBLE AS twa_value
         |FROM g ORDER BY user_id""".stripMargin),
+
+    // Per-user token-bucket rate limiting — the admission-control
+    // recurrence (tokens = min(cap, prev + elapsed·rate) − cost·allowed)
+    // is NOT window-expressible (min-clamp makes the scan non-
+    // associative), so it runs as the SECONDARY-SORT pattern:
+    // repartition by user, sortWithinPartitions by (user, ts, id), one
+    // O(1)-state mapPartitions pass. No per-group materialization —
+    // a user's events stream through the iterator, so a billion-event
+    // user costs memory O(1), unlike groupByKey+sort-in-memory. The
+    // same recurrence is the flatMapGroupsWithState streaming shape.
+    // Integer micro-tokens (cap 5 tokens = 5e6, cost 1e6, refill 100
+    // per ms = 0.1 tokens/s) keep the clamp arithmetic exact; the
+    // oracle replays the recurrence as a per-user recursive CTE.
+    QueryDef("q_events_ratelimit",
+      (s, d) => {
+        import s.implicits._
+        val CAP = 5000000L; val COST = 1000000L; val RATE = 100L
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_millis(date_trunc('MILLISECOND', ts))").as("tms"))
+          .as[(Long, Long, Long)]
+          .repartition(col("user_id"))
+          .sortWithinPartitions("user_id", "tms", "event_id")
+          .mapPartitions { it =>
+            var curUser = 0L
+            var tokens = 0L
+            var prevT = 0L
+            var first = true
+            it.map { case (eid, uid, tms) =>
+              if (first || uid != curUser) {
+                curUser = uid; tokens = CAP; first = false
+              } else {
+                tokens = math.min(CAP, tokens + (tms - prevT) * RATE)
+              }
+              prevT = tms
+              val allowed = tokens >= COST
+              if (allowed) tokens -= COST
+              (eid, uid, allowed, tokens)
+            }
+          }
+          .toDF("event_id", "user_id", "allowed", "tokens_after")
+          .orderBy("event_id")
+      },
+      """WITH RECURSIVE base AS (
+        |  SELECT event_id, user_id,
+        |    epoch_ms(date_trunc('milliseconds', ts)) AS tms,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(date_trunc('milliseconds', ts)), event_id) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, rn, event_id, tms,
+        |    true AS allowed, 4000000::BIGINT AS tokens_after
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.rn, b.event_id, b.tms,
+        |    least(5000000, r.tokens_after + (b.tms - r.tms) * 100)
+        |      >= 1000000 AS allowed,
+        |    least(5000000, r.tokens_after + (b.tms - r.tms) * 100)
+        |      - CASE WHEN least(5000000,
+        |          r.tokens_after + (b.tms - r.tms) * 100) >= 1000000
+        |        THEN 1000000 ELSE 0 END AS tokens_after
+        |  FROM rec r JOIN base b
+        |    ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT event_id, user_id, allowed, tokens_after
+        |FROM rec ORDER BY event_id""".stripMargin),
   )
 }

@@ -72,6 +72,81 @@ object LlmOps9 {
         (covnum / (col("n") - 1L).cast("double") / lit(1e8)).as("cov"))
   }
 
+  /** Dominant covariance eigenpair by 30 power-iteration steps on the
+    * DRIVER over the collected d×d matrix (bounded model state, the
+    * kmeans/PQ discipline). Every fold seeds with the FIRST term and
+    * accumulates ascending, matching the DuckDB list_reduce left fold
+    * bit-for-bit — q_emb_pca_power verifies that equivalence, and
+    * q_emb_residual reuses the vector as a literal. */
+  private def topComponent(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Array[Double], Double) = {
+    val rows = covUpper(s, d).collect() // d(d+1)/2 rows — bounded model state
+    val dim = rows.iterator.map(_.getLong(1)).max.toInt + 1
+    val m = Array.ofDim[Double](dim, dim)
+    rows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val c = r.getDouble(2); m(i)(j) = c; m(j)(i) = c
+    }
+    var v = Array.fill(dim)(1.0)
+    var nrm = 0.0
+    for (_ <- 1 to 30) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = m(i)(0) * v(0)
+        var j = 1
+        while (j < dim) { acc += m(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var ss = w(0) * w(0)
+      var i = 1
+      while (i < dim) { ss += w(i) * w(i); i += 1 }
+      nrm = math.sqrt(ss)
+      v = w.map(_ / nrm)
+    }
+    (v, nrm)
+  }
+
+  /** The q_emb_pca_power oracle's covariance + power-iteration CTE
+    * prefix (everything up to an `it` table holding the iterate `v`
+    * at k=30) — shared with q_emb_residual's oracle. */
+  private val pcaCtePrefix: String =
+    """WITH RECURSIVE lanes AS (
+      |  SELECT list_transform(embedding,
+      |    x -> floor(x::DOUBLE * 1e4 + 0.5)::BIGINT) AS a FROM embeddings),
+      |pairs AS (
+      |  SELECT u.i AS i, u.j AS j, u.p AS p FROM (
+      |    SELECT unnest(flatten(list_transform(range(len(a)), i ->
+      |      list_transform(range(i, len(a)), j ->
+      |        {i: i, j: j, p: a[i+1] * a[j+1]})))) AS u FROM lanes)),
+      |pstats AS (
+      |  SELECT i, j, sum(p::DECIMAL(38,0)) AS spp FROM pairs GROUP BY i, j),
+      |dstats AS (
+      |  SELECT u.dim AS dim, count(*) AS n, sum(u.v) AS sv FROM (
+      |    SELECT unnest(list_transform(range(len(a)),
+      |      i -> {dim: i, v: a[i+1]})) AS u FROM lanes) GROUP BY u.dim),
+      |cov AS (
+      |  SELECT i, j,
+      |    (spp::DOUBLE - di.sv::DOUBLE * dj.sv::DOUBLE / di.n::DOUBLE)
+      |      / (di.n - 1)::DOUBLE / 1e8 AS c
+      |  FROM pstats JOIN dstats di ON i = di.dim JOIN dstats dj ON j = dj.dim),
+      |fullcov AS (
+      |  SELECT i, j, c FROM cov
+      |  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
+      |mat AS (SELECT i, list(c ORDER BY j) AS row_ FROM fullcov GROUP BY i),
+      |m AS (SELECT list(row_ ORDER BY i) AS mm FROM mat),
+      |it AS (
+      |  SELECT 0 AS k, list_transform(range(len(mm)), x -> 1.0::DOUBLE) AS v,
+      |    0.0::DOUBLE AS nrm FROM m
+      |  UNION ALL
+      |  SELECT k + 1, list_transform(w, x -> x / nrm2) AS v, nrm2 AS nrm FROM (
+      |    SELECT k, w,
+      |      sqrt(list_reduce(list_transform(w, x -> x * x),
+      |        (a, b) -> a + b)) AS nrm2 FROM (
+      |      SELECT k, list_transform(range(len(mm)), i ->
+      |        list_reduce(list_transform(range(len(mm)),
+      |          j -> mm[i+1][j+1] * v[j+1]), (a, b) -> a + b)) AS w
+      |      FROM it, m) w1) w2
+      |  WHERE k < 30)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Covariance + Pearson correlation matrix of the embedding lanes —
@@ -272,71 +347,54 @@ object LlmOps9 {
     // stay bit-identical to DuckDB's recursive CTE.
     QueryDef("q_emb_pca_power",
       (s, d) => {
-        val rows = covUpper(s, d).collect() // d(d+1)/2 rows — bounded model state
-        val dim = rows.iterator.map(_.getLong(1)).max.toInt + 1
-        val m = Array.ofDim[Double](dim, dim)
-        rows.foreach { r =>
-          val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
-          val c = r.getDouble(2); m(i)(j) = c; m(j)(i) = c
-        }
-        var v = Array.fill(dim)(1.0)
-        var nrm = 0.0
-        for (_ <- 1 to 30) {
-          val w = Array.tabulate(dim) { i =>
-            var acc = m(i)(0) * v(0)
-            var j = 1
-            while (j < dim) { acc += m(i)(j) * v(j); j += 1 }
-            acc
-          }
-          var ss = w(0) * w(0)
-          var i = 1
-          while (i < dim) { ss += w(i) * w(i); i += 1 }
-          nrm = math.sqrt(ss)
-          v = w.map(_ / nrm)
-        }
-        s.createDataFrame((0 until dim).map(i => (i.toLong, v(i), nrm)))
+        val (v, nrm) = topComponent(s, d)
+        s.createDataFrame(v.indices.map(i => (i.toLong, v(i), nrm)))
           .toDF("dim", "loading", "eigenvalue")
           .orderBy("dim")
       },
-      """WITH RECURSIVE lanes AS (
-        |  SELECT list_transform(embedding,
-        |    x -> floor(x::DOUBLE * 1e4 + 0.5)::BIGINT) AS a FROM embeddings),
-        |pairs AS (
-        |  SELECT u.i AS i, u.j AS j, u.p AS p FROM (
-        |    SELECT unnest(flatten(list_transform(range(len(a)), i ->
-        |      list_transform(range(i, len(a)), j ->
-        |        {i: i, j: j, p: a[i+1] * a[j+1]})))) AS u FROM lanes)),
-        |pstats AS (
-        |  SELECT i, j, sum(p::DECIMAL(38,0)) AS spp FROM pairs GROUP BY i, j),
-        |dstats AS (
-        |  SELECT u.dim AS dim, count(*) AS n, sum(u.v) AS sv FROM (
-        |    SELECT unnest(list_transform(range(len(a)),
-        |      i -> {dim: i, v: a[i+1]})) AS u FROM lanes) GROUP BY u.dim),
-        |cov AS (
-        |  SELECT i, j,
-        |    (spp::DOUBLE - di.sv::DOUBLE * dj.sv::DOUBLE / di.n::DOUBLE)
-        |      / (di.n - 1)::DOUBLE / 1e8 AS c
-        |  FROM pstats JOIN dstats di ON i = di.dim JOIN dstats dj ON j = dj.dim),
-        |fullcov AS (
-        |  SELECT i, j, c FROM cov
-        |  UNION ALL SELECT j AS i, i AS j, c FROM cov WHERE i <> j),
-        |mat AS (SELECT i, list(c ORDER BY j) AS row_ FROM fullcov GROUP BY i),
-        |m AS (SELECT list(row_ ORDER BY i) AS mm FROM mat),
-        |it AS (
-        |  SELECT 0 AS k, list_transform(range(len(mm)), x -> 1.0::DOUBLE) AS v,
-        |    0.0::DOUBLE AS nrm FROM m
-        |  UNION ALL
-        |  SELECT k + 1, list_transform(w, x -> x / nrm2) AS v, nrm2 AS nrm FROM (
-        |    SELECT k, w,
-        |      sqrt(list_reduce(list_transform(w, x -> x * x),
-        |        (a, b) -> a + b)) AS nrm2 FROM (
-        |      SELECT k, list_transform(range(len(mm)), i ->
-        |        list_reduce(list_transform(range(len(mm)),
-        |          j -> mm[i+1][j+1] * v[j+1]), (a, b) -> a + b)) AS w
-        |      FROM it, m) w1) w2
-        |  WHERE k < 30)
-        |SELECT u AS dim, v[u + 1] AS loading, nrm AS eigenvalue
-        |FROM (SELECT v, nrm FROM it WHERE k = 30), unnest(range(len(v))) AS t(u)
-        |ORDER BY dim""".stripMargin),
+      pcaCtePrefix + "\n" +
+        """SELECT u AS dim, v[u + 1] AS loading, nrm AS eigenvalue
+          |FROM (SELECT v, nrm FROM it WHERE k = 30), unnest(range(len(v))) AS t(u)
+          |ORDER BY dim""".stripMargin),
+
+    // "All-but-the-top" embedding post-processing (Mu & Viswanath,
+    // ICLR'18): subtract each vector's projection onto the dominant
+    // principal component — the standard isotropy fix before cosine
+    // retrieval. The component comes from [[topComponent]] (one
+    // distributed Gramian pass + bounded driver solve) and enters the
+    // plan as a LITERAL array, so the apply side is a pure map-only
+    // projection — no shuffle, no second pass over the corpus. Dot
+    // products and norms use the [[graft.functions.Similarity]]
+    // 0.0-seeded left fold the oracle mirrors via list_prepend.
+    QueryDef("q_emb_residual",
+      (s, d) => {
+        val (u, _) = topComponent(s, d)
+        val uLit = array(u.map(lit): _*)
+        val proj = graft.functions.Similarity.dot(col("embedding"), uLit)
+        Tables.embeddings(s, d)
+          .withColumn("proj", proj)
+          .withColumn("resid",
+            zip_with(col("embedding"), uLit,
+              (x, w) => x.cast("double") - col("proj") * w))
+          .select(col("vec_id"), col("proj"),
+            graft.functions.Similarity.norm(col("resid")).as("norm_after"),
+            col("resid"))
+          .orderBy("vec_id")
+      },
+      pcaCtePrefix + ",\n" +
+        s"""u AS (SELECT v FROM it WHERE k = 30),
+          |pr AS (
+          |  SELECT vec_id, embedding,
+          |    ${graft.functions.Similarity.dotSql("embedding", "v")} AS proj
+          |  FROM embeddings, u),
+          |rs AS (
+          |  SELECT vec_id, proj,
+          |    list_transform(range(len(embedding)),
+          |      i -> embedding[i+1]::DOUBLE - proj * v[i+1]) AS resid
+          |  FROM pr, u)
+          |SELECT vec_id, proj,
+          |  sqrt(${graft.functions.Similarity.dotSql("resid", "resid")}) AS norm_after,
+          |  resid
+          |FROM rs ORDER BY vec_id""".stripMargin),
   )
 }

@@ -415,5 +415,56 @@ object TpchQueries {
          FROM r JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
          WHERE rn = 1 ORDER BY p_partkey"""),
+
+    // TPC-H Q21 shape — suppliers who kept orders waiting: R-flagged
+    // lines from one nation's suppliers, in multi-supplier orders where
+    // NO other supplier also flagged R (the corpus lacks commit/receipt
+    // dates, so returnflag stands in for "late"). The double-correlated
+    // EXISTS / NOT EXISTS compiles to one LEFT SEMI + one LEFT ANTI
+    // self-join, both equi-keyed on l_orderkey with the supplier
+    // inequality as a residual — co-partitioned shuffles, no nested
+    // loop. The nation's supplier slice broadcasts and pre-filters the
+    // probe BEFORE the self-joins, so both big joins see only the
+    // R-slice of one nation on the left.
+    QueryDef("q_tpch_waiting",
+      (s, d) => {
+        val l = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_returnflag")
+        val supp = Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "s_name")
+        val l1 = l.filter(col("l_returnflag") === "R")
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        val others = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+        val othersR = l.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"))
+        l1.join(others,
+            col("o2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"),
+            "left_semi")
+          .join(othersR,
+            col("o3") === col("l_orderkey") && col("s3") =!= col("l_suppkey"),
+            "left_anti")
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey").asc)
+          .limit(100)
+      },
+      """SELECT s_suppkey, s_name, count(*) AS numwait
+         FROM lineitem l1
+           JOIN supplier ON l1.l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3' AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_returnflag = 'R')
+         GROUP BY s_suppkey, s_name
+         ORDER BY numwait DESC, s_suppkey ASC
+         LIMIT 100"""),
   )
 }
