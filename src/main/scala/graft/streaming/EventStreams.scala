@@ -376,6 +376,45 @@ object EventStreams {
       }
   }
 
+  case class RateState(tokens: Long, lastMs: Long)
+  case class RateDecision(event_id: Long, user_id: Long,
+      allowed: Boolean, tokens_after: Long)
+
+  /** Streaming twin of q_events_ratelimit's batch secondary-sort scan:
+    * per-user token bucket as `flatMapGroupsWithState`. State is TWO
+    * longs per user — (tokens, last event ms) — regardless of stream
+    * length; identical integer recurrence (cap 5e6 micro-tokens, cost
+    * 1e6, refill 100/ms), so stream output equals the batch query on
+    * the same data when per-user arrival is time-ordered across
+    * micro-batches (within a batch the group sorts itself). */
+  def rateLimit(events: DataFrame): org.apache.spark.sql.Dataset[RateDecision] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val CAP = 5000000L; val COST = 1000000L; val RATE = 100L
+    events
+      .select(col("event_id").cast("long"), col("user_id").cast("long"),
+        expr("unix_millis(date_trunc('MILLISECOND', ts))").as("tms"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[RateState, RateDecision](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[RateState]) =>
+          var st = state.getOption.orNull
+          val out = rows.toSeq.sortBy(r => (r._3, r._1)).map { case (eid, _, tms) =>
+            val before =
+              if (st == null) CAP
+              else math.min(CAP, st.tokens + (tms - st.lastMs) * RATE)
+            val allowed = before >= COST
+            val after = if (allowed) before - COST else before
+            st = RateState(after, tms)
+            RateDecision(eid, uid, allowed, after)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   /** Gap-based session windows per user: a session extends while the next
     * event arrives < gap after the previous one; end = last event + gap.
     * Timestamps truncated to ms in the projection for cross-engine parity

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.streaming.EventStreams
 
 case class Ev(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+case class EvR(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
 
 /** Structured Streaming runs the SAME operator builders as the batch
   * oracle queries — this spec proves stream-mode results converge to the
@@ -418,5 +419,45 @@ class StreamingSpec extends SparkSpec {
     val nullMatched = streamed.count(_.isNullAt(2))
     assert(nullMatched > 0, "expected some clicks with proven-absent errors")
     assert(streamed == batch)
+  }
+  test("flatMapGroupsWithState token bucket == batch recurrence replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 3 users, one event per 2 s of stream time -> 6 s between a user's
+    // events = 0.6 token refill per 1-token cost: the 5-token burst
+    // drains after ~10 events, then denials alternate with refill grants
+    val data = (0 until 120).map { i =>
+      EvR(i.toLong, new java.sql.Timestamp(base.getTime + i * 2000L), i % 3)
+    }
+    val mem = MemoryStream[EvR]
+    val q = EventStreams.rateLimit(mem.toDF())
+      .writeStream.format("memory").queryName("ratelimit_out")
+      .outputMode("append").start()
+    // two micro-batches: state (tokens, last ts) must carry across
+    val (a, b) = data.splitAt(60)
+    mem.addData(a); q.processAllAvailable()
+    mem.addData(b); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ratelimit_out").orderBy("event_id")
+      .collect().toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+
+    val expected = data.groupBy(_.user_id).toSeq.flatMap { case (uid, evs) =>
+      var tokens = 0L; var prev = 0L; var first = true
+      evs.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        val tms = e.ts.getTime
+        val before =
+          if (first) 5000000L
+          else math.min(5000000L, tokens + (tms - prev) * 100L)
+        first = false; prev = tms
+        val allowed = before >= 1000000L
+        tokens = if (allowed) before - 1000000L else before
+        (e.event_id, uid, allowed, tokens)
+      }
+    }.sortBy(_._1)
+
+    assert(streamed.count(!_._3) > 0, "scenario must produce denials")
+    assert(streamed.count(_._3) > 30, "burst + refill grants expected")
+    assert(streamed == expected)
   }
 }
