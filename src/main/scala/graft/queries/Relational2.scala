@@ -406,5 +406,106 @@ object Relational2 {
         |    SELECT event_type, floor(value)::BIGINT AS bucket, count(*) AS cnt
         |    FROM events GROUP BY 1, 2) c) r
         |WHERE rn = 1 ORDER BY event_type""".stripMargin),
+
+    // Weighted median — the revenue-weighted "typical quantity" per
+    // return flag. Formulated ORDER-INDEPENDENTLY: weights aggregate
+    // per DISTINCT value first (one combinable groupBy), the running
+    // total walks distinct values in value order (a |distinct-values|-
+    // sized window per group, not a corpus-sized one), and the median
+    // is the smallest value whose doubled running weight reaches the
+    // group total — no row-order tie ambiguity anywhere, all integer
+    // cents until the final scale-back.
+    QueryDef("q_agg_weighted_median",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wv = Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            floor(col("l_quantity") * 100 + lit(0.5)).cast("long").as("qc"),
+            floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("wc"))
+          .groupBy("l_returnflag", "qc")
+          .agg(sum(col("wc")).as("w"))
+        val win = Window.partitionBy("l_returnflag").orderBy("qc")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy("l_returnflag")
+        wv.withColumn("cum", sum(col("w")).over(win))
+          .withColumn("tot", sum(col("w")).over(tot))
+          .filter(col("cum") * 2 >= col("tot"))
+          .groupBy("l_returnflag")
+          .agg(min(col("qc")).as("mqc"), max(col("tot")).as("totw"))
+          .select(col("l_returnflag"),
+            (col("mqc").cast("double") / 100).as("weighted_median_qty"),
+            (col("totw").cast("double") / 100).as("total_weight"))
+          .orderBy("l_returnflag")
+      },
+      """WITH wv AS (
+        |  SELECT l_returnflag,
+        |    floor(l_quantity * 100 + 0.5)::BIGINT AS qc,
+        |    sum(floor(l_extendedprice * 100 + 0.5)::BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, qc, w,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY qc
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM wv)
+        |SELECT l_returnflag,
+        |  min(qc)::DOUBLE / 100 AS weighted_median_qty,
+        |  max(tot)::DOUBLE / 100 AS total_weight
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // As-of join with a TOLERANCE bound (pandas merge_asof tolerance /
+    // kdb wj semantics): each error matches its most recent preceding
+    // click only if that click is within 24 hours — older state is
+    // considered stale and the row reports no-match. Same single
+    // user-keyed window pass as q_join_asof (no extra shuffle); the
+    // staleness test is one more ignore-nulls running column.
+    QueryDef("q_join_asof_tolerance",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("user_id"),
+            date_trunc("MILLISECOND", col("ts")).as("tsm"),
+            col("event_id"), col("value"),
+            (col("event_type") === "click").cast("int").as("is_click"),
+            (col("event_type") === "error").cast("int").as("is_err"))
+        val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        u.withColumn("click_id",
+            last(when(col("is_click") === 1, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("click_tsm",
+            last(when(col("is_click") === 1, col("tsm")), ignoreNulls = true).over(w))
+          .filter(col("is_err") === 1)
+          .withColumn("fresh",
+            col("click_tsm").isNotNull &&
+              col("click_tsm") >= col("tsm") - expr("interval 24 hours"))
+          .select(col("user_id"), col("event_id"), col("tsm").as("err_ts"),
+            when(col("fresh"), col("click_id")).otherwise(lit(-1L)).as("click_id"),
+            col("fresh").as("matched"))
+          .orderBy("event_id")
+      },
+      """WITH u AS (
+        |  SELECT user_id, date_trunc('milliseconds', ts)::TIMESTAMP AS tsm,
+        |    event_id, value,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tsm, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id,
+        |    last_value(CASE WHEN is_click = 1 THEN tsm END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY tsm, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_tsm
+        |  FROM u)
+        |SELECT user_id, event_id, tsm AS err_ts,
+        |  CASE WHEN click_tsm IS NOT NULL
+        |        AND click_tsm >= tsm - INTERVAL 24 HOUR
+        |       THEN click_id ELSE -1 END AS click_id,
+        |  (click_tsm IS NOT NULL
+        |    AND click_tsm >= tsm - INTERVAL 24 HOUR) AS matched
+        |FROM w WHERE is_err = 1 ORDER BY event_id""".stripMargin),
   )
 }

@@ -380,5 +380,39 @@ object Relational4 {
              AND cn.n_name IN ('NATION_12', 'NATION_13')
              AND sn.n_name <> cn.n_name) v
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+
+    // Small-file compaction planning (the q_layout_zorder companion):
+    // treat each document as a file of n_chars bytes within its source
+    // partition and assign merge groups by EXCLUSIVE running size over
+    // a 4 KiB target — the greedy size-binning every table-format
+    // compactor (Iceberg binpack, Delta OPTIMIZE) runs before rewriting.
+    // One window cumsum per source partition (keyed shuffle, exact
+    // BIGINT), then a per-group rollup; output is plan-sized (one row
+    // per target file), not input-sized.
+    QueryDef("q_layout_compaction",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val target = 4096L
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+          .withColumn("grp", (col("before") / target).cast("long"))
+          .groupBy("source", "grp")
+          .agg(count(lit(1)).as("n_files"), sum(col("n_chars")).as("bytes"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy("source", "grp")
+      },
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |  FROM documents)
+        |SELECT source, (before // 4096)::BIGINT AS grp,
+        |  count(*) AS n_files, sum(n_chars) AS bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY source, (before // 4096)::BIGINT
+        |ORDER BY source, grp""".stripMargin),
   )
 }
