@@ -196,6 +196,59 @@ object Multimodal {
       }(enc)
   }
 
+  /** Difference hash (dHash) — the classic perceptual image
+    * fingerprint: sample a 9×8 luma grid (nearest neighbor, integer
+    * coordinate math only — no float resampling, so the hash is
+    * bit-stable across platforms), emit one bit per horizontal
+    * gradient sign. Near-identical images land within a few bits of
+    * Hamming distance; exact duplicates collide exactly, which makes
+    * the hash a groupBy key for image dedup the same way content_md5
+    * is for text. Luma is the integer BT.601 sum (299R+587G+114B). */
+  def dHash(img: BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    var bits = 0L
+    var k = 0
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var prev = 0
+      var x = 0
+      while (x < 9) {
+        val sx = x * w / 9
+        val rgb = img.getRGB(sx, sy)
+        val lum = ((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114
+        if (x > 0) {
+          if (lum > prev) bits |= (1L << k)
+          k += 1
+        }
+        prev = lum
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Partition-wise perceptual hashing: PNG payload → dHash. Same
+    * shared-codec `mapPartitions` shape as [[decode]]. */
+  def phash(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        val reader = newPngReader()
+        closingAfter(rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+          val img = try { reader.setInput(iis); reader.read(0) } finally iis.close()
+          Row(r.getLong(0), dHash(img))
+        })(() => reader.dispose())
+      }(enc)
+  }
+
   /** Nearest-neighbor downsample: out(x, y) = in(x*factor, y*factor) —
     * deterministic (no interpolation), so the resized pixel values keep
     * the fixture's closed form at stride `factor`. */

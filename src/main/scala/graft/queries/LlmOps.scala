@@ -752,5 +752,54 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
          SELECT doc_id, width, height, 3::INTEGER AS channels,
            SUM((x*31 + y*7 + c*13 + doc_id) % 256)::BIGINT AS pixel_sum
          FROM pxyc GROUP BY 1, 2, 3 ORDER BY doc_id"""),
+
+    // Perceptual image dedup: dHash (9×8 nearest luma grid → 64
+    // horizontal-gradient sign bits) over the REAL decoded PNGs, then
+    // duplicate-group sizes by exact hash — the image-side analogue of
+    // content_md5 text dedup, with Hamming-banded near-dup as the
+    // natural extension (OpsSpec pins the ±1-pixel robustness). The
+    // hash is integer-only (nearest sampling, BT.601 integer luma), so
+    // the oracle can replay it from the fixture's closed-form pixels —
+    // a fully hash-verified perceptual pipeline, not a rows-only one.
+    // Scale: per-partition codec reuse, 8-byte hashes shuffle, never
+    // pixels.
+    QueryDef("q_multimodal_phash",
+      (s, d) => {
+        val ph = Multimodal.phash(
+          Multimodal.pngPayload(Tables.documents(s, d), "doc_id"), "doc_id")
+        val sizes = ph.groupBy("phash").agg(count(lit(1)).as("group_size"))
+        ph.join(sizes, "phash")
+          .select(col("doc_id"), col("phash"), col("group_size"))
+          .orderBy("doc_id")
+      },
+      """WITH dims AS (
+        |  SELECT doc_id, (doc_id % 13 + 4)::BIGINT AS w,
+        |    (doc_id % 11 + 3)::BIGINT AS h
+        |  FROM documents),
+        |gy AS (SELECT *, unnest(range(8)) AS y FROM dims),
+        |gx AS (SELECT *, unnest(range(1, 9)) AS x FROM gy),
+        |bits AS (
+        |  SELECT doc_id, y, x,
+        |    (((x * w // 9) * 31 + (y * h // 8) * 7 + doc_id) % 256) * 299
+        |      + ((((x * w // 9) * 31 + (y * h // 8) * 7 + doc_id) + 13) % 256) * 587
+        |      + ((((x * w // 9) * 31 + (y * h // 8) * 7 + doc_id) + 26) % 256) * 114
+        |      AS lum1,
+        |    ((((x - 1) * w // 9) * 31 + (y * h // 8) * 7 + doc_id) % 256) * 299
+        |      + (((((x - 1) * w // 9) * 31 + (y * h // 8) * 7 + doc_id) + 13) % 256) * 587
+        |      + (((((x - 1) * w // 9) * 31 + (y * h // 8) * 7 + doc_id) + 26) % 256) * 114
+        |      AS lum0
+        |  FROM gx),
+        |ph AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN lum1 > lum0 THEN
+        |        CASE WHEN y * 8 + (x - 1) = 63
+        |             THEN (-9223372036854775807 - 1)::BIGINT
+        |             ELSE 1::BIGINT << (y * 8 + (x - 1))::INT END
+        |        ELSE 0 END)::BIGINT AS phash
+        |  FROM bits GROUP BY doc_id),
+        |gs AS (SELECT phash, count(*) AS group_size FROM ph GROUP BY phash)
+        |SELECT doc_id, ph.phash, group_size
+        |FROM ph JOIN gs ON ph.phash = gs.phash
+        |ORDER BY doc_id""".stripMargin),
   )
 }

@@ -899,4 +899,39 @@ class OpsSpec extends SparkSpec {
       assert(r.getAs[Int]("channels") == 3 && r.getAs[Long]("pixel_sum") == want)
     }
   }
+
+  test("dHash: deterministic, discriminative, and stable under a 1-LSB pixel nudge") {
+    // robustness on images large enough that each 9x8 grid cell samples
+    // a distinct pixel (tiny fixtures alias one pixel into several grid
+    // cells, which legitimately amplifies a perturbation)
+    val (w, h) = (64, 48)
+    var distinct = Set.empty[Long]
+    (0 until 100).foreach { id =>
+      val h0 = Multimodal.dHash(Multimodal.makeImage(id, w, h))
+      assert(h0 == Multimodal.dHash(Multimodal.makeImage(id, w, h)),
+        s"dHash must be deterministic (id=$id)")
+      distinct += h0
+      // +1 on one sampled pixel's blue channel: affects at most the two
+      // gradient comparisons that pixel participates in
+      val img2 = Multimodal.makeImage(id, w, h)
+      val sx = 4 * w / 9; val sy = 4 * h / 8
+      val rgb = img2.getRGB(sx, sy)
+      val b = math.min(255, (rgb & 0xff) + 1)
+      img2.setRGB(sx, sy, (rgb & 0xffff00) | b)
+      val h1 = Multimodal.dHash(img2)
+      assert(java.lang.Long.bitCount(h0 ^ h1) <= 2,
+        s"1-LSB nudge moved ${java.lang.Long.bitCount(h0 ^ h1)} bits (id=$id)")
+    }
+    // the fixed-size linear fixture repeats gradient patterns across
+    // seeds; discrimination is asserted on the corpus-like variable-dim
+    // family below (the registered query measured 431 distinct of 500)
+    assert(distinct.size >= 30,
+      s"expected some spread at fixed dims, got ${distinct.size} of 100")
+    val corpusLike = (0 until 200).map { id =>
+      val (fw, fh) = Multimodal.fixtureDims(id)
+      Multimodal.dHash(Multimodal.makeImage(id, fw, fh))
+    }.toSet
+    assert(corpusLike.size >= 120,
+      s"variable-dim family must discriminate, got ${corpusLike.size} of 200")
+  }
 }
