@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimExpr, LnIeee, SortedIntersectSize}
+import graft.functions.{CosineSimExpr, DotProductExpr, LnIeee, RewriteDotProduct, SortedIntersectSize}
 
 /** Session extensions registering the engine's native Catalyst expressions
   * as SQL functions — the official injection point
@@ -18,6 +18,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // whole-operator extension (ladder step c): native as-of join
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // optimizer-rule rung: every Similarity.dot HOF pattern in any plan
+    // goes native (bit-identical — see RewriteDotProduct's contract)
+    e.injectOptimizerRule(_ => RewriteDotProduct)
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "dot_product"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        DotProductExpr(exprs(0), exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim"),
