@@ -248,5 +248,33 @@ object EventsQueries2 {
         |    ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         |SELECT event_id, user_id, allowed, tokens_after
         |FROM rec ORDER BY event_id""".stripMargin),
+
+    // Weekly seasonality profile: (weekday × hour) activity heatmap with
+    // per-cell share — the load-shaping / staffing / anomaly-baseline
+    // view. Weekday uses the ISO-Monday=0 convention on BOTH engines
+    // (Spark weekday() ≡ DuckDB isodow−1; the engines' dayofweek()
+    // disagree on Sunday). One map-side-combined groupBy over 168
+    // cells; the total rides back as a broadcast 1-row frame; share is
+    // one IEEE division of exact BIGINTs.
+    QueryDef("q_events_seasonality",
+      (s, d) => {
+        val cells = Tables.events(s, d)
+          .select(weekday(col("ts")).cast("long").as("wd"),
+            hour(col("ts")).cast("long").as("hh"))
+          .groupBy("wd", "hh")
+          .agg(count(lit(1)).as("cnt"))
+        val tot = cells.agg(sum(col("cnt")).as("total"))
+        cells.join(broadcast(tot))
+          .select(col("wd"), col("hh"), col("cnt"),
+            (col("cnt").cast("double") / col("total").cast("double")).as("share"))
+          .orderBy("wd", "hh")
+      },
+      """WITH cells AS (
+        |  SELECT (isodow(ts) - 1)::BIGINT AS wd, hour(ts)::BIGINT AS hh,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT sum(cnt) AS total FROM cells)
+        |SELECT wd, hh, cnt, cnt::DOUBLE / total::DOUBLE AS share
+        |FROM cells, t ORDER BY wd, hh""".stripMargin),
   )
 }

@@ -507,5 +507,67 @@ object Relational2 {
         |  (click_tsm IS NOT NULL
         |    AND click_tsm >= tsm - INTERVAL 24 HOUR) AS matched
         |FROM w WHERE is_err = 1 ORDER BY event_id""".stripMargin),
+
+    // Skewness + excess kurtosis — the 3rd/4th-moment members of the
+    // q_agg_stats family, from EXACT integer power sums: quantities are
+    // integral ≤ 50, so Σq..Σq⁴ are exact BIGINTs far below 2^53 at any
+    // realistic sf (Σq⁴ ≤ 6.25e6·N), every DOUBLE read is exact, and
+    // both engines evaluate the ONE shared moment expression tree
+    // identically. Neither engine's built-in skewness()/kurtosis() is
+    // used — their internal accumulation orders differ.
+    QueryDef("q_agg_skewkurt",
+      (s, d) => {
+        val q = col("l_quantity").cast("long")
+        val m = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(q).as("s1"),
+            sum(q * q).as("s2"), sum(q * q * q).as("s3"),
+            sum(q * q * q * q).as("s4"))
+          .select(col("l_returnflag"), col("n"),
+            col("n").cast("double").as("nd"),
+            col("s1").cast("double").as("s1d"),
+            col("s2").cast("double").as("s2d"),
+            col("s3").cast("double").as("s3d"),
+            col("s4").cast("double").as("s4d"))
+          .withColumn("mean", col("s1d") / col("nd"))
+          .withColumn("m2",
+            col("s2d") / col("nd") - col("mean") * col("mean"))
+          .withColumn("m3",
+            col("s3d") / col("nd") - lit(3) * col("mean") * (col("s2d") / col("nd"))
+              + lit(2) * col("mean") * col("mean") * col("mean"))
+          .withColumn("m4",
+            col("s4d") / col("nd") - lit(4) * col("mean") * (col("s3d") / col("nd"))
+              + lit(6) * col("mean") * col("mean") * (col("s2d") / col("nd"))
+              - lit(3) * col("mean") * col("mean") * col("mean") * col("mean"))
+        m.select(col("l_returnflag"), col("n"), col("mean"),
+            (col("m3") / (col("m2") * sqrt(col("m2")))).as("skewness"),
+            (col("m4") / (col("m2") * col("m2")) - lit(3)).as("kurtosis_excess"))
+          .orderBy("l_returnflag")
+      },
+      """WITH r AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(l_quantity::BIGINT) AS s1,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT) AS s2,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT * l_quantity::BIGINT) AS s3,
+        |    sum(l_quantity::BIGINT * l_quantity::BIGINT * l_quantity::BIGINT
+        |        * l_quantity::BIGINT) AS s4
+        |  FROM lineitem GROUP BY 1),
+        |c AS (
+        |  SELECT l_returnflag, n, n::DOUBLE AS nd, s1::DOUBLE AS s1d,
+        |    s2::DOUBLE AS s2d, s3::DOUBLE AS s3d, s4::DOUBLE AS s4d
+        |  FROM r),
+        |mo AS (
+        |  SELECT *, s1d / nd AS mean FROM c),
+        |m2t AS (
+        |  SELECT *, s2d / nd - mean * mean AS m2,
+        |    s3d / nd - 3 * mean * (s2d / nd) + 2 * mean * mean * mean AS m3,
+        |    s4d / nd - 4 * mean * (s3d / nd)
+        |      + 6 * mean * mean * (s2d / nd)
+        |      - 3 * mean * mean * mean * mean AS m4
+        |  FROM mo)
+        |SELECT l_returnflag, n, mean,
+        |  m3 / (m2 * sqrt(m2)) AS skewness,
+        |  m4 / (m2 * m2) - 3 AS kurtosis_excess
+        |FROM m2t ORDER BY l_returnflag""".stripMargin),
   )
 }
