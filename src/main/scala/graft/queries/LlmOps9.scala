@@ -407,5 +407,76 @@ object LlmOps9 {
           |  sqrt(${graft.functions.Similarity.dotSql("resid", "resid")}) AS norm_after,
           |  resid
           |FROM rs ORDER BY vec_id""".stripMargin),
+
+    // Zipf-law fit — OLS slope of ln(freq) on ln(rank) over the top-256
+    // vocabulary head, the classic corpus-health statistic (natural
+    // text slopes ≈ −1; templated/spammy corpora flatten or steepen).
+    // Scale shape: the ONLY corpus-scaled work is the token count
+    // (reduce-to-vocab, Heaps-sublinear output); the global rank is a
+    // vocab-bounded single sort (the q_text_bpe_train discipline) and
+    // the regression runs over one 256-point array. Determinism: ln via
+    // LnIeee, points rank-sorted, each Σ a 0.0-seeded ascending fold
+    // (the q_text_entropy recipe), slope/intercept ONE shared IEEE
+    // expression over those sums.
+    QueryDef("q_text_zipf",
+      (s, d) => {
+        graft.functions.LnIeee.register(s)
+        import org.apache.spark.sql.expressions.Window
+        val vocab = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("cnt"))
+        val ranked = vocab
+          .withColumn("rank",
+            row_number().over(Window.orderBy(col("cnt").desc, col("word").asc)))
+          .filter(col("rank") <= 256)
+          .select(col("rank"),
+            call_function("ln_ieee", col("rank").cast("double")).as("x"),
+            call_function("ln_ieee", col("cnt").cast("double")).as("y"))
+        def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          aggregate(transform(col("pts"), f), lit(0.0), (a, x) => a + x)
+        ranked
+          .agg(count(lit(1)).as("n"),
+            array_sort(collect_list(struct(col("rank"), col("x"), col("y"))))
+              .as("pts"))
+          .select(col("n").cast("double").as("nd"), col("n"),
+            fold(e => e.getField("x")).as("sx"),
+            fold(e => e.getField("y")).as("sy"),
+            fold(e => e.getField("x") * e.getField("y")).as("sxy"),
+            fold(e => e.getField("x") * e.getField("x")).as("sxx"))
+          .withColumn("zipf_slope",
+            (col("nd") * col("sxy") - col("sx") * col("sy")) /
+              (col("nd") * col("sxx") - col("sx") * col("sx")))
+          .select(col("n"), col("zipf_slope"),
+            ((col("sy") - col("zipf_slope") * col("sx")) / col("nd"))
+              .as("intercept"))
+      },
+      """WITH t AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |v AS (SELECT word, count(*) AS cnt FROM t GROUP BY 1),
+        |r AS (SELECT word, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+        |      FROM v),
+        |p AS (SELECT rank, ln(rank::DOUBLE) AS x, ln(cnt::DOUBLE) AS y
+        |      FROM r WHERE rank <= 256),
+        |a AS (SELECT count(*) AS n, count(*)::DOUBLE AS nd,
+        |        list(struct_pack(rank := rank, x := x, y := y)
+        |          ORDER BY rank) AS pts
+        |      FROM p),
+        |f AS (SELECT n, nd,
+        |  list_reduce(list_prepend(0.0,
+        |    list_transform(pts, e -> struct_extract(e, 'x'))), (a, b) -> a + b) AS sx,
+        |  list_reduce(list_prepend(0.0,
+        |    list_transform(pts, e -> struct_extract(e, 'y'))), (a, b) -> a + b) AS sy,
+        |  list_reduce(list_prepend(0.0,
+        |    list_transform(pts, e -> struct_extract(e, 'x') * struct_extract(e, 'y'))),
+        |    (a, b) -> a + b) AS sxy,
+        |  list_reduce(list_prepend(0.0,
+        |    list_transform(pts, e -> struct_extract(e, 'x') * struct_extract(e, 'x'))),
+        |    (a, b) -> a + b) AS sxx
+        |  FROM a),
+        |sl AS (SELECT *,
+        |  (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS zipf_slope FROM f)
+        |SELECT n, zipf_slope, (sy - zipf_slope * sx) / nd AS intercept
+        |FROM sl""".stripMargin),
   )
 }
