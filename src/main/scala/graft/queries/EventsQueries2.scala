@@ -276,5 +276,63 @@ object EventsQueries2 {
         |t AS (SELECT sum(cnt) AS total FROM cells)
         |SELECT wd, hh, cnt, cnt::DOUBLE / total::DOUBLE AS share
         |FROM cells, t ORDER BY wd, hh""".stripMargin),
+
+    // A/B experiment readout: users split by the standard deterministic
+    // id-hash assignment (parity here — the corpus has no variant
+    // column), conversion = a repeat-purchaser flag (>= 13 purchase
+    // events — "any purchase" saturates to 100% on this dense corpus,
+    // degenerating the pooled variance to 0), output per-variant
+    // rates plus lift and the two-proportion z statistic. The per-user
+    // conversion flag is ONE map-side-combined boolean aggregate; the
+    // 2-row variant rollup and the final stats are driver-trivial.
+    // Every input to the z formula is an exact BIGINT, the pooled-rate
+    // expression is written identically on both engines, so the
+    // statistic hash-matches bit-for-bit.
+    QueryDef("q_events_abtest",
+      (s, d) => {
+        val perUser = Tables.events(s, d)
+          .select(col("user_id"), (col("user_id") % 2).as("variant"),
+            (col("event_type") === "purchase").cast("int").as("is_purchase"))
+          .groupBy("user_id", "variant")
+          .agg((sum(col("is_purchase")) >= 13).cast("long").as("converted"))
+        val v = perUser.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum(col("converted")).as("c"))
+        val a = v.filter(col("variant") === 0)
+          .select(col("n").as("n0"), col("c").as("c0"))
+        val b = v.filter(col("variant") === 1)
+          .select(col("n").as("n1"), col("c").as("c1"))
+        a.crossJoin(broadcast(b))
+          .withColumn("r0", col("c0").cast("double") / col("n0").cast("double"))
+          .withColumn("r1", col("c1").cast("double") / col("n1").cast("double"))
+          .withColumn("pooled",
+            (col("c0") + col("c1")).cast("double") /
+              (col("n0") + col("n1")).cast("double"))
+          .select(col("n0"), col("c0"), col("n1"), col("c1"),
+            col("r0"), col("r1"),
+            (col("r1") / col("r0") - lit(1.0)).as("lift"),
+            ((col("r1") - col("r0")) /
+              sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+                (lit(1.0) / col("n0").cast("double") +
+                  lit(1.0) / col("n1").cast("double")))).as("z_stat"))
+      },
+      """WITH pu AS (
+        |  SELECT user_id, (user_id % 2) AS variant,
+        |    (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 13)::BIGINT
+        |      AS converted
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT variant, count(*) AS n, sum(converted) AS c
+        |      FROM pu GROUP BY 1),
+        |a AS (SELECT n AS n0, c AS c0 FROM v WHERE variant = 0),
+        |b AS (SELECT n AS n1, c AS c1 FROM v WHERE variant = 1),
+        |j AS (
+        |  SELECT n0, c0, n1, c1,
+        |    c0::DOUBLE / n0::DOUBLE AS r0, c1::DOUBLE / n1::DOUBLE AS r1,
+        |    (c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE AS pooled
+        |  FROM a, b)
+        |SELECT n0, c0, n1, c1, r0, r1,
+        |  r1 / r0 - 1.0 AS lift,
+        |  (r1 - r0) / sqrt(pooled * (1.0 - pooled)
+        |    * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS z_stat
+        |FROM j""".stripMargin),
   )
 }

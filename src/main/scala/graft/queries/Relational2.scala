@@ -569,5 +569,89 @@ object Relational2 {
         |  m3 / (m2 * sqrt(m2)) AS skewness,
         |  m4 / (m2 * m2) - 3 AS kurtosis_excess
         |FROM m2t ORDER BY l_returnflag""".stripMargin),
+
+    // Nearest as-of join — completes the as-of family (backward /
+    // forward / tolerance / NEAREST): each error matches whichever
+    // click is closer in time, before or after, ties to the backward
+    // match (kdb `wj` / pandas `merge_asof direction='nearest'`
+    // semantics). Both candidates come from the SAME user-keyed sort
+    // (one ignore-nulls running column per direction) — no second
+    // shuffle, no join; the pick is pure projection arithmetic on
+    // exact epoch-ms BIGINTs.
+    QueryDef("q_join_asof_nearest",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val u = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "error"))
+          .select(col("user_id"),
+            date_trunc("MILLISECOND", col("ts")).as("tsm"),
+            col("event_id"),
+            (col("event_type") === "click").cast("int").as("is_click"),
+            (col("event_type") === "error").cast("int").as("is_err"))
+        val wb = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wf = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+          .rowsBetween(1, Window.unboundedFollowing)
+        val cid = when(col("is_click") === 1, col("event_id"))
+        val cts = when(col("is_click") === 1, col("tsm"))
+        val withBoth = u
+          .withColumn("bid", last(cid, ignoreNulls = true).over(wb))
+          .withColumn("bts", last(cts, ignoreNulls = true).over(wb))
+          .withColumn("fid", first(cid, ignoreNulls = true).over(wf))
+          .withColumn("fts", first(cts, ignoreNulls = true).over(wf))
+          .filter(col("is_err") === 1)
+          .withColumn("bdt", unix_millis(col("tsm")) - unix_millis(col("bts")))
+          .withColumn("fdt", unix_millis(col("fts")) - unix_millis(col("tsm")))
+        withBoth
+          .select(col("user_id"), col("event_id"), col("tsm").as("err_ts"),
+            when(col("bid").isNull && col("fid").isNull, lit(-1L))
+              .when(col("fid").isNull, col("bid"))
+              .when(col("bid").isNull, col("fid"))
+              .when(col("bdt") <= col("fdt"), col("bid"))
+              .otherwise(col("fid")).as("click_id"),
+            when(col("bid").isNull && col("fid").isNull, lit("none"))
+              .when(col("fid").isNull, lit("back"))
+              .when(col("bid").isNull, lit("fwd"))
+              .when(col("bdt") <= col("fdt"), lit("back"))
+              .otherwise(lit("fwd")).as("direction"))
+          .orderBy("event_id")
+      },
+      """WITH u AS (
+        |  SELECT user_id, date_trunc('milliseconds', ts)::TIMESTAMP AS tsm,
+        |    event_id,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click,
+        |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |  FROM events WHERE event_type IN ('click', 'error')),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+        |      OVER wb AS bid,
+        |    last_value(CASE WHEN is_click = 1 THEN tsm END IGNORE NULLS)
+        |      OVER wb AS bts,
+        |    first_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+        |      OVER wf AS fid,
+        |    first_value(CASE WHEN is_click = 1 THEN tsm END IGNORE NULLS)
+        |      OVER wf AS fts
+        |  FROM u
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY tsm, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wf AS (PARTITION BY user_id ORDER BY tsm, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+        |e AS (
+        |  SELECT user_id, event_id, tsm,
+        |    bid, fid,
+        |    epoch_ms(tsm) - epoch_ms(bts) AS bdt,
+        |    epoch_ms(fts) - epoch_ms(tsm) AS fdt
+        |  FROM w WHERE is_err = 1)
+        |SELECT user_id, event_id, tsm AS err_ts,
+        |  CASE WHEN bid IS NULL AND fid IS NULL THEN -1
+        |       WHEN fid IS NULL THEN bid
+        |       WHEN bid IS NULL THEN fid
+        |       WHEN bdt <= fdt THEN bid ELSE fid END AS click_id,
+        |  CASE WHEN bid IS NULL AND fid IS NULL THEN 'none'
+        |       WHEN fid IS NULL THEN 'back'
+        |       WHEN bid IS NULL THEN 'fwd'
+        |       WHEN bdt <= fdt THEN 'back' ELSE 'fwd' END AS direction
+        |FROM e ORDER BY event_id""".stripMargin),
   )
 }
