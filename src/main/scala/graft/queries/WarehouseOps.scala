@@ -410,5 +410,61 @@ object WarehouseOps {
         |SELECT new_status AS o_orderstatus, count(*) AS n_orders,
         |  sum(floor(new_price * 100 + 0.5)::BIGINT) AS total_cents
         |FROM neu GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Revenue concentration: Pareto top-decile share + exact Gini
+    // coefficient over per-customer revenue — the 80/20 health metric
+    // of any marketplace warehouse. Gini uses the rank formulation
+    // G = 2·Σ(rank·xᵢ)/(n·Σx) − (n+1)/n over ascending (revenue,
+    // custkey) ranks: every term is an exact BIGINT (cents × rank ≤
+    // 1e15 per customer, DECIMAL(38,0) across), so the two closing
+    // divisions are the only doubles and both engines share them
+    // bit-for-bit. Scale shape: the per-customer rollup is the only
+    // fact-sized work; ranking sorts the CUSTOMER frame (dim-bounded,
+    // the q_customer_rfm caveat) and one more aggregate collapses it
+    // to a single row.
+    QueryDef("q_agg_pareto",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val rev = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("revc"))
+          .groupBy("o_custkey")
+          .agg(sum(col("revc")).as("revc"))
+        val ranked = rev.withColumn("rank",
+          row_number().over(Window.orderBy(col("revc").asc, col("o_custkey").asc)))
+        val base = ranked.agg(
+          count(lit(1)).as("n"), sum(col("revc")).as("tot"),
+          sum((col("rank") * col("revc")).cast("decimal(38,0)")).as("sr"))
+        val top = ranked.crossJoin(broadcast(base.select(col("n").as("nn"))))
+          .filter(col("rank") > expr("nn - nn div 10"))
+          .agg(sum(col("revc")).as("toprevc"))
+        base.crossJoin(broadcast(top))
+          .select(col("n"),
+            (col("tot").cast("double") / 100).as("total_revenue"),
+            (lit(2.0) * col("sr").cast("double") /
+              (col("n").cast("double") * col("tot").cast("double")) -
+              (col("n") + 1L).cast("double") / col("n").cast("double")).as("gini"),
+            (col("toprevc").cast("double") / col("tot").cast("double"))
+              .as("top_decile_share"))
+      },
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS revc
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT o_custkey, revc,
+        |    row_number() OVER (ORDER BY revc ASC, o_custkey ASC) AS rank
+        |  FROM rev),
+        |b AS (
+        |  SELECT count(*) AS n, sum(revc) AS tot,
+        |    sum((rank * revc)::DECIMAL(38,0)) AS sr
+        |  FROM r),
+        |tp AS (
+        |  SELECT sum(revc) AS toprevc FROM r, b WHERE rank > n - n // 10)
+        |SELECT n, tot::DOUBLE / 100 AS total_revenue,
+        |  2.0 * sr::DOUBLE / (n::DOUBLE * tot::DOUBLE)
+        |    - (n + 1)::DOUBLE / n::DOUBLE AS gini,
+        |  toprevc::DOUBLE / tot::DOUBLE AS top_decile_share
+        |FROM b, tp""".stripMargin),
   )
 }
