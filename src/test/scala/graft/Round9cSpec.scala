@@ -86,6 +86,18 @@ class Round9cSpec extends SparkSpec {
     assert(partials.nonEmpty, "window-min must be a combinable aggregate")
   }
 
+  test("q_join_asof_nearest runs both direction frames over ONE sort") {
+    // back/fwd candidates must share a single (user_id)-keyed
+    // exchange+sort — a second sort would mean the two frames were
+    // planned as separate window stages
+    val wins = collectAll(planOf("q_join_asof_nearest")) {
+      case w: org.apache.spark.sql.execution.window.WindowExec =>
+        (w.partitionSpec.map(_.sql), w.orderSpec.map(_.sql))
+    }
+    assert(wins.nonEmpty && wins.distinct.size == 1,
+      s"expected one shared (partition, order) spec, got $wins")
+  }
+
   // ---- semantic pins -------------------------------------------------
 
   test("q_emb_pca_power returns a unit eigenvector with small residual") {
