@@ -352,5 +352,37 @@ object GraphOps {
          SELECT a, b, common FROM cand
          WHERE NOT EXISTS (SELECT 1 FROM pairs p
                            WHERE p.a = cand.a AND p.b = cand.b)
-         ORDER BY common DESC, a ASC, b ASC LIMIT 20"""))
+         ORDER BY common DESC, a ASC, b ASC LIMIT 20"""),
+
+    // Degree distribution of the part↔supplier bipartite graph, split
+    // by node kind — the first diagnostic every graph pipeline runs
+    // (hub detection, power-law tail check, join-skew early warning:
+    // the max-degree row IS the worst hot key any neighborhood join
+    // will see). Two map-side-combined groupBys (node→degree, then
+    // (kind, degree)→count); the histogram output is degree-bounded,
+    // not node-bounded.
+    QueryDef("q_graph_degreedist",
+      (s, d) => {
+        val pairs = Tables.lineitem(s, d).select(
+          (col("l_partkey") * 2).as("p"),
+          (col("l_suppkey") * 2 + 1).as("q")).distinct()
+        val edges = pairs.select(col("p").as("src"), col("q").as("dst"))
+          .union(pairs.select(col("q").as("src"), col("p").as("dst")))
+        edges.groupBy("src").agg(count(lit(1)).as("degree"))
+          .select(when(col("src") % 2 === 0, lit("part"))
+            .otherwise(lit("supplier")).as("kind"), col("degree"))
+          .groupBy("kind", "degree")
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy("kind", "degree")
+      },
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+        |  FROM lineitem),
+        |edges AS (
+        |  SELECT p AS src, q AS dst FROM pairs
+        |  UNION ALL SELECT q AS src, p AS dst FROM pairs),
+        |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+        |SELECT CASE WHEN src % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
+        |  degree, count(*) AS n_nodes
+        |FROM deg GROUP BY 1, 2 ORDER BY kind, degree""".stripMargin))
 }

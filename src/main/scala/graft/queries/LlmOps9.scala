@@ -478,5 +478,47 @@ object LlmOps9 {
         |  (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS zipf_slope FROM f)
         |SELECT n, zipf_slope, (sy - zipf_slope * sx) / nd AS intercept
         |FROM sl""".stripMargin),
+
+    // Compression-ratio quality signal — deflate each document once and
+    // report compressed/raw size: the classic cheap boilerplate/spam
+    // detector (templated text compresses far below natural prose;
+    // Gopher/RefinedWeb-era pipelines threshold on it). The Deflater is
+    // PARTITION-LOCAL native state (the multimodal-codec discipline):
+    // one instance per partition, reset between rows, `end()` on task
+    // completion so early-terminating consumers still release the zlib
+    // handle. Rows-only at the gate (no zlib in DuckDB); OpsSpec pins
+    // the discriminative contract (repetitive ≪ natural) and run-to-run
+    // determinism.
+    QueryDef("q_text_compression",
+      (s, d) => {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("n_raw", LongType, nullable = false),
+          StructField("n_deflate", LongType, nullable = false),
+          StructField("ratio", DoubleType, nullable = false)))
+        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .mapPartitions { rows =>
+            val deflater = new java.util.zip.Deflater(
+              java.util.zip.Deflater.DEFAULT_COMPRESSION)
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+            val buf = new Array[Byte](1 << 16)
+            rows.map { r =>
+              val raw = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              deflater.reset()
+              deflater.setInput(raw)
+              deflater.finish()
+              var out = 0L
+              while (!deflater.finished()) out += deflater.deflate(buf)
+              Row(r.getLong(0), raw.length.toLong, out,
+                out.toDouble / raw.length.toDouble)
+            }
+          }(enc)
+          .orderBy("doc_id")
+      },
+      None),
   )
 }
