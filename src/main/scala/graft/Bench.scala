@@ -94,6 +94,7 @@ object Bench {
     while (pass < reps && go) {
       pass += 1
       val tPass = System.nanoTime()
+      var sinceGc = 0
       for (name <- timed) {
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
@@ -102,7 +103,15 @@ object Bench {
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         releaseState()
-        System.gc()
+        // Forced GC every query cost ~0.3-0.5 s × |queries| × reps —
+        // ~40% of the r9 bench wall at 231 queries, pressing the
+        // driver's 30-minute cap. Every 4th query keeps heap debt from
+        // crossing more than a handful of measurements (list-major
+        // ordering + medians absorb the residual noise) at a quarter of
+        // the overhead; block release stays per-query (that one is
+        // correctness of measurement, not hygiene).
+        sinceGc += 1
+        if (sinceGc >= 4) { System.gc(); sinceGc = 0 }
         samplesByName(name) = samplesByName(name) :+ (if (ok) elapsed else -1.0)
       }
       val passSec = (System.nanoTime() - tPass) / 1e9
