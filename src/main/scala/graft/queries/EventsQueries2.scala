@@ -334,5 +334,70 @@ object EventsQueries2 {
         |  (r1 - r0) / sqrt(pooled * (1.0 - pooled)
         |    * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS z_stat
         |FROM j""".stripMargin),
+
+    // Exponentially weighted moving average per user (α = 1/2) — the
+    // smoothing/forecast-baseline recurrence (simple exponential
+    // smoothing's fitted level). Like the token bucket, the recurrence
+    // sₜ = α·vₜ + (1−α)·sₜ₋₁ is non-associative, so it runs as the
+    // SECONDARY-SORT scan (repartition by user, sortWithinPartitions,
+    // O(1) state); unlike the bucket it is float-valued — determinism
+    // holds because BOTH engines evaluate the identical IEEE sequence
+    // in the identical per-user order (0.5·v + 0.5·s, ms-truncated
+    // (ts, event_id) order), which the recursive-CTE oracle replays.
+    // Output sampled to each user's LAST state row to keep the
+    // verified surface user-proportional.
+    QueryDef("q_events_ewma",
+      (s, d) => {
+        import s.implicits._
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            expr("unix_millis(date_trunc('MILLISECOND', ts))").as("tms"),
+            col("value"))
+          .as[(Long, Long, Long, Double)]
+          .repartition(col("user_id"))
+          .sortWithinPartitions("user_id", "tms", "event_id")
+          .mapPartitions { it =>
+            var curUser = 0L
+            var sLevel = 0.0
+            var n = 0L
+            var first = true
+            val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+            var pendingUser = 0L
+            var havePending = false
+            def flush(): Unit =
+              if (havePending) { out += ((pendingUser, n, sLevel)); havePending = false }
+            it.foreach { case (_, uid, _, v) =>
+              if (first || uid != curUser) {
+                flush()
+                curUser = uid; sLevel = v; n = 1L; first = false
+              } else {
+                sLevel = 0.5 * v + 0.5 * sLevel
+                n += 1
+              }
+              pendingUser = uid; havePending = true
+            }
+            flush()
+            out.iterator
+          }
+          .toDF("user_id", "n_events", "ewma_last")
+          .orderBy("user_id")
+      },
+      """WITH RECURSIVE base AS (
+        |  SELECT event_id, user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ms(date_trunc('milliseconds', ts)), event_id) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, rn, value::DOUBLE AS s
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.rn, 0.5 * b.value::DOUBLE + 0.5 * r.s AS s
+        |  FROM rec r JOIN base b
+        |    ON b.user_id = r.user_id AND b.rn = r.rn + 1),
+        |last AS (
+        |  SELECT user_id, max(rn) AS n_events FROM base GROUP BY user_id)
+        |SELECT l.user_id, l.n_events, r.s AS ewma_last
+        |FROM last l JOIN rec r ON r.user_id = l.user_id AND r.rn = l.n_events
+        |ORDER BY l.user_id""".stripMargin),
   )
 }
