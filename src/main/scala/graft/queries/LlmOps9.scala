@@ -489,6 +489,58 @@ object LlmOps9 {
     // handle. Rows-only at the gate (no zlib in DuckDB); OpsSpec pins
     // the discriminative contract (repetitive ≪ natural) and run-to-run
     // determinism.
+    // ColBERT-style late-interaction retrieval (Khattab & Zaharia
+    // SIGIR'20): MaxSim scoring — a "document" is a BAG of token
+    // vectors (vec_id div 4 groups four corpus vectors into one
+    // multi-vector doc), and score(Q, D) = Σ_{q∈Q} max_{t∈D} cos(q, t).
+    // The per-query max rewards the best-matching token instead of
+    // averaging it away — the property that makes late interaction
+    // beat single-vector retrieval on long documents.
+    //
+    // Scale shape: the query side is TWO vectors broadcast to every
+    // token row; per-(doc, query) max and per-doc sum are both
+    // map-side-combined aggregates; top-10 is TakeOrdered. At corpus
+    // scale the crossJoin-with-2 is a constant fan-out, not a join
+    // explosion, and the ANN family's bucketing composes in front of
+    // it unchanged. Determinism: cosine via the native expression
+    // (bit-compatible with the HOF/oracle contract), max is exact, and
+    // the final Σ adds exactly TWO doubles — IEEE addition commutes,
+    // so aggregation order cannot move the hash.
+    QueryDef("q_similarity_maxsim",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val toks = e.select(expr("vec_id div 4").as("mdoc_id"),
+          col("vec_id"), col("embedding"))
+        toks.crossJoin(broadcast(q))
+          .select(col("mdoc_id"), col("q_id"),
+            call_function("cosine_sim", col("embedding"), col("q_emb")).as("sim"))
+          .groupBy("mdoc_id", "q_id")
+          .agg(max(col("sim")).as("best"))
+          .groupBy("mdoc_id")
+          .agg(sum(col("best")).as("maxsim"), count(lit(1)).as("n_q"))
+          .orderBy(col("maxsim").desc, col("mdoc_id").asc)
+          .limit(10)
+      },
+      s"""WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS q_emb
+        |  FROM embeddings WHERE vec_id < 2),
+        |toks AS (
+        |  SELECT (vec_id // 4)::BIGINT AS mdoc_id, vec_id, embedding
+        |  FROM embeddings),
+        |sims AS (
+        |  SELECT mdoc_id, q_id,
+        |    ${graft.functions.Similarity.cosineSql("toks.embedding", "q.q_emb")} AS sim
+        |  FROM toks, q),
+        |best AS (
+        |  SELECT mdoc_id, q_id, max(sim) AS best
+        |  FROM sims GROUP BY 1, 2)
+        |SELECT mdoc_id, sum(best) AS maxsim, count(*) AS n_q
+        |FROM best GROUP BY mdoc_id
+        |ORDER BY maxsim DESC, mdoc_id ASC LIMIT 10""".stripMargin),
+
     QueryDef("q_text_compression",
       (s, d) => {
         import org.apache.spark.sql.Row
