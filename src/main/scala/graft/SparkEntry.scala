@@ -12,7 +12,8 @@ object SparkEntry {
       graft.queries.LlmOps4.defs ++ graft.queries.LlmOps5.defs ++
       graft.queries.LlmOps6.defs ++ graft.queries.LlmOps7.defs ++
       graft.queries.LlmOps8.defs ++ graft.queries.LlmOps9.defs ++
-      graft.queries.WarehouseOps.defs ++
+      graft.queries.LlmOps10.defs ++
+      graft.queries.WarehouseOps.defs ++ graft.queries.StatsOps.defs ++
       graft.queries.EventsQueries2.defs ++
       graft.queries.GraphOps.defs
 

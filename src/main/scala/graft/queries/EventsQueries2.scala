@@ -399,5 +399,68 @@ object EventsQueries2 {
         |SELECT l.user_id, l.n_events, r.s AS ewma_last
         |FROM last l JOIN rec r ON r.user_id = l.user_id AND r.rn = l.n_events
         |ORDER BY l.user_id""".stripMargin),
+
+    // CUSUM change-point detection per event_type over hourly value
+    // sums — the drift detector a data pipeline runs on a metric
+    // before trusting a time-split. INTEGER-DETERMINISTIC throughout
+    // (the q_graph_pagerank technique): values become micro-units via
+    // floor (cast double->long truncates toward zero in Spark but
+    // rounds in DuckDB — floor first is exact in both), and the
+    // classic S_k = prefix_k - k·mean statistic is multiplied through
+    // by n_buckets so the mean never becomes a rational:
+    // S'_k = nb·prefix_k - k·total, exact BIGINT (bounded by
+    // nb·total ≈ 1e15 at sf0.1 — switch to DECIMAL(38,0) if a corpus
+    // ever pushes nb·total past 2^63). Scale shape: one map-side-
+    // combined groupBy to hourly buckets, per-type windows over the
+    // BOUNDED bucket series (hours-in-span rows, not events), and a
+    // |types|-row broadcast join for totals.
+    QueryDef("q_events_changepoint",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hb = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            floor(col("value") * 1000000).cast("long").as("v"))
+          .groupBy("event_type", "h")
+          .agg(sum("v").as("x"), count(lit(1)).as("c"))
+        val w = Window.partitionBy("event_type").orderBy("h")
+        val tot = hb.groupBy("event_type")
+          .agg(sum("x").as("tx"), count(lit(1)).as("nb"),
+            sum("c").as("n_events"))
+        val sk = hb
+          .withColumn("k", row_number().over(w).cast("long"))
+          .withColumn("px", sum("x").over(w))
+          .join(broadcast(tot), "event_type")
+          .select(col("event_type"), col("h"), col("k"), col("nb"),
+            col("n_events"),
+            (col("nb") * col("px") - col("k") * col("tx")).as("s"))
+        val pick = Window.partitionBy("event_type")
+          .orderBy(abs(col("s")).desc, col("h").asc)
+        sk.withColumn("rk", row_number().over(pick))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("h").as("cp_hour"),
+            col("k").as("cp_k"), col("nb"), col("n_events"), col("s"))
+          .orderBy("event_type")
+      },
+      """WITH hb AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    sum(floor(value * 1000000)::BIGINT) AS x, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, sum(x) AS tx, count(*) AS nb,
+        |    sum(c) AS n_events
+        |  FROM hb GROUP BY 1),
+        |sk AS (
+        |  SELECT hb.event_type, hb.h,
+        |    row_number() OVER (PARTITION BY hb.event_type ORDER BY hb.h)::BIGINT AS k,
+        |    t.nb::BIGINT AS nb, t.n_events::BIGINT AS n_events,
+        |    (t.nb * sum(hb.x) OVER (PARTITION BY hb.event_type ORDER BY hb.h)
+        |      - row_number() OVER (PARTITION BY hb.event_type ORDER BY hb.h) * t.tx)::BIGINT AS s
+        |  FROM hb JOIN tot t USING (event_type)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(s) DESC, h ASC) AS rk
+        |  FROM sk)
+        |SELECT event_type, h AS cp_hour, k AS cp_k, nb, n_events, s
+        |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin),
   )
 }

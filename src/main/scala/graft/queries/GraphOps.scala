@@ -384,5 +384,60 @@ object GraphOps {
         |deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
         |SELECT CASE WHEN src % 2 = 0 THEN 'part' ELSE 'supplier' END AS kind,
         |  degree, count(*) AS n_nodes
-        |FROM deg GROUP BY 1, 2 ORDER BY kind, degree""".stripMargin))
+        |FROM deg GROUP BY 1, 2 ORDER BY kind, degree""".stripMargin),
+
+    // Adamic-Adar link prediction over the supplier projection of the
+    // part-supplier incidence: score(s1, s2) = sum over shared parts of
+    // 1 / ln(deg(part)) — the standard similarity scorer that discounts
+    // hub neighbors. Scale design mirrors q_graph_neighbors: wedge
+    // volume is sum(deg^2) over parts, so hub parts are CAPPED out
+    // (deg > 32 contributes < 1/ln(32) per pair to millions of pairs —
+    // all noise, no signal; the cap is mirrored in the oracle). ln runs
+    // through the LnIeee intrinsic and the per-pair term sum is an
+    // array_sort'd left fold keyed by part id (bounded by the shared-
+    // part count, never corpus-scaled). Top-20 by exact double score
+    // with (s1, s2) tiebreak.
+    QueryDef("q_graph_linkpred",
+      (s, d) => {
+        graft.functions.LnIeee.register(s)
+        val inc = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+          .distinct()
+        val deg = inc.groupBy("part").agg(count(lit(1)).as("deg"))
+          .filter(col("deg").between(2, 32))
+        val wedges = inc.as("x").join(inc.as("y"),
+            expr("x.part = y.part AND x.supp < y.supp"))
+          .select(col("x.part").as("part"),
+            col("x.supp").as("s1"), col("y.supp").as("s2"))
+          .join(deg, "part")
+          .select(col("s1"), col("s2"), col("part"),
+            (lit(1.0) / call_function("ln_ieee", col("deg").cast("double")))
+              .as("term"))
+        wedges.groupBy("s1", "s2")
+          .agg(count(lit(1)).cast("long").as("n_common"),
+            array_sort(collect_list(struct(col("part"), col("term"))))
+              .as("terms"))
+          .select(col("s1"), col("s2"), col("n_common"),
+            aggregate(col("terms"), lit(0.0),
+              (acc, e) => acc + e.getField("term")).as("aa"))
+          .orderBy(col("aa").desc, col("s1").asc, col("s2").asc)
+          .limit(20)
+      },
+      """WITH inc AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+                      FROM lineitem),
+         deg AS (SELECT part, count(*) AS deg FROM inc GROUP BY 1
+                 HAVING count(*) BETWEEN 2 AND 32),
+         wedges AS (SELECT x.part AS part, x.supp AS s1, y.supp AS s2,
+                      1.0 / ln(d.deg::DOUBLE) AS term
+                    FROM inc x JOIN inc y
+                      ON x.part = y.part AND x.supp < y.supp
+                    JOIN deg d ON x.part = d.part),
+         pairs AS (SELECT s1, s2, count(*)::BIGINT AS n_common,
+                     list_reduce(list_prepend(0.0, list_transform(
+                         list_sort(list(struct_pack(part := part, term := term))),
+                         e -> struct_extract(e, 'term'))),
+                       (a, b) -> a + b) AS aa
+                   FROM wedges GROUP BY 1, 2)
+         SELECT s1, s2, n_common, aa FROM pairs
+         ORDER BY aa DESC, s1 ASC, s2 ASC LIMIT 20"""))
 }

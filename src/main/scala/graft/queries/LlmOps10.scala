@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.TextAnalysis
+
+/** Corpus keyword/keyness extraction — round-9 batch: RAKE candidate
+  * phrases and Dunning log-likelihood (G²) keyness per language.
+  *
+  * Both are classic corpus-curation signals: RAKE surfaces candidate
+  * key-phrases without any model (stopword-delimited runs scored by
+  * word degree/frequency); G² keyness finds the terms that
+  * distinguish one slice of the corpus from the rest — the standard
+  * drift/contamination diagnostic when mixing sources.
+  *
+  * Determinism: every irrational double (ln, degree/freq ratios) is
+  * produced by the same IEEE operation order on both engines (ln via
+  * the LnIeee intrinsic), and every order-sensitive double sum is an
+  * array_sort'd left fold over a position-keyed struct list (the
+  * q_text_entropy technique). Ranking ties break on the word/phrase
+  * itself, so LIMIT/row_number cuts are stable.
+  */
+object LlmOps10 {
+
+  val defs: Seq[QueryDef] = Seq(
+    // RAKE (Rapid Automatic Keyword Extraction): split each document
+    // into candidate phrases at stopword boundaries; word score =
+    // degree/frequency where degree counts co-occurring phrase slots;
+    // phrase score = sum of its word scores. Scale shape: one
+    // per-document running-sum window assigns phrase ids (partitioned
+    // by doc — no global window), word stats are one map-side-combined
+    // groupBy(word), and the phrase-score join shuffles (word, score)
+    // pairs, never documents. The per-phrase fold is bounded by phrase
+    // length (longest stopword-free run), not corpus size.
+    QueryDef("q_text_rake",
+      (s, d) => {
+        val stops = TextAnalysis.enStopwords
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")))
+          .toDF("doc_id", "pos", "word")
+          .withColumn("is_stop", col("word").isInCollection(stops))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val pw = toks
+          .withColumn("pid",
+            sum(when(col("is_stop"), 1L).otherwise(0L)).over(w))
+          .filter(!col("is_stop"))
+          .select("doc_id", "pid", "pos", "word")
+        val plen = pw.groupBy("doc_id", "pid").agg(count(lit(1)).as("plen"))
+        val wstats = pw.join(plen, Seq("doc_id", "pid"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+          .select(col("word"),
+            (col("deg").cast("double") / col("freq").cast("double"))
+              .as("wscore"))
+        pw.join(wstats, "word")
+          .groupBy("doc_id", "pid")
+          .agg(array_sort(collect_list(
+            struct(col("pos"), col("word"), col("wscore")))).as("ws"))
+          .select(
+            array_join(transform(col("ws"), e => e.getField("word")), " ")
+              .as("phrase"),
+            size(col("ws")).cast("long").as("n_words"),
+            aggregate(col("ws"), lit(0.0),
+              (acc, e) => acc + e.getField("wscore")).as("score"))
+          .groupBy("phrase", "n_words", "score")
+          .agg(count(lit(1)).cast("long").as("n_occurrences"))
+          .orderBy(col("score").desc, col("phrase").asc)
+          .limit(20)
+      },
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         tok AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w FROM t),
+         m AS (SELECT doc_id, pos, w[pos] AS word,
+                 w[pos] IN (${TextAnalysis.enStopwords.map(x => s"'$x'").mkString(", ")}) AS is_stop
+               FROM tok),
+         ph AS (SELECT doc_id, pos, word, is_stop,
+                  sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+                FROM m),
+         pw AS (SELECT doc_id, pid, pos, word FROM ph WHERE NOT is_stop),
+         plen AS (SELECT doc_id, pid, count(*) AS plen FROM pw GROUP BY 1, 2),
+         wstats AS (SELECT word,
+                      sum(plen)::DOUBLE / count(*)::DOUBLE AS wscore
+                    FROM pw JOIN plen USING (doc_id, pid) GROUP BY word),
+         phr AS (SELECT p.doc_id, p.pid,
+                   list_sort(list(struct_pack(
+                     pos := p.pos, word := p.word, wscore := s.wscore))) AS ws
+                 FROM pw p JOIN wstats s USING (word)
+                 GROUP BY 1, 2),
+         scored AS (SELECT
+             array_to_string(list_transform(ws,
+               e -> struct_extract(e, 'word')), ' ') AS phrase,
+             len(ws)::BIGINT AS n_words,
+             list_reduce(list_prepend(0.0, list_transform(ws,
+                 e -> struct_extract(e, 'wscore'))),
+               (a, b) -> a + b) AS score
+           FROM phr)
+         SELECT phrase, n_words, score, count(*)::BIGINT AS n_occurrences
+         FROM scored GROUP BY 1, 2, 3
+         ORDER BY score DESC, phrase ASC LIMIT 20"""),
+
+    // Dunning log-likelihood (G²) keyness: for each language slice,
+    // the 10 words most over/under-represented vs the rest of the
+    // corpus — 2·(a·ln(a/Eₐ) + b·ln(b/E_b)) over the 2×2 contingency
+    // of (word, slice). Scale shape: token counts are two map-side-
+    // combined groupBys ((lang, word) then word); the corpus-total
+    // join is a broadcast of one row and the per-lang totals a
+    // broadcast of |langs| rows; the top-10 cut is a per-lang
+    // row_number window over words (WindowGroupLimit prunes it).
+    QueryDef("q_text_keyness",
+      (s, d) => {
+        graft.functions.LnIeee.register(s)
+        val lw = Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("lang", "word").agg(count(lit(1)).as("a"))
+        val lt = lw.groupBy("lang").agg(sum("a").as("at"))
+        val wt = lw.groupBy("word").agg(sum("a").as("ab"))
+        val tt = lw.groupBy().agg(sum("a").as("n"))
+        val g = lw.join(broadcast(lt), "lang").join(wt, "word")
+          .crossJoin(broadcast(tt))
+          .select(col("lang"), col("word"), col("a"),
+            (col("ab") - col("a")).as("b"),
+            (col("at").cast("double") * col("ab").cast("double") /
+              col("n").cast("double")).as("ea"),
+            ((col("n") - col("at")).cast("double") * col("ab").cast("double") /
+              col("n").cast("double")).as("eb"))
+          .select(col("lang"), col("word"), col("a"), col("b"),
+            (lit(2.0) * (col("a").cast("double") *
+                call_function("ln_ieee", col("a").cast("double") / col("ea")) +
+              when(col("b") > 0, col("b").cast("double") *
+                  call_function("ln_ieee", col("b").cast("double") / col("eb")))
+                .otherwise(lit(0.0)))).as("g2"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("g2").desc, col("word").asc)
+        g.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10)
+          .select(col("lang"), col("rk").cast("long").as("rk"), col("word"),
+            col("a").cast("long").as("a"), col("b").cast("long").as("b"),
+            col("g2"))
+          .orderBy("lang", "rk")
+      },
+      """WITH lw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+         cnt AS (SELECT lang, word, count(*) AS a FROM lw GROUP BY 1, 2),
+         lt AS (SELECT lang, sum(a) AS at FROM cnt GROUP BY 1),
+         wt AS (SELECT word, sum(a) AS ab FROM cnt GROUP BY 1),
+         tt AS (SELECT sum(a) AS n FROM cnt),
+         e AS (SELECT c.lang, c.word, c.a, (w.ab - c.a) AS b,
+                 l.at::DOUBLE * w.ab::DOUBLE / t.n::DOUBLE AS ea,
+                 (t.n - l.at)::DOUBLE * w.ab::DOUBLE / t.n::DOUBLE AS eb
+               FROM cnt c JOIN lt l USING (lang) JOIN wt w USING (word)
+               CROSS JOIN tt t),
+         g AS (SELECT lang, word, a, b,
+                 2.0 * (a::DOUBLE * ln(a::DOUBLE / ea) +
+                   CASE WHEN b > 0 THEN b::DOUBLE * ln(b::DOUBLE / eb)
+                        ELSE 0.0 END) AS g2
+               FROM e),
+         r AS (SELECT lang, word, a, b, g2,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY g2 DESC, word ASC) AS rk
+               FROM g)
+         SELECT lang, rk::BIGINT AS rk, word, a::BIGINT AS a, b::BIGINT AS b, g2
+         FROM r WHERE rk <= 10 ORDER BY lang, rk"""))
+}

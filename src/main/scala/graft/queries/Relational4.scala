@@ -414,5 +414,84 @@ object Relational4 {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY source, (before // 4096)::BIGINT
         |ORDER BY source, grp""".stripMargin),
+
+    // Zone-map pruning effectiveness — the quantified argument for
+    // clustering data by its hottest filter key. Rows are binned into
+    // 256 simulated files under two layouts: HASH (orderkey mod 256 —
+    // the "insertion order" analog, every file spans the whole
+    // shipdate range) and RANGE (shipdate epoch-day range-bucketed —
+    // what repartitionByRange + sortWithinPartitions produces). Each
+    // file keeps a (min, max) shipdate zone map; a representative
+    // 90-day predicate then counts how many files survive min/max
+    // pruning and how many rows those files hold. NO global windows:
+    // file ids derive arithmetically from the row's own key (mod /
+    // range-scaled day), so the whole simulation is two map-side-
+    // combined groupBys — the same trick lets a real 100 TB layout
+    // job skip the global row_number a naive rows-per-file split
+    // would need.
+    QueryDef("q_layout_zonemap",
+      (s, d) => {
+        val day = datediff(col("l_shipdate"), lit("1970-01-01").cast("date"))
+          .cast("long")
+        val li = Tables.lineitem(s, d).select(day.as("day"))
+        val span = li.groupBy().agg(min("day").as("d0"), max("day").as("d1"))
+        val binned = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), day.as("day"))
+          .crossJoin(broadcast(span))
+          .select(col("day"),
+            (col("l_orderkey") % 256).as("f_hash"),
+            expr("(day - d0) * 256 div (d1 - d0 + 1)").as("f_range"),
+            col("d0"))
+        // predicate: the 90 days starting one year into the span
+        val files = binned
+          .select(explode(array(
+            struct(lit("hash").as("layout"), col("f_hash").as("f")),
+            struct(lit("range").as("layout"), col("f_range").as("f"))))
+            .as("lf"), col("day"), col("d0"))
+          .select(col("lf.layout").as("layout"), col("lf.f").as("f"),
+            col("day"), (col("d0") + 365).as("p_lo"), (col("d0") + 455).as("p_hi"))
+          .groupBy("layout", "f", "p_lo", "p_hi")
+          .agg(min("day").as("zmin"), max("day").as("zmax"),
+            count(lit(1)).as("nrows"))
+        files.groupBy("layout")
+          .agg(count(lit(1)).cast("long").as("n_files"),
+            sum("nrows").as("n_rows"),
+            sum(when(col("zmax") >= col("p_lo") && col("zmin") <= col("p_hi"),
+              1L).otherwise(0L)).as("files_scanned"),
+            sum(when(col("zmax") >= col("p_lo") && col("zmin") <= col("p_hi"),
+              col("nrows")).otherwise(0L)).as("rows_scanned"))
+          .select(col("layout"), col("n_files"), col("files_scanned"),
+            (col("files_scanned").cast("double") /
+              col("n_files").cast("double")).as("files_frac"),
+            (col("rows_scanned").cast("double") /
+              col("n_rows").cast("double")).as("rows_frac"))
+          .orderBy("layout")
+      },
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    date_diff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT AS day
+        |  FROM lineitem),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM li),
+        |binned AS (
+        |  SELECT day, l_orderkey % 256 AS f_hash,
+        |    (day - d0) * 256 // (d1 - d0 + 1) AS f_range,
+        |    d0 + 365 AS p_lo, d0 + 455 AS p_hi
+        |  FROM li CROSS JOIN span),
+        |lays AS (
+        |  SELECT 'hash' AS layout, f_hash AS f, day, p_lo, p_hi FROM binned
+        |  UNION ALL
+        |  SELECT 'range' AS layout, f_range AS f, day, p_lo, p_hi FROM binned),
+        |files AS (
+        |  SELECT layout, f, p_lo, p_hi, min(day) AS zmin, max(day) AS zmax,
+        |    count(*) AS nrows
+        |  FROM lays GROUP BY 1, 2, 3, 4)
+        |SELECT layout, count(*)::BIGINT AS n_files,
+        |  sum(CASE WHEN zmax >= p_lo AND zmin <= p_hi THEN 1 ELSE 0 END)::BIGINT
+        |    AS files_scanned,
+        |  sum(CASE WHEN zmax >= p_lo AND zmin <= p_hi THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE AS files_frac,
+        |  sum(CASE WHEN zmax >= p_lo AND zmin <= p_hi THEN nrows ELSE 0 END)::DOUBLE
+        |    / sum(nrows)::DOUBLE AS rows_frac
+        |FROM files GROUP BY layout ORDER BY layout""".stripMargin),
   )
 }

@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Closed-form statistical modelling over relations — the "fit a tiny
+  * model INSIDE the warehouse" family (OLS via normal equations,
+  * chi-squared independence). Everything here reduces to exact decimal
+  * co-moments (the q_agg_corr technique, [[Relational2]]) followed by a
+  * fixed scalar formula evaluated in the same IEEE operation order on
+  * both engines, so results hash-match bit-for-bit without any
+  * tolerance machinery.
+  *
+  * Scale design: each query is one map-side-combined groupBy whose
+  * shuffle carries O(groups) rows of fixed-width co-moment sums — the
+  * canonical distributed-statistics shape. Model state never exceeds a
+  * handful of doubles per group; nothing is collected to the driver.
+  */
+object StatsOps {
+
+  val defs: Seq[QueryDef] = Seq(
+    // Two-feature ordinary least squares per group, solved in closed
+    // form from the 2x2 normal equations: l_quantity ~ l_discount +
+    // l_tax within each return flag. Features/target are deliberately
+    // small-valued (quantity <= 50, rates <= 0.1, all DECIMAL(18,2))
+    // so every co-moment's unscaled integer stays far below 2^53 and
+    // the decimal->double conversion is EXACT on both engines — the
+    // q_agg_corr scaladoc documents why large co-moments (price^2)
+    // can differ by 1 ulp between BigDecimal and DuckDB's int128
+    // conversion. One aggregation pass computes all eight sums; the
+    // solve is per-group scalar arithmetic in identical IEEE order.
+    QueryDef("q_stats_ols",
+      (s, d) => {
+        val y = col("l_quantity").cast("decimal(18,2)")
+        val x1 = col("l_discount").cast("decimal(18,2)")
+        val x2 = col("l_tax").cast("decimal(18,2)")
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x1).cast("double").as("s1"), sum(x2).cast("double").as("s2"),
+            sum(y).cast("double").as("sy"),
+            sum(x1 * x1).cast("double").as("s11"),
+            sum(x2 * x2).cast("double").as("s22"),
+            sum(x1 * x2).cast("double").as("s12"),
+            sum(x1 * y).cast("double").as("s1y"),
+            sum(x2 * y).cast("double").as("s2y"),
+            sum(y * y).cast("double").as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            // centered second moments (times n) — exact differences of
+            // exactly-converted doubles
+            (col("n") * col("s11") - col("s1") * col("s1")).as("c11"),
+            (col("n") * col("s22") - col("s2") * col("s2")).as("c22"),
+            (col("n") * col("s12") - col("s1") * col("s2")).as("c12"),
+            (col("n") * col("s1y") - col("s1") * col("sy")).as("c1y"),
+            (col("n") * col("s2y") - col("s2") * col("sy")).as("c2y"),
+            (col("n") * col("syy") - col("sy") * col("sy")).as("cyy"),
+            col("s1"), col("s2"), col("sy"))
+          .select(col("l_returnflag"), col("n"),
+            ((col("c22") * col("c1y") - col("c12") * col("c2y")) /
+              (col("c11") * col("c22") - col("c12") * col("c12"))).as("b1"),
+            ((col("c11") * col("c2y") - col("c12") * col("c1y")) /
+              (col("c11") * col("c22") - col("c12") * col("c12"))).as("b2"),
+            col("c1y"), col("c2y"), col("cyy"),
+            col("s1"), col("s2"), col("sy"))
+          .select(col("l_returnflag"), col("n"), col("b1"), col("b2"),
+            ((col("sy") - col("b1") * col("s1") - col("b2") * col("s2")) /
+              col("n")).as("b0"),
+            ((col("b1") * col("c1y") + col("b2") * col("c2y")) /
+              col("cyy")).as("r2"))
+          .orderBy("l_returnflag")
+      },
+      """WITH m AS (
+           SELECT l_returnflag, count(*) AS n,
+             (SUM(CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS s1,
+             (SUM(CAST(l_tax AS DECIMAL(18,2))))::DOUBLE AS s2,
+             (SUM(CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS sy,
+             (SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS s11,
+             (SUM(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))))::DOUBLE AS s22,
+             (SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2))))::DOUBLE AS s12,
+             (SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS s1y,
+             (SUM(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS s2y,
+             (SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))))::DOUBLE AS syy
+           FROM lineitem GROUP BY l_returnflag),
+         c AS (
+           SELECT l_returnflag, n,
+             n * s11 - s1 * s1 AS c11, n * s22 - s2 * s2 AS c22,
+             n * s12 - s1 * s2 AS c12,
+             n * s1y - s1 * sy AS c1y, n * s2y - s2 * sy AS c2y,
+             n * syy - sy * sy AS cyy,
+             s1, s2, sy
+           FROM m),
+         b AS (
+           SELECT l_returnflag, n,
+             (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+             (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2,
+             c1y, c2y, cyy, s1, s2, sy
+           FROM c)
+         SELECT l_returnflag, n, b1, b2,
+           (sy - b1 * s1 - b2 * s2) / n AS b0,
+           (b1 * c1y + b2 * c2y) / cyy AS r2
+         FROM b ORDER BY l_returnflag"""),
+
+    // Pearson chi-squared test of independence: event_type x 6-hour
+    // time-of-day bucket over the events stream — the drift/imbalance
+    // diagnostic a data pipeline runs before trusting a split. Observed
+    // counts and marginals are exact integers; each cell's
+    // (o - e)^2 / e term is evaluated in identical double order, and
+    // the final sum over cells is an array_sort'd left fold (double
+    // addition is order-sensitive; the q_text_entropy technique). Cell
+    // count is bounded by |event_type| * 4 regardless of row count, so
+    // the collect_list holds dozens of structs, never data-scaled rows.
+    QueryDef("q_stats_chisq",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = Tables.events(s, d)
+          .select(col("event_type"), expr("hour(ts) div 6").cast("long").as("tod"))
+          .groupBy("event_type", "tod").agg(count(lit(1)).as("o"))
+        val wt = Window.partitionBy("event_type")
+        val wb = Window.partitionBy("tod")
+        val wall = Window.partitionBy()
+        cells
+          .withColumn("rt", sum("o").over(wt))
+          .withColumn("ct", sum("o").over(wb))
+          .withColumn("n", sum("o").over(wall))
+          .withColumn("e",
+            col("rt").cast("double") * col("ct").cast("double") /
+              col("n").cast("double"))
+          .withColumn("term",
+            (col("o").cast("double") - col("e")) *
+              (col("o").cast("double") - col("e")) / col("e"))
+          .groupBy(lit(1).as("g"))
+          .agg(max("n").as("n"),
+            count(lit(1)).cast("long").as("n_cells"),
+            ((countDistinct("event_type") - 1) *
+              (countDistinct("tod") - 1)).cast("long").as("dof"),
+            array_sort(collect_list(
+              struct(col("event_type"), col("tod"), col("term")))).as("terms"))
+          .select(col("n"), col("n_cells"), col("dof"),
+            aggregate(col("terms"), lit(0.0),
+              (acc, e) => acc + e.getField("term")).as("chi2"))
+      },
+      """WITH cells AS (
+           SELECT event_type, (hour(ts) // 6)::BIGINT AS tod, count(*) AS o
+           FROM events GROUP BY 1, 2),
+         t AS (
+           SELECT event_type, tod, o,
+             sum(o) OVER (PARTITION BY event_type) AS rt,
+             sum(o) OVER (PARTITION BY tod) AS ct,
+             sum(o) OVER () AS n
+           FROM cells),
+         terms AS (
+           SELECT event_type, tod, n,
+             (o::DOUBLE - rt::DOUBLE * ct::DOUBLE / n::DOUBLE)
+               * (o::DOUBLE - rt::DOUBLE * ct::DOUBLE / n::DOUBLE)
+               / (rt::DOUBLE * ct::DOUBLE / n::DOUBLE) AS term
+           FROM t)
+         SELECT max(n)::BIGINT AS n, count(*)::BIGINT AS n_cells,
+           ((count(DISTINCT event_type) - 1) * (count(DISTINCT tod) - 1))::BIGINT AS dof,
+           list_reduce(list_prepend(0.0, list_transform(
+               list_sort(list(struct_pack(
+                 event_type := event_type, tod := tod, term := term))),
+               e -> struct_extract(e, 'term'))),
+             (a, b) -> a + b) AS chi2
+         FROM terms"""))
+}
