@@ -462,5 +462,127 @@ object EventsQueries2 {
         |  FROM sk)
         |SELECT event_type, h AS cp_hour, k AS cp_k, nb, n_events, s
         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin),
+
+    // Largest-Triangle-One-Bucket time-series downsampling: reduce each
+    // event_type's series to 64 representative points, keeping per
+    // bucket the point forming the largest triangle with its immediate
+    // series neighbors — the standard visual-fidelity downsampler
+    // (LTOB; the parallel-friendly sibling of LTTB, whose selected-
+    // point chain is inherently sequential). INTEGER-DETERMINISTIC:
+    // values in floor-micro-units, x-axis is the per-type ordinal, and
+    // the doubled triangle area |(k-1 − k+1)(v − v-1) − (k-1 − k)(v+1 − v-1)|
+    // is exact BIGINT (neighbor ordinals differ by 2). Scale shape:
+    // one per-type sort window for ordinals/neighbors (events shuffle
+    // once on type... at 100 TB partitionBy would add (type, day) to
+    // bound partitions), then a WindowGroupLimit-prunable per-bucket
+    // argmax. Output is 64·|types| rows regardless of input size.
+    QueryDef("q_events_downsample",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val B = 64
+        val w = Window.partitionBy("event_type").orderBy("k")
+        val base = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            date_trunc("millisecond", col("ts")).as("ts"),
+            floor(col("value") * 1000000).cast("long").as("v"))
+          .withColumn("k", row_number().over(Window.partitionBy("event_type")
+            .orderBy(col("ts"), col("event_id"))).cast("long"))
+        val nper = base.groupBy("event_type").agg(count(lit(1)).as("n"))
+        val area = base
+          .withColumn("vp", lag("v", 1).over(w))
+          .withColumn("vn", lead("v", 1).over(w))
+          .filter(col("vp").isNotNull && col("vn").isNotNull)
+          .join(broadcast(nper), "event_type")
+          .select(col("event_type"), col("event_id"), col("ts"), col("k"),
+            col("v"),
+            expr(s"(k - 1) * $B div n").as("bucket"),
+            abs(lit(-2) * (col("v") - col("vp")) +
+              (col("vn") - col("vp"))).as("area2"))
+        val pick = Window.partitionBy("event_type", "bucket")
+          .orderBy(col("area2").desc, col("k").asc)
+        area.withColumn("rk", row_number().over(pick))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("bucket"), col("k"), col("event_id"),
+            col("ts"), col("v"), col("area2"))
+          .orderBy("event_type", "bucket")
+      },
+      """WITH base AS (
+        |  SELECT event_type, event_id, date_trunc('milliseconds', ts) AS ts,
+        |    floor(value * 1000000)::BIGINT AS v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY date_trunc('milliseconds', ts), event_id)::BIGINT AS k
+        |  FROM events),
+        |nper AS (SELECT event_type, count(*) AS n FROM base GROUP BY 1),
+        |area AS (
+        |  SELECT b.event_type, b.event_id, b.ts, b.k, b.v,
+        |    (b.k - 1) * 64 // p.n AS bucket,
+        |    abs(-2 * (b.v - lag(b.v) OVER w) +
+        |        (lead(b.v) OVER w - lag(b.v) OVER w))::BIGINT AS area2
+        |  FROM base b JOIN nper p USING (event_type)
+        |  WINDOW w AS (PARTITION BY b.event_type ORDER BY b.k)
+        |  QUALIFY lag(b.v) OVER w IS NOT NULL AND lead(b.v) OVER w IS NOT NULL),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+        |    ORDER BY area2 DESC, k ASC) AS rk
+        |  FROM area)
+        |SELECT event_type, bucket, k, event_id, ts, v, area2
+        |FROM r WHERE rk = 1 ORDER BY event_type, bucket""".stripMargin),
+
+    // Theil–Sen robust trend per event_type: the median of pairwise
+    // slopes over the HOURLY series — outlier-resistant where OLS is
+    // not. The all-pairs step is bounded by the series length (hours
+    // in span: ~720² / 2 pairs per type), never by event count — the
+    // aggregation to hourly buckets happens first, so corpus growth
+    // changes bucket VALUES, not pair volume. Slopes are one double
+    // division of exact integers (identical IEEE order both engines);
+    // the median is the LOWER median picked by row_number over
+    // (slope, i, j) — no averaging of two middle doubles, so the
+    // result is always an actually-occurring slope and ties are
+    // broken stably.
+    QueryDef("q_events_trend",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hb = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            floor(col("value") * 1000000).cast("long").as("v"))
+          .groupBy("event_type", "h").agg(sum("v").as("x"))
+          .withColumn("k", row_number().over(Window.partitionBy("event_type")
+            .orderBy("h")).cast("long"))
+        val pairs = hb.as("a").join(hb.as("b"),
+            expr("a.event_type = b.event_type AND a.k < b.k"))
+          .select(col("a.event_type").as("event_type"),
+            col("a.k").as("i"), col("b.k").as("j"),
+            ((col("b.x") - col("a.x")).cast("double") /
+              (col("b.k") - col("a.k")).cast("double")).as("slope"))
+        val m = pairs.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+        val pick = Window.partitionBy("event_type")
+          .orderBy(col("slope").asc, col("i").asc, col("j").asc)
+        pairs.withColumn("rk", row_number().over(pick).cast("long"))
+          .join(broadcast(m), "event_type")
+          .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+          .select(col("event_type"), col("n_pairs"),
+            col("slope").as("median_slope_micro_per_hour"))
+          .orderBy("event_type")
+      },
+      """WITH hb AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    sum(floor(value * 1000000)::BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |kb AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h)::BIGINT AS k
+        |  FROM hb),
+        |pairs AS (
+        |  SELECT a.event_type, a.k AS i, b.k AS j,
+        |    (b.x - a.x)::DOUBLE / (b.k - a.k)::DOUBLE AS slope
+        |  FROM kb a JOIN kb b ON a.event_type = b.event_type AND a.k < b.k),
+        |m AS (SELECT event_type, count(*) AS n_pairs FROM pairs GROUP BY 1),
+        |r AS (
+        |  SELECT p.event_type, p.slope, m.n_pairs::BIGINT AS n_pairs,
+        |    row_number() OVER (PARTITION BY p.event_type
+        |      ORDER BY p.slope ASC, p.i ASC, p.j ASC)::BIGINT AS rk
+        |  FROM pairs p JOIN m USING (event_type))
+        |SELECT event_type, n_pairs, slope AS median_slope_micro_per_hour
+        |FROM r WHERE rk = (n_pairs + 1) // 2 ORDER BY event_type""".stripMargin),
   )
 }
