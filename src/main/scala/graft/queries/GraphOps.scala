@@ -439,5 +439,92 @@ object GraphOps {
                        (a, b) -> a + b) AS aa
                    FROM wedges GROUP BY 1, 2)
          SELECT s1, s2, n_common, aa FROM pairs
-         ORDER BY aa DESC, s1 ASC, s2 ASC LIMIT 20"""))
+         ORDER BY aa DESC, s1 ASC, s2 ASC LIMIT 20"""),
+
+    // Newman modularity of the nation partition over the supplier
+    // co-purchase graph: Q = Σ_c (e_c/m − (d_c/2m)²) — "are same-nation
+    // suppliers more co-purchased than chance?". Everything up to the
+    // final 25-term fold is exact integers (edge counts, degree sums);
+    // the fold over communities is array_sort'd (q_text_entropy
+    // technique) and bounded by |nations|, never graph size. The
+    // co-purchase edge list reuses the q_graph_linkpred wedge shape
+    // including the hub-part cap, so edge volume stays Σ deg² over
+    // capped parts at any corpus size.
+    QueryDef("q_graph_modularity",
+      (s, d) => {
+        val inc = Tables.lineitem(s, d)
+          .select(col("l_partkey").as("part"), col("l_suppkey").as("supp"))
+          .distinct()
+        val deg = inc.groupBy("part").agg(count(lit(1)).as("pdeg"))
+          .filter(col("pdeg").between(2, 32))
+        val edges = inc.as("x").join(inc.as("y"),
+            expr("x.part = y.part AND x.supp < y.supp"))
+          .join(deg.withColumnRenamed("part", "dpart"),
+            col("x.part") === col("dpart"))
+          .select(col("x.supp").as("s1"), col("y.supp").as("s2"))
+          .distinct()
+        val nat = Tables.supplier(s, d).select(col("s_suppkey").as("supp"),
+          col("s_nationkey").as("c"))
+        val lab = edges
+          .join(broadcast(nat.withColumnRenamed("supp", "s1")
+            .withColumnRenamed("c", "c1")), "s1")
+          .join(broadcast(nat.withColumnRenamed("supp", "s2")
+            .withColumnRenamed("c", "c2")), "s2")
+        val m = lab.groupBy().agg(count(lit(1)).as("m"))
+        val nodeDeg = lab.select(col("s1").as("supp"), col("c1").as("c"))
+          .unionAll(lab.select(col("s2").as("supp"), col("c2").as("c")))
+          .groupBy("supp", "c").agg(count(lit(1)).as("deg"))
+        val perC = nodeDeg.groupBy("c").agg(sum("deg").as("dc"))
+          .join(lab.filter(col("c1") === col("c2"))
+              .groupBy(col("c1").as("c")).agg(count(lit(1)).as("ec")),
+            Seq("c"), "left")
+          .select(col("c"), coalesce(col("ec"), lit(0L)).as("ec"), col("dc"))
+        perC.crossJoin(broadcast(m))
+          .select(col("c"), col("ec"), col("dc"), col("m"),
+            (col("ec").cast("double") / col("m").cast("double") -
+              (col("dc").cast("double") / (lit(2.0) * col("m").cast("double"))) *
+              (col("dc").cast("double") / (lit(2.0) * col("m").cast("double"))))
+              .as("contrib"))
+          .groupBy(col("m"))
+          .agg(count(lit(1)).cast("long").as("n_comm"),
+            array_sort(collect_list(struct(col("c"), col("contrib"))))
+              .as("cs"))
+          .select(col("m"), col("n_comm"),
+            aggregate(col("cs"), lit(0.0),
+              (acc, e) => acc + e.getField("contrib")).as("q"))
+      },
+      """WITH inc AS (SELECT DISTINCT l_partkey AS part, l_suppkey AS supp
+                      FROM lineitem),
+         deg AS (SELECT part, count(*) AS pdeg FROM inc GROUP BY 1
+                 HAVING count(*) BETWEEN 2 AND 32),
+         edges AS (SELECT DISTINCT x.supp AS s1, y.supp AS s2
+                   FROM inc x JOIN inc y
+                     ON x.part = y.part AND x.supp < y.supp
+                   JOIN deg d ON x.part = d.part),
+         lab AS (SELECT e.s1, e.s2, n1.s_nationkey AS c1, n2.s_nationkey AS c2
+                 FROM edges e
+                 JOIN supplier n1 ON e.s1 = n1.s_suppkey
+                 JOIN supplier n2 ON e.s2 = n2.s_suppkey),
+         m AS (SELECT count(*) AS m FROM lab),
+         nd AS (SELECT supp, c, count(*) AS deg FROM (
+                  SELECT s1 AS supp, c1 AS c FROM lab
+                  UNION ALL SELECT s2, c2 FROM lab)
+                GROUP BY 1, 2),
+         perc AS (SELECT nd.c, coalesce(ec.ec, 0) AS ec, sum(nd.deg) AS dc
+                  FROM nd LEFT JOIN (
+                    SELECT c1 AS c, count(*) AS ec FROM lab
+                    WHERE c1 = c2 GROUP BY 1) ec ON nd.c = ec.c
+                  GROUP BY 1, 2),
+         contribs AS (SELECT p.c,
+             p.ec::DOUBLE / m.m::DOUBLE -
+               (p.dc::DOUBLE / (2.0 * m.m::DOUBLE)) *
+               (p.dc::DOUBLE / (2.0 * m.m::DOUBLE)) AS contrib,
+             m.m AS m
+           FROM perc p CROSS JOIN m)
+         SELECT max(m)::BIGINT AS m, count(*)::BIGINT AS n_comm,
+           list_reduce(list_prepend(0.0, list_transform(
+               list_sort(list(struct_pack(c := c, contrib := contrib))),
+               e -> struct_extract(e, 'contrib'))),
+             (a, b) -> a + b) AS q
+         FROM contribs"""))
 }

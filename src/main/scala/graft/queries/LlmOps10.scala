@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.ops.TextAnalysis
 
-/** Corpus keyword/keyness extraction — round-9 batch: RAKE candidate
-  * phrases and Dunning log-likelihood (G²) keyness per language.
+/** Round-9 continuation batch: RAKE candidate phrases, Dunning
+  * log-likelihood (G²) keyness per language, and Matryoshka
+  * truncated-embedding recall evaluation.
   *
   * Both are classic corpus-curation signals: RAKE surfaces candidate
   * key-phrases without any model (stopword-delimited runs scored by
@@ -161,5 +162,77 @@ object LlmOps10 {
                    ORDER BY g2 DESC, word ASC) AS rk
                FROM g)
          SELECT lang, rk::BIGINT AS rk, word, a::BIGINT AS a, b::BIGINT AS b, g2
-         FROM r WHERE rk <= 10 ORDER BY lang, rk"""))
+         FROM r WHERE rk <= 10 ORDER BY lang, rk"""),
+
+    // Matryoshka-representation evaluation: recall@10 of cosine top-10
+    // under PREFIX-truncated embeddings (8/16/32 of 64 dims) against
+    // the full-dimension ranking — the measurement that decides how
+    // short a nested embedding can be served. Truncation is a zero-
+    // cost `slice`; each ranking reuses the q_similarity_topk shape
+    // (brute-force scored against a broadcast 5-query set, top-10 via
+    // a WindowGroupLimit-prunable row_number); recall joins the two
+    // id sets and divides by the full ranking's size, so the output
+    // is 3 rows regardless of corpus size. At 100 TB the full-dim
+    // ranking would come from the IVF/PQ path instead — the recall
+    // harness is unchanged.
+    QueryDef("q_emb_matryoshka",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.Similarity
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val pairs = e.crossJoin(broadcast(q))
+          .filter(col("vec_id") =!= col("q_id"))
+        def top10(dims: Int): org.apache.spark.sql.DataFrame = {
+          val (a, b) =
+            if (dims == 64) (col("embedding"), col("q_emb"))
+            else (slice(col("embedding"), 1, dims), slice(col("q_emb"), 1, dims))
+          val w = Window.partitionBy("q_id")
+            .orderBy(col("cs").desc, col("neighbor_id").asc)
+          pairs.select(col("q_id"), col("vec_id").as("neighbor_id"),
+              Similarity.cosine(a, b).as("cs"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 10).select("q_id", "neighbor_id")
+        }
+        val full = top10(64)
+        val denom = full.groupBy().agg(count(lit(1)).as("n_full"))
+        Seq(8, 16, 32).map { dd =>
+          top10(dd).join(full, Seq("q_id", "neighbor_id"))
+            .groupBy().agg(count(lit(1)).as("hits"))
+            .crossJoin(broadcast(denom))
+            .select(lit(dd.toLong).as("dims"), col("hits"), col("n_full"),
+              (col("hits").cast("double") / col("n_full").cast("double"))
+                .as("recall_at_10"))
+        }.reduce(_.unionAll(_)).orderBy("dims")
+      }, {
+        import graft.functions.Similarity
+        def rankCte(name: String, expr1: String, expr2: String) =
+          s"""$name AS (SELECT q_id, neighbor_id FROM (
+                SELECT q.q_id, e.vec_id AS neighbor_id,
+                  row_number() OVER (PARTITION BY q.q_id ORDER BY
+                    ${Similarity.cosineSql(expr1, expr2)} DESC, e.vec_id ASC) AS rn
+                FROM embeddings e, q WHERE e.vec_id <> q.q_id)
+              WHERE rn <= 10)"""
+        def sliced(dd: Int) =
+          rankCte(s"t$dd", s"list_slice(e.embedding, 1, $dd)",
+            s"list_slice(q.q_emb, 1, $dd)")
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                       FROM embeddings WHERE vec_id < 5),
+           ${rankCte("full_rank", "e.embedding", "q.q_emb")},
+           ${sliced(8)}, ${sliced(16)}, ${sliced(32)},
+           denom AS (SELECT count(*) AS n_full FROM full_rank),
+           u AS (
+             SELECT 8::BIGINT AS dims, count(*) AS hits
+             FROM t8 JOIN full_rank USING (q_id, neighbor_id)
+             UNION ALL
+             SELECT 16::BIGINT, count(*)
+             FROM t16 JOIN full_rank USING (q_id, neighbor_id)
+             UNION ALL
+             SELECT 32::BIGINT, count(*)
+             FROM t32 JOIN full_rank USING (q_id, neighbor_id))
+           SELECT dims, hits, n_full::BIGINT AS n_full,
+             hits::DOUBLE / n_full::DOUBLE AS recall_at_10
+           FROM u CROSS JOIN denom ORDER BY dims"""
+      }))
 }
