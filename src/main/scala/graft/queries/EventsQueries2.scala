@@ -584,5 +584,53 @@ object EventsQueries2 {
         |  FROM pairs p JOIN m USING (event_type))
         |SELECT event_type, n_pairs, slope AS median_slope_micro_per_hour
         |FROM r WHERE rk = (n_pairs + 1) // 2 ORDER BY event_type""".stripMargin),
+
+    // OHLC resampling — the canonical time-series downsample for any
+    // metered value: per (type, hour), the opening/high/low/closing
+    // value plus volume. Open/close are picked by row_number over the
+    // in-bucket order ((ts, event_id) — unique, so ties can't flip),
+    // high/low/volume are plain map-side-combined aggregates, and
+    // values stay exact floor-micro BIGINTs end to end. One window +
+    // one groupBy, both partitioned by (type, hour) — embarrassingly
+    // parallel at any scale; output is bucket-bounded, not
+    // event-bounded.
+    QueryDef("q_events_ohlc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type", "h")
+          .orderBy(col("ts"), col("event_id"))
+        val wd = Window.partitionBy("event_type", "h")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            date_trunc("millisecond", col("ts")).as("ts"), col("event_id"),
+            floor(col("value") * 1000000).cast("long").as("v"))
+          .withColumn("rn_f", row_number().over(w))
+          .withColumn("rn_l", row_number().over(wd))
+          .groupBy("event_type", "h")
+          .agg(max(when(col("rn_f") === 1, col("v"))).as("open"),
+            max("v").as("high"), min("v").as("low"),
+            max(when(col("rn_l") === 1, col("v"))).as("close"),
+            count(lit(1)).as("volume"))
+          .orderBy("event_type", "h")
+      },
+      """WITH e AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    date_trunc('milliseconds', ts) AS tsm, event_id,
+        |    floor(value * 1000000)::BIGINT AS v
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, h
+        |      ORDER BY tsm, event_id) AS rn_f,
+        |    row_number() OVER (PARTITION BY event_type, h
+        |      ORDER BY tsm DESC, event_id DESC) AS rn_l
+        |  FROM e)
+        |SELECT event_type, h,
+        |  max(CASE WHEN rn_f = 1 THEN v END) AS open,
+        |  max(v) AS high, min(v) AS low,
+        |  max(CASE WHEN rn_l = 1 THEN v END) AS close,
+        |  count(*) AS volume
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin),
   )
 }
