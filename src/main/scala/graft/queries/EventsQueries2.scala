@@ -632,5 +632,94 @@ object EventsQueries2 {
         |  max(CASE WHEN rn_l = 1 THEN v END) AS close,
         |  count(*) AS volume
         |FROM r GROUP BY 1, 2 ORDER BY event_type, h""".stripMargin),
+
+    // Stationary distribution of the session transition chain — "where
+    // does a user's session settle?" — by 4 rounds of power iteration
+    // on the q_events_transitions count matrix. INTEGER-DETERMINISTIC
+    // (the q_graph_pagerank technique): mass in micro-units, each
+    // contribution is `(mass * n) div row_total` — exact, order-
+    // independent integral arithmetic, so the DuckDB oracle (the same
+    // four rounds unrolled as CTEs) hash-matches bit-for-bit; floor
+    // leakage stays (it is the documented cost of exactness and is
+    // identical on both engines). Scale shape: the count matrix is
+    // |types|² — driver-small at ANY corpus size — so every round is
+    // a broadcast join + map-side-combined groupBy over a bounded
+    // frame; only the one pass that builds the matrix touches events.
+    QueryDef("q_events_stationary",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
+        val trans = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            date_trunc("MILLISECOND", col("ts")).as("tsm"))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .withColumn("prev_tsm", lag("tsm", 1).over(w))
+          .filter(col("prev_tsm").isNotNull &&
+            col("tsm") < col("prev_tsm") + expr("interval 10 minutes"))
+          .groupBy(col("prev_type").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rowtot",
+            sum("n").over(Window.partitionBy("from_type")))
+          .localCheckpoint(eager = false)
+        val states = trans.select(col("from_type").as("state")).distinct()
+          .localCheckpoint(eager = false)
+        val nStates = states.groupBy().agg(count(lit(1)).as("ns"))
+        var pi = states.crossJoin(broadcast(nStates))
+          .select(col("state"), expr("1000000L div ns").as("mass"))
+        for (_ <- 1 to 4) {
+          pi = trans
+            .join(pi.withColumnRenamed("state", "from_type"), "from_type")
+            .select(col("to_type").as("state"),
+              expr("(mass * n) div rowtot").as("contrib"))
+            .groupBy("state").agg(sum("contrib").as("mass"))
+            // inner-join back to the from-state set: mass entering a
+            // state that never transitions OUT would otherwise vanish
+            // from the next round's matrix join implicitly — keep the
+            // restriction explicit and identical in the oracle
+            .join(states, "state")
+            .localCheckpoint(eager = false)
+        }
+        pi.select(col("state"), col("mass")).orderBy("state")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    date_trunc('milliseconds', ts) AS tsm
+        |  FROM events),
+        |l AS (
+        |  SELECT *, lag(event_type) OVER w AS prev_type,
+        |    lag(tsm) OVER w AS prev_tsm
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+        |t AS (
+        |  SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        |  FROM l
+        |  WHERE prev_tsm IS NOT NULL AND tsm < prev_tsm + INTERVAL 10 MINUTE
+        |  GROUP BY 1, 2),
+        |tr AS (
+        |  SELECT from_type, to_type, n,
+        |    sum(n) OVER (PARTITION BY from_type) AS rowtot
+        |  FROM t),
+        |states AS (SELECT DISTINCT from_type AS state FROM tr),
+        |p0 AS (
+        |  SELECT state, 1000000 // (SELECT count(*) FROM states) AS mass
+        |  FROM states),
+        |p1 AS (
+        |  SELECT tr.to_type AS state, sum((p.mass * tr.n) // tr.rowtot) AS mass
+        |  FROM tr JOIN p0 p ON tr.from_type = p.state GROUP BY 1),
+        |p1s AS (SELECT p1.state, p1.mass FROM p1 JOIN states USING (state)),
+        |p2 AS (
+        |  SELECT tr.to_type AS state, sum((p.mass * tr.n) // tr.rowtot) AS mass
+        |  FROM tr JOIN p1s p ON tr.from_type = p.state GROUP BY 1),
+        |p2s AS (SELECT p2.state, p2.mass FROM p2 JOIN states USING (state)),
+        |p3 AS (
+        |  SELECT tr.to_type AS state, sum((p.mass * tr.n) // tr.rowtot) AS mass
+        |  FROM tr JOIN p2s p ON tr.from_type = p.state GROUP BY 1),
+        |p3s AS (SELECT p3.state, p3.mass FROM p3 JOIN states USING (state)),
+        |p4 AS (
+        |  SELECT tr.to_type AS state, sum((p.mass * tr.n) // tr.rowtot) AS mass
+        |  FROM tr JOIN p3s p ON tr.from_type = p.state GROUP BY 1),
+        |p4s AS (SELECT p4.state, p4.mass::BIGINT AS mass
+        |        FROM p4 JOIN states USING (state))
+        |SELECT state, mass FROM p4s ORDER BY state""".stripMargin),
   )
 }
