@@ -52,6 +52,25 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** OHLC windowed resample — the streaming twin of q_events_ohlc.
+    * Open/close are `min_by`/`max_by` on the unique (ts, user_id)
+    * composite — DECLARATIVE aggregates, so they merge across
+    * micro-batches exactly like map-side partials (each partial keeps
+    * its best (key, value) pair; merging keeps the better key), which
+    * is what makes the append-mode result equal the batch aggregation
+    * without any custom state. Values are exact floor-micro longs. */
+  def ohlc(events: DataFrame, watermark: String = "30 minutes"): DataFrame = {
+    val v = floor(col("value") * 1000000).cast("long")
+    val ord = struct(col("ts"), col("user_id"))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(min_by(v, ord).as("open"), max(v).as("high"), min(v).as("low"),
+        max_by(v, ord).as("close"), count(lit(1)).as("volume"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+  }
+
   /** Windowed top-1: the busiest event_type per 1-hour window — CHAINED
     * stateful aggregations (count per (window, type) → arg-max per
     * window), the window-on-window pattern Structured Streaming supports

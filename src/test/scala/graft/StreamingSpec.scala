@@ -43,6 +43,33 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("OHLC windowed resample: streaming (append, watermarked) == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.ohlc(mem.toDF(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    // split across micro-batches so open/close partials must MERGE
+    val (a, b) = evs.splitAt(37)
+    mem.addData(a); q.processAllAvailable()
+    mem.addData(b); q.processAllAvailable()
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("ohlc_out")
+      .filter(col("event_type").isin("click", "view"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = EventStreams.ohlc(evs.toDF())
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    // high/low bracket open/close in every window
+    streamed.foreach { r =>
+      val (o, h, l, c) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
   test("windowed HLL user sketch: streaming (append) == batch == exact") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
