@@ -721,5 +721,49 @@ object EventsQueries2 {
         |p4s AS (SELECT p4.state, p4.mass::BIGINT AS mass
         |        FROM p4 JOIN states USING (state))
         |SELECT state, mass FROM p4s ORDER BY state""".stripMargin),
+
+    // Gaps-and-islands: longest consecutive-active-day streak per user
+    // — the canonical `day − row_number()` grouping idiom (consecutive
+    // days share the difference; any gap shifts it). Everything is
+    // exact integer epoch-days; the reduce-to-(user, day) distinct is
+    // the only event-scaled step, after which windows and rollups run
+    // on the users × active-days frame (bounded by span, not events).
+    QueryDef("q_events_streaks",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val days = Tables.events(s, d)
+          .select(col("user_id"),
+            datediff(col("ts"), lit("1970-01-01").cast("date"))
+              .cast("long").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        val streaks = days
+          .withColumn("grp", col("day") - row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+        streaks.groupBy("user_id")
+          .agg(sum("len").as("n_active_days"),
+            count(lit(1)).as("n_streaks"),
+            max("len").as("longest"),
+            max(struct(col("len"), col("start_day"))).getField("start_day")
+              .as("longest_start_day"))
+          .orderBy("user_id")
+      },
+      """WITH days AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01', ts::DATE)::BIGINT AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |streaks AS (
+        |  SELECT user_id, grp, count(*) AS len, min(day) AS start_day
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, sum(len)::BIGINT AS n_active_days,
+        |  count(*)::BIGINT AS n_streaks, max(len)::BIGINT AS longest,
+        |  max(struct_pack(len := len, start_day := start_day)).start_day::BIGINT
+        |    AS longest_start_day
+        |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin),
   )
 }
