@@ -801,5 +801,86 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
         |SELECT doc_id, ph.phash, group_size
         |FROM ph JOIN gs ON ph.phash = gs.phash
         |ORDER BY doc_id""".stripMargin),
+
+    // LSH quality evaluation — the recall/precision readout every dedup
+    // pipeline reports before trusting its bands: on a LABELED SUBSET
+    // (doc_id < 100 — exact all-pairs Jaccard is affordable there and
+    // ONLY there; not being able to afford it corpus-wide is the whole
+    // reason LSH exists), compare the 16-hash/4-band candidate set
+    // against exact ground truth at three Jaccard tiers. Candidates
+    // carry their exact verified Jaccard, so hits are a conditional
+    // count, and every output number is a ratio of exact integers.
+    // Expected shape: recall ≈ 1 at J ≥ 0.9 (the bands are tuned
+    // there, 1−(1−J⁴)⁴), decaying at 0.7/0.5 — the measured curve IS
+    // the tuning evidence. The subset all-pairs join broadcasts 100
+    // docs; the LSH side is the production candidate pipeline
+    // unchanged.
+    QueryDef("q_dedup_lsh_eval",
+      (s, d) => {
+        val sub = Tables.documents(s, d).filter(col("doc_id") < 100)
+        val cand = Dedup.minHashPairs(sub, "doc_id", "text",
+          nHashes, nBands, threshold = 0.0)
+        val candAgg = cand.groupBy().agg(
+          count(lit(1)).as("n_cand"),
+          sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("hit50"),
+          sum(when(col("jaccard") >= 0.7, 1L).otherwise(0L)).as("hit70"),
+          sum(when(col("jaccard") >= 0.9, 1L).otherwise(0L)).as("hit90"))
+        val sets = sub.select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("ws"))
+        val inter = size(array_intersect(col("a.ws"), col("b.ws")))
+        val truth = sets.as("a").join(sets.as("b"),
+            col("a.doc_id") < col("b.doc_id"))
+          .select((inter.cast("double") /
+            (size(col("a.ws")) + size(col("b.ws")) - inter)).as("j"))
+        val truthAgg = truth.groupBy().agg(
+          sum(when(col("j") >= 0.5, 1L).otherwise(0L)).as("t50"),
+          sum(when(col("j") >= 0.7, 1L).otherwise(0L)).as("t70"),
+          sum(when(col("j") >= 0.9, 1L).otherwise(0L)).as("t90"))
+        candAgg.crossJoin(truthAgg).select(
+          col("n_cand"), col("t50"), col("t70"), col("t90"),
+          col("hit50"), col("hit70"), col("hit90"),
+          (col("hit50").cast("double") / col("t50").cast("double")).as("recall50"),
+          (col("hit70").cast("double") / col("t70").cast("double")).as("recall70"),
+          (col("hit90").cast("double") / col("t90").cast("double")).as("recall90"))
+      }, {
+        val rows = nHashes / nBands
+        val sigCols = (0 until nHashes).map(sigCol).mkString(", ")
+        val bandSelects = (0 until nBands).map { j =>
+          val cat = (0 until rows).map(r => s"s${j * rows + r}::VARCHAR")
+            .mkString(" || '|' || ")
+          s"SELECT doc_id, $j AS band_idx, md5($cat) AS bucket FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM sub),
+sig AS (SELECT doc_id, $sigCols FROM w GROUP BY doc_id),
+band AS ($bandSelects),
+cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM band x
+         JOIN band y ON x.band_idx = y.band_idx AND x.bucket = y.bucket
+           AND x.doc_id < y.doc_id),
+ws AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM sub),
+v AS (SELECT d1, d2,
+        len(list_intersect(x.s, y.s))::DOUBLE
+          / (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))) AS jaccard
+      FROM cand JOIN ws x ON d1 = x.doc_id JOIN ws y ON d2 = y.doc_id),
+ca AS (SELECT count(*) AS n_cand,
+         sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS hit50,
+         sum(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS hit70,
+         sum(CASE WHEN jaccard >= 0.9 THEN 1 ELSE 0 END) AS hit90
+       FROM v),
+truth AS (SELECT len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+          FROM ws a JOIN ws b ON a.doc_id < b.doc_id),
+ta AS (SELECT sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS t50,
+         sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS t70,
+         sum(CASE WHEN j >= 0.9 THEN 1 ELSE 0 END) AS t90
+       FROM truth)
+SELECT n_cand::BIGINT AS n_cand, t50::BIGINT AS t50, t70::BIGINT AS t70,
+  t90::BIGINT AS t90, hit50::BIGINT AS hit50, hit70::BIGINT AS hit70,
+  hit90::BIGINT AS hit90,
+  hit50::DOUBLE / t50::DOUBLE AS recall50,
+  hit70::DOUBLE / t70::DOUBLE AS recall70,
+  hit90::DOUBLE / t90::DOUBLE AS recall90
+FROM ca CROSS JOIN ta"""
+      }),
   )
 }
