@@ -765,5 +765,72 @@ object EventsQueries2 {
         |  max(struct_pack(len := len, start_day := start_day)).start_day::BIGINT
         |    AS longest_start_day
         |FROM streaks GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // Lag-1 and lag-24 autocorrelation of each type's hourly series —
+    // the persistence + diurnal-seasonality diagnostic (is the metric
+    // sticky hour-to-hour? does it repeat daily?). Hourly sums are
+    // exact MILLI-unit longs (small enough that every co-moment long
+    // stays below 2^63 and the final int64→double conversions are the
+    // uniform IEEE-nearest both engines share); Pearson r over the
+    // (x_k, x_{k+L}) pairs comes from one shared scalar formula. The
+    // lead columns ride the SAME span-bounded per-type sort window;
+    // pair volume is hours-in-span, never event count.
+    QueryDef("q_events_autocorr",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type").orderBy("h")
+        val hb = Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            floor(col("value") * 1000).cast("long").as("v"))
+          .groupBy("event_type", "h").agg(sum("v").as("x"))
+          .withColumn("x1", lead("x", 1).over(w))
+          .withColumn("x24", lead("x", 24).over(w))
+          .localCheckpoint(eager = false)
+        def corrAt(lagCol: String, lagVal: Int) = hb
+          .filter(col(lagCol).isNotNull)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum("x").as("sa"), sum(lagCol).as("sb"),
+            sum(col("x") * col(lagCol)).as("sab"),
+            sum(col("x") * col("x")).as("saa"),
+            sum(col(lagCol) * col(lagCol)).as("sbb"))
+          .select(col("event_type"), lit(lagVal.toLong).as("lag"),
+            col("n"),
+            ((col("n").cast("double") * col("sab").cast("double") -
+              col("sa").cast("double") * col("sb").cast("double")) /
+              (sqrt(col("n").cast("double") * col("saa").cast("double") -
+                col("sa").cast("double") * col("sa").cast("double")) *
+               sqrt(col("n").cast("double") * col("sbb").cast("double") -
+                col("sb").cast("double") * col("sb").cast("double"))))
+              .as("r"))
+        corrAt("x1", 1).unionAll(corrAt("x24", 24))
+          .orderBy("event_type", "lag")
+      },
+      """WITH hb AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    sum(floor(value * 1000)::BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |ld AS (
+        |  SELECT event_type, x,
+        |    lead(x, 1) OVER w AS x1, lead(x, 24) OVER w AS x24
+        |  FROM hb WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        |c1 AS (
+        |  SELECT event_type, 1::BIGINT AS lag, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sa, sum(x1)::BIGINT AS sb,
+        |    sum(x * x1)::BIGINT AS sab, sum(x * x)::BIGINT AS saa,
+        |    sum(x1 * x1)::BIGINT AS sbb
+        |  FROM ld WHERE x1 IS NOT NULL GROUP BY 1),
+        |c24 AS (
+        |  SELECT event_type, 24::BIGINT AS lag, count(*)::BIGINT AS n,
+        |    sum(x)::BIGINT AS sa, sum(x24)::BIGINT AS sb,
+        |    sum(x * x24)::BIGINT AS sab, sum(x * x)::BIGINT AS saa,
+        |    sum(x24 * x24)::BIGINT AS sbb
+        |  FROM ld WHERE x24 IS NOT NULL GROUP BY 1),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c24)
+        |SELECT event_type, lag, n,
+        |  (n::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE) /
+        |    (sqrt(n::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE) *
+        |     sqrt(n::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE)) AS r
+        |FROM u ORDER BY event_type, lag""".stripMargin),
   )
 }

@@ -653,5 +653,31 @@ object Relational2 {
         |       WHEN bid IS NULL THEN 'fwd'
         |       WHEN bdt <= fdt THEN 'back' ELSE 'fwd' END AS direction
         |FROM e ORDER BY event_id""".stripMargin),
+
+    // Equi-width numeric histogram per group — the profiling primitive
+    // behind every data-card range plot. Buckets derive arithmetically
+    // from exact cents (`cents div width`, clamped) — no width_bucket
+    // builtin needed, no sort, ONE map-side-combined groupBy whose
+    // output is bucket-bounded (23 × |flags| rows at any corpus size).
+    QueryDef("q_agg_histogram",
+      (s, d) => {
+        val cents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), cents.as("cents"))
+          .select(col("l_returnflag"),
+            expr("least(20L, cents div 500000L)").as("bucket"))
+          .groupBy("l_returnflag", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("bucket"),
+            (col("bucket") * 5000).as("lo_dollars"), col("n"))
+          .orderBy("l_returnflag", "bucket")
+      },
+      """SELECT l_returnflag,
+        |  least(20, floor(l_extendedprice * 100 + 0.5)::BIGINT // 500000)::BIGINT
+        |    AS bucket,
+        |  least(20, floor(l_extendedprice * 100 + 0.5)::BIGINT // 500000)::BIGINT
+        |    * 5000 AS lo_dollars,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY l_returnflag, bucket""".stripMargin),
   )
 }
