@@ -8,8 +8,10 @@ import graft.Tables
 
 /** Second TPC-H-shape batch — the remaining classic queries expressible
   * over this corpus's star schema (no `partsupp`, no comment/receipt
-  * columns, so Q2/Q9/Q11/Q12/Q16/Q20/Q21 are out of reach; Q1/Q3/Q4/Q5/
-  * Q7/Q10 already live in Relational4/Relational2). Same exact-cents
+  * columns, so Q11/Q12/Q16/Q20 are out of reach and Q2/Q9 are adapted —
+  * Q9 uses `p_retailprice` as the cost column the missing partsupp
+  * would supply; Q1/Q3/Q4/Q5/Q7/Q10 already live in
+  * Relational4/Relational2). Same exact-cents
   * money discipline as Relational4: 2-decimal doubles → BIGINT cents via
   * `floor(x·100+0.5)`, all aggregation in integer space (associative,
   * order-independent, overflow-safe to ~9e16 cents²-scale products),
@@ -466,5 +468,49 @@ object TpchQueries {
          GROUP BY s_suppkey, s_name
          ORDER BY numwait DESC, s_suppkey ASC
          LIMIT 100"""),
+
+    // TPC-H Q9 shape — product-type profit by nation and year, adapted:
+    // profit = Σ price·(1−disc) − retailprice·qty over '%red%' parts
+    // (p_retailprice stands in for the absent ps_supplycost; both terms
+    // land on the same cents² integer scale, so the whole measure is
+    // exact BIGINT until one final /1e4). Plan shape: the part slice
+    // and supplier→nation are broadcast dimension legs; lineitem⋈orders
+    // is the one fact shuffle; year() is a projection. The p_name
+    // filter prunes the fact join via the broadcast hash-set — at
+    // 100 TB a bloom/DPP runtime filter does the same job on the scan.
+    QueryDef("q_tpch_profit",
+      (s, d) => {
+        val p = Tables.part(s, d).filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"),
+            cents(col("p_retailprice")).as("costc"))
+        val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+        val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            revC().as("revc2"), cents(col("l_quantity")).as("qtyc"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("n_name").as("nation"), col("o_year"))
+          .agg(sum(col("revc2") - col("costc") * col("qtyc")).as("profc2"),
+            count(lit(1)).as("n_lines"))
+          .select(col("nation"), col("o_year"),
+            (col("profc2").cast("double") / 1e4).as("sum_profit"),
+            col("n_lines"))
+          .orderBy(col("nation").asc, col("o_year").desc)
+      },
+      s"""SELECT n_name AS nation, year(o_orderdate)::INT AS o_year,
+           sum($revSql - ${centsSql("p_retailprice")} * ${centsSql("l_quantity")})::DOUBLE
+             / 1e4 AS sum_profit,
+           count(*) AS n_lines
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC"""),
   )
 }

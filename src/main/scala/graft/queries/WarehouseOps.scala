@@ -466,5 +466,54 @@ object WarehouseOps {
         |    - (n + 1)::DOUBLE / n::DOUBLE AS gini,
         |  toprevc::DOUBLE / tot::DOUBLE AS top_decile_share
         |FROM b, tp""".stripMargin),
+
+    // Column-level data profiling (the deequ/dbt-docs primitive): null
+    // count, exact distinct count, min/max for seven columns — in ONE
+    // scan. Spark computes all 28 aggregates in a single pass (multiple
+    // count-distincts plan as one Expand — the scan is not repeated per
+    // column) and unpivots via stack(); min/max are stringified only
+    // from format-stable types (integers, strings, dates) so the
+    // engines' float-formatting differences never enter the hash.
+    QueryDef("q_quality_profile",
+      (s, d) => {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_returnflag", "l_linestatus")
+        val aggs = cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_dist"),
+            min(col(c)).cast("string").as(s"${c}_min"),
+            max(col(c)).cast("string").as(s"${c}_max"))
+        } ++ Seq(
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("l_shipdate_nulls"),
+          countDistinct(col("l_shipdate")).as("l_shipdate_dist"),
+          min(col("l_shipdate").cast("date")).cast("string").as("l_shipdate_min"),
+          max(col("l_shipdate").cast("date")).cast("string").as("l_shipdate_max"))
+        val stack = (cols :+ "l_shipdate").map(c =>
+          s"'$c', ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max").mkString(", ")
+        val allAggs = count(lit(1)).as("n_rows") +: aggs
+        Tables.lineitem(s, d)
+          .agg(allAggs.head, allAggs.tail: _*)
+          .selectExpr("n_rows",
+            s"stack(7, $stack) AS (column_name, n_nulls, n_distinct, min_val, max_val)")
+          .select(col("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+          .orderBy("column_name")
+      }, {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_returnflag", "l_linestatus")
+        val selects = cols.map { c =>
+          s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+             sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+             count(DISTINCT $c) AS n_distinct,
+             min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+           FROM lineitem"""
+        } :+
+          s"""SELECT 'l_shipdate', count(*),
+             sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT,
+             count(DISTINCT l_shipdate),
+             min(l_shipdate::DATE)::VARCHAR, max(l_shipdate::DATE)::VARCHAR
+           FROM lineitem"""
+        selects.mkString("", " UNION ALL ", " ORDER BY column_name")
+      }),
   )
 }
