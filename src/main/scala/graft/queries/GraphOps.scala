@@ -392,11 +392,14 @@ object GraphOps {
     // hub neighbors. Scale design mirrors q_graph_neighbors: wedge
     // volume is sum(deg^2) over parts, so hub parts are CAPPED out
     // (deg > 32 contributes < 1/ln(32) per pair to millions of pairs —
-    // all noise, no signal; the cap is mirrored in the oracle). ln runs
-    // through the LnIeee intrinsic and the per-pair term sum is an
-    // array_sort'd left fold keyed by part id (bounded by the shared-
-    // part count, never corpus-scaled). Top-20 by exact double score
-    // with (s1, s2) tiebreak.
+    // all noise, no signal; the cap is mirrored in the oracle).
+    // The term sum exploits that 1/ln(deg) takes at most 31 DISTINCT
+    // values: wedges reduce to (s1, s2, deg) counts first — a MAP-SIDE-
+    // COMBINED groupBy whose shuffle carries counts, never part lists —
+    // and the per-pair fold walks ≤31 (deg, cnt·term) entries in deg
+    // order (ln via the LnIeee intrinsic; cnt·term is one IEEE multiply
+    // per entry, mirrored exactly in the oracle). Top-20 by exact
+    // double score with (s1, s2) tiebreak.
     QueryDef("q_graph_linkpred",
       (s, d) => {
         graft.functions.LnIeee.register(s)
@@ -410,16 +413,16 @@ object GraphOps {
           .select(col("x.part").as("part"),
             col("x.supp").as("s1"), col("y.supp").as("s2"))
           .join(deg, "part")
-          .select(col("s1"), col("s2"), col("part"),
-            (lit(1.0) / call_function("ln_ieee", col("deg").cast("double")))
-              .as("term"))
+          .groupBy("s1", "s2", "deg").agg(count(lit(1)).as("cnt"))
         wedges.groupBy("s1", "s2")
-          .agg(count(lit(1)).cast("long").as("n_common"),
-            array_sort(collect_list(struct(col("part"), col("term"))))
-              .as("terms"))
+          .agg(sum("cnt").cast("long").as("n_common"),
+            array_sort(collect_list(struct(col("deg"),
+              (col("cnt").cast("double") *
+                (lit(1.0) / call_function("ln_ieee", col("deg").cast("double"))))
+                .as("t")))).as("terms"))
           .select(col("s1"), col("s2"), col("n_common"),
             aggregate(col("terms"), lit(0.0),
-              (acc, e) => acc + e.getField("term")).as("aa"))
+              (acc, e) => acc + e.getField("t")).as("aa"))
           .orderBy(col("aa").desc, col("s1").asc, col("s2").asc)
           .limit(20)
       },
@@ -427,15 +430,17 @@ object GraphOps {
                       FROM lineitem),
          deg AS (SELECT part, count(*) AS deg FROM inc GROUP BY 1
                  HAVING count(*) BETWEEN 2 AND 32),
-         wedges AS (SELECT x.part AS part, x.supp AS s1, y.supp AS s2,
-                      1.0 / ln(d.deg::DOUBLE) AS term
+         wedges AS (SELECT x.supp AS s1, y.supp AS s2, d.deg,
+                      count(*) AS cnt
                     FROM inc x JOIN inc y
                       ON x.part = y.part AND x.supp < y.supp
-                    JOIN deg d ON x.part = d.part),
-         pairs AS (SELECT s1, s2, count(*)::BIGINT AS n_common,
+                    JOIN deg d ON x.part = d.part
+                    GROUP BY 1, 2, 3),
+         pairs AS (SELECT s1, s2, sum(cnt)::BIGINT AS n_common,
                      list_reduce(list_prepend(0.0, list_transform(
-                         list_sort(list(struct_pack(part := part, term := term))),
-                         e -> struct_extract(e, 'term'))),
+                         list_sort(list(struct_pack(deg := deg,
+                           t := cnt::DOUBLE * (1.0 / ln(deg::DOUBLE))))),
+                         e -> struct_extract(e, 't'))),
                        (a, b) -> a + b) AS aa
                    FROM wedges GROUP BY 1, 2)
          SELECT s1, s2, n_common, aa FROM pairs

@@ -81,7 +81,11 @@ class StatsSpec extends SparkSpec {
         case (_, supps) if supps.contains(s1) && supps.contains(s2) => supps.size
       }.toSeq.filter(d => d >= 2 && d <= 32)
       assert(shared.size.toLong == nCommon, s"($s1,$s2) common ${shared.size}")
-      val brute = shared.map(d => 1.0 / math.log(d.toDouble)).sum
+      // mirror the deg-bucketed fold: cnt·(1/ln d) added in deg order
+      val brute = shared.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy(_._1)
+        .foldLeft(0.0) { case (acc, (d, cnt)) =>
+          acc + cnt.toDouble * (1.0 / math.log(d.toDouble)) }
       assert(math.abs(aa - brute) <= 1e-9, s"($s1,$s2) aa $aa vs $brute")
     }
   }
