@@ -234,5 +234,88 @@ object LlmOps10 {
            SELECT dims, hits, n_full::BIGINT AS n_full,
              hits::DOUBLE / n_full::DOUBLE AS recall_at_10
            FROM u CROSS JOIN denom ORDER BY dims"""
-      }))
+      }),
+
+    // Exact set-similarity join via PREFIX FILTERING (the AllPairs /
+    // PPJoin candidate rule) over 4-GRAM SHINGLE sets: under one
+    // global shingle ordering (rarest-first), two sets with Jaccard ≥ t
+    // MUST share a shingle among each set's first |x| − ⌈t·|x|⌉ + 1
+    // entries — the inverted index is built over prefixes only,
+    // candidates come from a shingle equi-join, and exact verification
+    // runs on the surviving sliver. 100% recall BY CONSTRUCTION — the
+    // deterministic counterpart to the probabilistic MinHash-LSH path,
+    // and the baseline every set-similarity system cites. Shingle
+    // granularity is what makes the filter selective: this corpus
+    // draws documents from a ~30-word vocabulary (word-set prefixes
+    // degenerate — measured 110 s of all-pairs verification), but the
+    // 4-gram space is combinatorial, so rarest-first prefix postings
+    // hold a handful of docs and candidates collapse to true near-dups.
+    // ⌈0.8n⌉ is the integer (4n+4) div 5; the verification threshold
+    // is the integer cross-multiplication 5·i ≥ 4·u — no double ever
+    // enters the candidate rule.
+    QueryDef("q_dedup_prefixjoin",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val W = 4
+        val ws = split(col("text"), " ")
+        val shingles = when(size(ws) >= W,
+          array_distinct(transform(sequence(lit(1), size(ws) - W + 1),
+            i => concat_ws("_", slice(ws, i, lit(W))))))
+          .otherwise(array().cast("array<string>"))
+        val sets = Tables.documents(s, d)
+          .select(col("doc_id"), shingles.as("sh"))
+          .localCheckpoint(eager = false)
+        val toks = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+        val freq = toks.groupBy("g").agg(count(lit(1)).as("df"))
+        val ranked = toks.join(freq, "g")
+          .withColumn("n", count(lit(1))
+            .over(Window.partitionBy("doc_id")))
+          .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(col("df").asc, col("g").asc)))
+          .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+          .select("doc_id", "g")
+        val cand = ranked.as("x").join(ranked.as("y"),
+            expr("x.g = y.g AND x.doc_id < y.doc_id"))
+          .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .distinct()
+        val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+        cand
+          .join(sets.as("a"), col("d1") === col("a.doc_id"))
+          .join(sets.as("b"), col("d2") === col("b.doc_id"))
+          .select(col("d1"), col("d2"),
+            (inter.cast("double") /
+              (size(col("a.sh")) + size(col("b.sh")) - inter)).as("jaccard"),
+            (inter * 5).as("i5"),
+            ((size(col("a.sh")) + size(col("b.sh")) - inter) * 4).as("u4"))
+          // integer cross-multiplication: J >= 0.8 <=> 5*i >= 4*u
+          .filter(col("i5") >= col("u4"))
+          .select("d1", "d2", "jaccard")
+          .orderBy("d1", "d2")
+      },
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         sets AS (SELECT doc_id,
+             CASE WHEN len(ws) >= 4 THEN
+               list_distinct(list_transform(range(1, len(ws) - 4 + 2),
+                 i -> ws[i] || '_' || ws[i+1] || '_' || ws[i+2] || '_' || ws[i+3]))
+             ELSE [] END AS sh
+           FROM w),
+         toks AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+         freq AS (SELECT g, count(*) AS df FROM toks GROUP BY 1),
+         ranked AS (
+           SELECT doc_id, g FROM (
+             SELECT t.doc_id, t.g,
+               count(*) OVER (PARTITION BY t.doc_id) AS n,
+               row_number() OVER (PARTITION BY t.doc_id
+                 ORDER BY f.df ASC, t.g ASC) AS rk
+             FROM toks t JOIN freq f USING (g))
+           WHERE rk <= n - (4 * n + 4) // 5 + 1),
+         cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+                  FROM ranked x JOIN ranked y
+                  ON x.g = y.g AND x.doc_id < y.doc_id),
+         v AS (SELECT d1, d2,
+                 len(list_intersect(a.sh, b.sh)) AS i,
+                 len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
+               FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
+         SELECT d1, d2, i::DOUBLE / u::DOUBLE AS jaccard
+         FROM v WHERE 5 * i >= 4 * u ORDER BY d1, d2"""))
 }
