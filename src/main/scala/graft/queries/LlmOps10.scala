@@ -317,5 +317,43 @@ object LlmOps10 {
                  len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS u
                FROM cand JOIN sets a ON d1 = a.doc_id JOIN sets b ON d2 = b.doc_id)
          SELECT d1, d2, i::DOUBLE / u::DOUBLE AS jaccard
-         FROM v WHERE 5 * i >= 4 * u ORDER BY d1, d2"""))
+         FROM v WHERE 5 * i >= 4 * u ORDER BY d1, d2"""),
+
+    // Semantic-dedup operating curve: candidate pairs from the 4-bit
+    // sign-bucket join (the q_dedup_embcos_bucketed shape) counted at
+    // four cosine tiers in ONE pass — the number a curation team reads
+    // before picking its dedup threshold ("how much do we delete at
+    // 0.95 vs 0.8?"). Conditional counts over the bucketed join add
+    // nothing to its cost; output is one row at any corpus size.
+    // Cosines come from the shared left-fold dot (bit-equal in the
+    // oracle); counts are exact integers.
+    QueryDef("q_dedup_embcos_sweep",
+      (s, d) => {
+        import graft.functions.Similarity
+        val e = Tables.embeddings(s, d)
+          .withColumn("bucket", Similarity.signBucket(col("embedding"), 4))
+        val a = e.select(col("vec_id").as("d1"), col("embedding").as("e1"),
+          col("bucket"))
+        val b = e.select(col("vec_id").as("d2"), col("embedding").as("e2"),
+          col("bucket"))
+        a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+          .select(Similarity.cosine(col("e1"), col("e2")).as("cos"))
+          .groupBy().agg(
+            count(lit(1)).as("n_candidates"),
+            sum(when(col("cos") >= 0.99, 1L).otherwise(0L)).as("ge99"),
+            sum(when(col("cos") >= 0.95, 1L).otherwise(0L)).as("ge95"),
+            sum(when(col("cos") >= 0.90, 1L).otherwise(0L)).as("ge90"),
+            sum(when(col("cos") >= 0.80, 1L).otherwise(0L)).as("ge80"))
+      },
+      s"""WITH e AS (SELECT vec_id, embedding,
+             ${graft.functions.Similarity.signBucketSql("embedding", 4)} AS bucket
+           FROM embeddings),
+         p AS (SELECT ${graft.functions.Similarity.cosineSql("a.embedding", "b.embedding")} AS cos
+               FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         SELECT count(*) AS n_candidates,
+           sum(CASE WHEN cos >= 0.99 THEN 1 ELSE 0 END)::BIGINT AS ge99,
+           sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END)::BIGINT AS ge95,
+           sum(CASE WHEN cos >= 0.90 THEN 1 ELSE 0 END)::BIGINT AS ge90,
+           sum(CASE WHEN cos >= 0.80 THEN 1 ELSE 0 END)::BIGINT AS ge80
+         FROM p"""))
 }
