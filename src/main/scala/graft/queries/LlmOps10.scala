@@ -355,5 +355,93 @@ object LlmOps10 {
            sum(CASE WHEN cos >= 0.95 THEN 1 ELSE 0 END)::BIGINT AS ge95,
            sum(CASE WHEN cos >= 0.90 THEN 1 ELSE 0 END)::BIGINT AS ge90,
            sum(CASE WHEN cos >= 0.80 THEN 1 ELSE 0 END)::BIGINT AS ge80
-         FROM p"""))
+         FROM p"""),
+
+    // MOSS-style local-similarity pair detection: documents sharing
+    // winnowing fingerprints (the q_text_winnowing selection chain —
+    // k=8 char-grams, w=4 windows, robust min-pos tiebreak) joined on
+    // fingerprint hash, scored by shared count and containment
+    // (shared / min(n_fp)). Position-aware where MinHash is not: only
+    // VERBATIM substrings produce shared fingerprints, so this is the
+    // plagiarism/licence-scan primitive. Over-common fingerprints
+    // (df > 64 — boilerplate) are dropped before the join, exactly
+    // what MOSS does, so posting lists stay bounded and the join
+    // volume is Σ df² over RARE fingerprints. All counts exact
+    // integers; one final IEEE division for containment.
+    QueryDef("q_dedup_winnowing",
+      (s, d) => {
+        val k = 8; val w = 4
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 1024).as("txt"))
+          .select(col("doc_id"), col("txt"),
+            (length(col("txt")) - k + 1).as("n"))
+          .filter(col("n") >= w)
+        val hashes = base
+          .select(col("doc_id"), col("txt"), col("n"),
+            explode(sequence(lit(1), col("n"))).as("pos"))
+          .select(col("doc_id"), col("n"), col("pos"),
+            conv(substring(md5(expr(s"substring(txt, pos, $k)").cast("binary")),
+              1, 8), 16, 10).cast("long").as("h"))
+        val fps = hashes
+          .select(col("doc_id"),
+            explode(sequence(greatest(lit(1), col("pos") - (w - 1)),
+              least(col("pos"), col("n") - (w - 1)))).as("t"),
+            (col("h") * 2048L + (lit(2047) - col("pos"))).as("key"))
+          .groupBy("doc_id", "t").agg(min(col("key")).as("key"))
+          .select(col("doc_id"), expr("key div 2048").as("h"))
+          .distinct()
+          .localCheckpoint(eager = false)
+        val nfp = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+        val rare = fps.join(
+          fps.groupBy("h").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= 64), "h")
+        val pairs = rare.as("x").join(rare.as("y"),
+            expr("x.h = y.h AND x.doc_id < y.doc_id"))
+          .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          .agg(count(lit(1)).as("shared"))
+        pairs
+          .join(nfp.withColumnRenamed("doc_id", "d1")
+            .withColumnRenamed("n_fp", "fp1"), "d1")
+          .join(nfp.withColumnRenamed("doc_id", "d2")
+            .withColumnRenamed("n_fp", "fp2"), "d2")
+          .select(col("d1"), col("d2"), col("shared"),
+            col("fp1"), col("fp2"),
+            (col("shared").cast("double") /
+              least(col("fp1"), col("fp2")).cast("double")).as("containment"))
+          .orderBy(col("shared").desc, col("d1").asc, col("d2").asc)
+          .limit(20)
+      },
+      """WITH d0 AS (
+        |  SELECT doc_id, substr(text, 1, 1024) AS txt FROM documents),
+        |d1 AS (
+        |  SELECT doc_id, txt, (length(txt) - 8 + 1) AS n
+        |  FROM d0 WHERE (length(txt) - 8 + 1) >= 4),
+        |hs AS (
+        |  SELECT doc_id, txt, n, unnest(range(1, n + 1)) AS pos FROM d1),
+        |hh AS (
+        |  SELECT doc_id, n, pos,
+        |    ('0x' || substring(md5(substr(txt, pos::INT, 8)), 1, 8))::BIGINT AS h
+        |  FROM hs),
+        |ws AS (
+        |  SELECT doc_id,
+        |    unnest(range(greatest(1, pos - 3), least(pos, n - 3) + 1)) AS t,
+        |    h * 2048 + (2047 - pos) AS key
+        |  FROM hh),
+        |sel AS (
+        |  SELECT doc_id, t, min(key) AS key FROM ws GROUP BY doc_id, t),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, key // 2048 AS h FROM sel),
+        |nfp AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+        |rare AS (SELECT f.doc_id, f.h FROM fps f
+        |         JOIN (SELECT h, count(*) AS df FROM fps GROUP BY 1
+        |               HAVING count(*) <= 64) r ON f.h = r.h),
+        |pairs AS (
+        |  SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS shared
+        |  FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT p.d1, p.d2, p.shared::BIGINT AS shared,
+        |  a.n_fp::BIGINT AS fp1, b.n_fp::BIGINT AS fp2,
+        |  p.shared::DOUBLE / least(a.n_fp, b.n_fp)::DOUBLE AS containment
+        |FROM pairs p JOIN nfp a ON p.d1 = a.doc_id JOIN nfp b ON p.d2 = b.doc_id
+        |ORDER BY shared DESC, d1 ASC, d2 ASC LIMIT 20""".stripMargin))
 }
