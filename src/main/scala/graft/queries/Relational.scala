@@ -488,6 +488,45 @@ object Relational {
         .orderBy("nk"),
       """SELECT c_nationkey AS nk FROM customer
          INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY nk"""),
+
+    // NULL-AWARE anti join — the `NOT IN (subquery)` three-valued-logic
+    // trap, exercised on purpose: against a null-free subquery NOT IN
+    // behaves like a plain anti join; add ONE NULL to the subquery and
+    // ANSI semantics say `x NOT IN (…, NULL)` is never TRUE, so the
+    // result is EMPTY. Both behaviors in one row, so the compare pins
+    // the semantics rather than assuming them. Spark plans the null-
+    // aware branch as a broadcast null-aware anti join (NAAJ) — the
+    // single-column BuildRight special case — and the null-free branch
+    // as a regular anti join; both go through the SQL frontend here
+    // precisely because the DataFrame API cannot express NOT IN.
+    QueryDef("q_join_notin",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        s.sql("""
+          SELECT
+            (SELECT count(*) FROM customer_v
+             WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v
+                                     WHERE o_totalprice > 150000))
+              AS n_no_big_orders,
+            (SELECT count(*) FROM customer_v
+             WHERE c_custkey NOT IN (
+               SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                           ELSE o_custkey END
+               FROM orders_v WHERE o_totalprice > 150000))
+              AS n_vs_nullable""")
+      },
+      """SELECT
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_totalprice > 150000))
+             AS n_no_big_orders,
+           (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                          ELSE o_custkey END
+              FROM orders WHERE o_totalprice > 150000))
+             AS n_vs_nullable"""),
   )
 
   /** ANSI-safe double parse: regex-guarded cast, null on failure —

@@ -90,7 +90,12 @@ object ProfCorpusScale9b {
     val queries = Seq("q_graph_linkpred", "q_graph_modularity",
       "q_events_trend", "q_events_changepoint", "q_events_downsample",
       "q_events_ohlc", "q_text_rake", "q_text_keyness", "q_emb_matryoshka",
-      "q_stats_ols", "q_layout_zonemap")
+      "q_stats_ols", "q_layout_zonemap",
+      // join-heavy closers: fact copies duplicate TEXTS, so the true
+      // near-dup pair set itself grows ~factor² between copies — any
+      // super-linear slope here is output growth, not algorithm
+      // pathology (verify against the pair counts if a slope shows)
+      "q_dedup_prefixjoin", "q_dedup_winnowing")
     for (f <- factors) {
       val dir = gen(f)
       queries.foreach { q =>
