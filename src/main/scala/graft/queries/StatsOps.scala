@@ -272,5 +272,56 @@ object StatsOps {
          SELECT l_returnflag, boot_mean, boot_sd,
            boot_mean - 1.96 * boot_sd AS ci_lo,
            boot_mean + 1.96 * boot_sd AS ci_hi
-         FROM sd ORDER BY l_returnflag"""))
+         FROM sd ORDER BY l_returnflag"""),
+
+    // Wilson score interval for a per-segment proportion (share of
+    // fulfilled orders) — the parametric partner of q_stats_bootstrap:
+    // exact integer (successes, trials) per group into one shared IEEE
+    // closed form; better coverage than the naive normal interval near
+    // 0/1 and at small n. One combinable groupBy; the formula is
+    // per-group scalar arithmetic.
+    QueryDef("q_stats_wilson",
+      (s, d) => {
+        val z = lit(1.96)
+        Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+              .as("k"))
+          .select(col("segment"), col("n"), col("k"),
+            (col("k").cast("double") / col("n").cast("double")).as("p"))
+          .select(col("segment"), col("n"), col("k"), col("p"),
+            ((col("p") + z * z / (lit(2.0) * col("n").cast("double"))) /
+              (lit(1.0) + z * z / col("n").cast("double"))).as("center"),
+            ((z / (lit(1.0) + z * z / col("n").cast("double"))) *
+              sqrt(col("p") * (lit(1.0) - col("p")) / col("n").cast("double") +
+                z * z / (lit(4.0) * col("n").cast("double") *
+                  col("n").cast("double")))).as("halfwidth"))
+          .select(col("segment"), col("n"), col("k"), col("p"),
+            (col("center") - col("halfwidth")).as("wilson_lo"),
+            (col("center") + col("halfwidth")).as("wilson_hi"))
+          .orderBy("segment")
+      },
+      """WITH g AS (
+           SELECT c_mktsegment AS segment, count(*) AS n,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS k
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1),
+         p AS (SELECT segment, n, k, k::DOUBLE / n::DOUBLE AS p FROM g),
+         w AS (
+           SELECT segment, n, k, p,
+             (p + 1.96 * 1.96 / (2.0 * n::DOUBLE))
+               / (1.0 + 1.96 * 1.96 / n::DOUBLE) AS center,
+             (1.96 / (1.0 + 1.96 * 1.96 / n::DOUBLE))
+               * sqrt(p * (1.0 - p) / n::DOUBLE
+                      + 1.96 * 1.96 / (4.0 * n::DOUBLE * n::DOUBLE))
+               AS halfwidth
+           FROM p)
+         SELECT segment, n, k, p,
+           center - halfwidth AS wilson_lo,
+           center + halfwidth AS wilson_hi
+         FROM w ORDER BY segment"""))
 }
