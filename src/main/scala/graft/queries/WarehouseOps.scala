@@ -476,28 +476,36 @@ object WarehouseOps {
     // engines' float-formatting differences never enter the hash.
     QueryDef("q_quality_profile",
       (s, d) => {
-        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        // One pre-aggregated branch per column: groupBy(value).count is
+        // a map-side-combined two-phase agg over ONE parquet column
+        // (columnar scans make 7 narrow reads cheaper than one wide
+        // one), then the profile numbers reduce the distinct-value
+        // frame. The tempting alternative — seven count(distinct) in
+        // one agg — plans as an Expand that duplicates EVERY row 7×
+        // with full aggregation machinery attached (measured 13.5 s
+        // in-bench vs ~2 s for this shape).
+        def branch(c: String, toDate: Boolean) = {
+          // min/max on the NATIVE value (numeric order), stringified
+          // only afterwards — a min over casted strings would compare
+          // lexicographically ('100' < '99')
+          val v = if (toDate) col("v").cast("date") else col("v")
+          Tables.lineitem(s, d)
+            .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+            .agg(sum("cnt").as("n_rows"),
+              sum(when(col("v").isNull, col("cnt")).otherwise(0L))
+                .as("n_nulls"),
+              count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+              min(v).cast("string").as("min_val"),
+              max(v).cast("string").as("max_val"))
+            .select(lit(c).as("column_name"), col("n_rows"),
+              col("n_nulls"), col("n_distinct"),
+              col("min_val"), col("max_val"))
+        }
+        val plain = Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_linenumber", "l_returnflag", "l_linestatus")
-        val aggs = cols.flatMap { c =>
-          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-            countDistinct(col(c)).as(s"${c}_dist"),
-            min(col(c)).cast("string").as(s"${c}_min"),
-            max(col(c)).cast("string").as(s"${c}_max"))
-        } ++ Seq(
-          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("l_shipdate_nulls"),
-          countDistinct(col("l_shipdate")).as("l_shipdate_dist"),
-          min(col("l_shipdate").cast("date")).cast("string").as("l_shipdate_min"),
-          max(col("l_shipdate").cast("date")).cast("string").as("l_shipdate_max"))
-        val stack = (cols :+ "l_shipdate").map(c =>
-          s"'$c', ${c}_nulls, ${c}_dist, ${c}_min, ${c}_max").mkString(", ")
-        val allAggs = count(lit(1)).as("n_rows") +: aggs
-        Tables.lineitem(s, d)
-          .agg(allAggs.head, allAggs.tail: _*)
-          .selectExpr("n_rows",
-            s"stack(7, $stack) AS (column_name, n_nulls, n_distinct, min_val, max_val)")
-          .select(col("column_name"), col("n_rows"), col("n_nulls"),
-            col("n_distinct"), col("min_val"), col("max_val"))
-          .orderBy("column_name")
+          .map(c => branch(c, toDate = false))
+        val date = branch("l_shipdate", toDate = true)
+        (plain :+ date).reduce(_.unionAll(_)).orderBy("column_name")
       }, {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey",
           "l_linenumber", "l_returnflag", "l_linestatus")
