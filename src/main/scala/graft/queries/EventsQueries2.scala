@@ -832,5 +832,61 @@ object EventsQueries2 {
         |    (sqrt(n::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE) *
         |     sqrt(n::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE)) AS r
         |FROM u ORDER BY event_type, lag""".stripMargin),
+
+    // Rolling 24-hour OLS slope per type — the windowed version of
+    // q_stats_ols' closed form and the live "is this metric trending"
+    // primitive an ops dashboard polls. Co-moments are exact MILLI-unit
+    // long sums over a 24-row frame (Σkx ≤ hours·span·values ≪ 2⁶³) on
+    // ONE span-bounded per-type sort; slope = (nΣkx − ΣkΣx) /
+    // (nΣk² − (Σk)²) evaluated in identical IEEE order. Short frames
+    // at the series head use their actual n, so no warm-up rows are
+    // dropped or special-cased.
+    QueryDef("q_window_regression",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val wk = Window.partitionBy("event_type").orderBy("h")
+        val w24 = Window.partitionBy("event_type").orderBy("k")
+          .rowsBetween(-23, 0)
+        Tables.events(s, d)
+          .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+            floor(col("value") * 1000).cast("long").as("v"))
+          .groupBy("event_type", "h").agg(sum("v").as("x"))
+          .withColumn("k", row_number().over(wk).cast("long"))
+          .select(col("event_type"), col("h"), col("k"),
+            count(lit(1)).over(w24).as("n"),
+            sum(col("k")).over(w24).as("sk"),
+            sum(col("x")).over(w24).as("sx"),
+            sum(col("k") * col("k")).over(w24).as("skk"),
+            sum(col("k") * col("x")).over(w24).as("skx"))
+          .filter(col("n") >= 2)
+          .select(col("event_type"), col("h"), col("n"),
+            ((col("n").cast("double") * col("skx").cast("double") -
+              col("sk").cast("double") * col("sx").cast("double")) /
+              (col("n").cast("double") * col("skk").cast("double") -
+                col("sk").cast("double") * col("sk").cast("double")))
+              .as("slope_milli_per_hour"))
+          .orderBy("event_type", "h")
+      },
+      """WITH hb AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    sum(floor(value * 1000)::BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |kb AS (
+        |  SELECT event_type, h, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h)::BIGINT AS k
+        |  FROM hb),
+        |w AS (
+        |  SELECT event_type, h,
+        |    count(*) OVER w24 AS n,
+        |    sum(k) OVER w24 AS sk, sum(x) OVER w24 AS sx,
+        |    sum(k * k) OVER w24 AS skk, sum(k * x) OVER w24 AS skx
+        |  FROM kb
+        |  WINDOW w24 AS (PARTITION BY event_type ORDER BY k
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, h, n::BIGINT AS n,
+        |  (n::DOUBLE * skx::DOUBLE - sk::DOUBLE * sx::DOUBLE) /
+        |    (n::DOUBLE * skk::DOUBLE - sk::DOUBLE * sk::DOUBLE)
+        |    AS slope_milli_per_hour
+        |FROM w WHERE n >= 2 ORDER BY event_type, h""".stripMargin),
   )
 }
