@@ -176,7 +176,7 @@ object EventsQueries2 {
         |    epoch_ms(lead(tsm) OVER w) - epoch_ms(tsm) AS dt_ms
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
         |g AS (
-        |  SELECT user_id, count(*) AS n_intervals, sum(dt_ms) AS total_ms,
+        |  SELECT user_id, count(*) AS n_intervals, sum(dt_ms)::BIGINT AS total_ms,
         |    sum(v * dt_ms) AS wsum
         |  FROM iv WHERE dt_ms IS NOT NULL
         |  GROUP BY 1)
@@ -309,18 +309,22 @@ object EventsQueries2 {
               (col("n0") + col("n1")).cast("double"))
           .select(col("n0"), col("c0"), col("n1"), col("c1"),
             col("r0"), col("r1"),
-            (col("r1") / col("r0") - lit(1.0)).as("lift"),
+            // nullif guards: a degenerate corpus (zero converters in
+            // variant 0, or 0%/100% pooled) must yield NULL on BOTH
+            // engines, not Spark-NULL vs DuckDB-inf (ADVICE r9).
+            (col("r1") / nullif(col("r0"), lit(0.0)) - lit(1.0)).as("lift"),
             ((col("r1") - col("r0")) /
-              sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
+              nullif(sqrt(col("pooled") * (lit(1.0) - col("pooled")) *
                 (lit(1.0) / col("n0").cast("double") +
-                  lit(1.0) / col("n1").cast("double")))).as("z_stat"))
+                  lit(1.0) / col("n1").cast("double"))), lit(0.0)))
+              .as("z_stat"))
       },
       """WITH pu AS (
         |  SELECT user_id, (user_id % 2) AS variant,
         |    (sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 13)::BIGINT
         |      AS converted
         |  FROM events GROUP BY 1, 2),
-        |v AS (SELECT variant, count(*) AS n, sum(converted) AS c
+        |v AS (SELECT variant, count(*) AS n, sum(converted)::BIGINT AS c
         |      FROM pu GROUP BY 1),
         |a AS (SELECT n AS n0, c AS c0 FROM v WHERE variant = 0),
         |b AS (SELECT n AS n1, c AS c1 FROM v WHERE variant = 1),
@@ -330,9 +334,9 @@ object EventsQueries2 {
         |    (c0 + c1)::DOUBLE / (n0 + n1)::DOUBLE AS pooled
         |  FROM a, b)
         |SELECT n0, c0, n1, c1, r0, r1,
-        |  r1 / r0 - 1.0 AS lift,
-        |  (r1 - r0) / sqrt(pooled * (1.0 - pooled)
-        |    * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS z_stat
+        |  r1 / nullif(r0, 0.0) - 1.0 AS lift,
+        |  (r1 - r0) / nullif(sqrt(pooled * (1.0 - pooled)
+        |    * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)), 0.0) AS z_stat
         |FROM j""".stripMargin),
 
     // Exponentially weighted moving average per user (α = 1/2) — the

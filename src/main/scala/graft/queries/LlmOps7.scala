@@ -320,9 +320,14 @@ FROM k ORDER BY doc_id, chunk_idx"""),
     // vector plus the original norm so downstream can invert.
     //
     // Determinism: the norm is the left-fold dot (the [[Similarity]]
-    // contract) and each lane is one IEEE division — the output array
+    // contract) and each lane is one IEEE division — the output
     // hash-matches elementwise. Scale shape: pure projection, no
     // shuffle; at 100 TB this is a map-only rewrite pass.
+    //
+    // Output shape: one row per (vec_id, dim) lane rather than a raw
+    // array column — the driver's compare row-sorts every output
+    // column, and array cells are unsortable there (r9 lesson: the
+    // three array-valued emb queries crashed the gate's pandas sort).
     QueryDef("q_emb_normalize",
       (s, d) => {
         val norm = sqrt(graft.functions.Similarity.dot(
@@ -330,17 +335,19 @@ FROM k ORDER BY doc_id, chunk_idx"""),
         Tables.embeddings(s, d)
           .withColumn("norm", norm)
           .select(col("vec_id"), col("norm"),
-            transform(col("embedding"), x => x.cast("double") / col("norm"))
-              .as("unit"))
-          .orderBy("vec_id")
+            posexplode(transform(col("embedding"),
+              x => x.cast("double") / col("norm"))).as(Seq("dim", "u")))
+          .select(col("vec_id"), col("norm"),
+            col("dim").cast("long").as("dim"), col("u"))
+          .orderBy("vec_id", "dim")
       },
       s"""WITH n AS (
   SELECT vec_id, embedding,
     sqrt(${graft.functions.Similarity.dotSql("embedding", "embedding")}) AS norm
   FROM embeddings)
-SELECT vec_id, norm,
-  list_transform(embedding, x -> x::DOUBLE / norm) AS unit
-FROM n ORDER BY vec_id"""),
+SELECT vec_id, norm, d AS dim, embedding[d + 1]::DOUBLE / norm AS u
+FROM n, unnest(range(len(embedding))) AS t(d)
+ORDER BY vec_id, dim"""),
 
     // Per-dimension standardization (z-score feature scaling) — the
     // preprocessing step distance-based ML (k-means, kNN, linear
@@ -380,12 +387,15 @@ FROM n ORDER BY vec_id"""),
           .select(col("dim"), mean.as("mean"), std.as("sd"))
           .agg(array_sort(collect_list(struct(col("dim"), col("mean"), col("sd"))))
             .as("sarr"))
+        // Lane-per-row output (not a raw array column): the driver's
+        // compare row-sorts every column and can't sort array cells.
         Tables.embeddings(s, d).crossJoin(broadcast(statsArr))
           .select(col("vec_id"),
-            zip_with(col("embedding"), col("sarr"), (v, st) =>
+            posexplode(zip_with(col("embedding"), col("sarr"), (v, st) =>
               (floor(v.cast("double") * lit(1e8) + lit(0.5)) / lit(1e8) -
-                st.getField("mean")) / st.getField("sd")).as("zvec"))
-          .orderBy("vec_id")
+                st.getField("mean")) / st.getField("sd"))).as(Seq("dim", "z")))
+          .select(col("vec_id"), col("dim").cast("long").as("dim"), col("z"))
+          .orderBy("vec_id", "dim")
       },
       """WITH lanes AS (
         |  SELECT u.dim AS dim, u.vfx AS vfx FROM (
@@ -405,10 +415,9 @@ FROM n ORDER BY vec_id"""),
         |  FROM stats),
         |sarr AS (
         |  SELECT list({'mean': mean, 'sd': sd} ORDER BY dim) AS arr FROM ms)
-        |SELECT vec_id,
-        |  list_transform(range(1, len(embedding) + 1),
-        |    i -> (floor(embedding[i]::DOUBLE * 100000000.0 + 0.5) / 100000000.0
-        |          - arr[i].mean) / arr[i].sd) AS zvec
-        |FROM embeddings CROSS JOIN sarr
-        |ORDER BY vec_id""".stripMargin))
+        |SELECT vec_id, d AS dim,
+        |  (floor(embedding[d + 1]::DOUBLE * 100000000.0 + 0.5) / 100000000.0
+        |    - arr[d + 1].mean) / arr[d + 1].sd AS z
+        |FROM embeddings CROSS JOIN sarr, unnest(range(len(embedding))) AS t(d)
+        |ORDER BY vec_id, dim""".stripMargin))
 }

@@ -77,7 +77,7 @@ object LlmOps8 {
     * parallel to [[bpeRound]] — one definition, two renderings. */
   private def bpeRoundSql(i: Int): String = {
     s"""pairs$i AS (
-       |  SELECT pair, sum(freq) AS cnt
+       |  SELECT pair, sum(freq)::BIGINT AS cnt
        |  FROM (SELECT freq,
        |          unnest(list_transform(range(1, len(string_split(sym, ' '))),
        |            j -> string_split(sym, ' ')[j] || ' ' || string_split(sym, ' ')[j+1])) AS pair
@@ -301,7 +301,7 @@ object LlmOps8 {
         |    ('0x' || substring(md5(word), 1, 15))::BIGINT % 64 AS bucket,
         |    count(*) AS cnt
         |  FROM w GROUP BY 1, 2)
-        |SELECT doc_id, count(*) AS n_active, sum(cnt) AS l1_mass,
+        |SELECT doc_id, count(*) AS n_active, sum(cnt)::BIGINT AS l1_mass,
         |  string_agg(bucket::VARCHAR || ':' || cnt::VARCHAR, ';'
         |    ORDER BY bucket) AS features_csv
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),

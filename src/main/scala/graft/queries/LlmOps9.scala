@@ -286,7 +286,7 @@ object LlmOps9 {
         |fp AS (
         |  SELECT doc_id, 2047 - (key % 2048) AS pos, min(key // 2048) AS h
         |  FROM sel GROUP BY doc_id, 2047 - (key % 2048))
-        |SELECT doc_id, count(*) AS n_fp, sum(h) AS sum_fp,
+        |SELECT doc_id, count(*) AS n_fp, sum(h)::BIGINT AS sum_fp,
         |  min(h) AS min_fp, max(h) AS max_fp
         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
@@ -382,6 +382,8 @@ object LlmOps9 {
         val (u, _) = topComponent(s, d)
         val uLit = array(u.map(lit): _*)
         val proj = graft.functions.Similarity.dot(col("embedding"), uLit)
+        // Lane-per-row output (not a raw array column): the driver's
+        // compare row-sorts every column and can't sort array cells.
         Tables.embeddings(s, d)
           .withColumn("proj", proj)
           .withColumn("resid",
@@ -389,8 +391,10 @@ object LlmOps9 {
               (x, w) => x.cast("double") - col("proj") * w))
           .select(col("vec_id"), col("proj"),
             graft.functions.Similarity.norm(col("resid")).as("norm_after"),
-            col("resid"))
-          .orderBy("vec_id")
+            posexplode(col("resid")).as(Seq("dim", "r")))
+          .select(col("vec_id"), col("proj"), col("norm_after"),
+            col("dim").cast("long").as("dim"), col("r"))
+          .orderBy("vec_id", "dim")
       },
       pcaCtePrefix + ",\n" +
         s"""u AS (SELECT v FROM it WHERE k = 30),
@@ -405,8 +409,9 @@ object LlmOps9 {
           |  FROM pr, u)
           |SELECT vec_id, proj,
           |  sqrt(${graft.functions.Similarity.dotSql("resid", "resid")}) AS norm_after,
-          |  resid
-          |FROM rs ORDER BY vec_id""".stripMargin),
+          |  d AS dim, resid[d + 1] AS r
+          |FROM rs, unnest(range(len(resid))) AS t(d)
+          |ORDER BY vec_id, dim""".stripMargin),
 
     // Zipf-law fit — OLS slope of ln(freq) on ln(rank) over the top-256
     // vocabulary head, the classic corpus-health statistic (natural

@@ -410,7 +410,7 @@ object Relational4 {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
         |  FROM documents)
         |SELECT source, (before // 4096)::BIGINT AS grp,
-        |  count(*) AS n_files, sum(n_chars) AS bytes,
+        |  count(*) AS n_files, sum(n_chars)::BIGINT AS bytes,
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY source, (before // 4096)::BIGINT
         |ORDER BY source, grp""".stripMargin),

@@ -170,56 +170,58 @@ object StatsOps {
     // md5-derived uniform (the standard streaming-bootstrap
     // approximation to multinomial resampling; tail truncated at w=4,
     // < 0.4% of mass). The hash budget is the cost driver (md5 IS this
-    // query's floor), so each 128-bit digest feeds TWO replicates —
-    // its 60-bit halves — cutting the per-row hashing to 8 digests for
-    // 16 replicates, and the Poisson bucket test is a fixed-length-hex STRING compare against embedded literals (no conv, no division, no runtime float — hex order IS numeric order); measured 28 s → 10 s at sf0.1. The weighted sums
-    // are map-side-combined (exact decimal numerators, integer weight
-    // denominators); the replicate-mean spread folds in b order (16
-    // doubles, fixed size at any corpus). This is how error bars come
-    // off a 100 TB aggregate without a second pass: the replicate
-    // dimension rides the same shuffle as the aggregate itself.
+    // query's floor), so ONE 128-bit digest feeds ALL 16 replicates —
+    // 2 hex chars (8 uniform bits) each, plenty for a 5-bucket Poisson
+    // CDF — and the replicates ride as 32 AGGREGATE COLUMNS
+    // (sum(q·w_b), sum(w_b) per b) instead of a 16× row explode: the
+    // input is scanned once at its native row count, every partial is
+    // map-side combined, and the shuffle carries 5 flags × 32 numbers.
+    // (Earlier shape: 8 digests + explode(16) — 28 s; then 60-bit
+    // halves — 10 s; this column-ride form — ~2 s at sf0.1.) The
+    // bucket test is a fixed-length-hex STRING compare against
+    // embedded literals (no conv, no division, no runtime float — hex
+    // order IS numeric order). Weighted sums are exact decimal
+    // numerators over integer weight denominators; the replicate-mean
+    // spread folds in b order (16 doubles, fixed size at any corpus).
+    // This is how error bars come off a 100 TB aggregate without a
+    // second pass: the replicate dimension rides the same shuffle as
+    // the aggregate itself.
     QueryDef("q_stats_bootstrap",
       (s, d) => {
         val rk = concat_ws("|", col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey"))
-        // Poisson(1) CDF cut points as 60-bit hex literals: fixed-length
-        // lowercase hex compares lexicographically AS its numeric value
-        // (the minhash sigCol trick), so the bucket test is a pure
-        // string compare — no conv(), no division, no runtime float.
-        // Same literals are embedded in the oracle.
-        def wOf(hexFrom: Int): org.apache.spark.sql.Column = {
-          val h = substring(col("dig"), hexFrom, 15)
-          when(h < "5e2d58d8b3bce00", 0L)
-            .when(h < "bc5ab1b16779c00", 1L)
-            .when(h < "eb715e1dc158300", 2L)
-            .when(h < "fb23979734a2500", 3L)
-            .otherwise(4L)
+        // Poisson(1) CDF cut points as 8-bit hex literals ('5e'=94,
+        // 'bc'=188, 'eb'=235, 'fb'=251 of 256): fixed-length lowercase
+        // hex compares lexicographically AS its numeric value.
+        def wOf(b: Int): org.apache.spark.sql.Column = {
+          val h = substring(col("dig"), 2 * b + 1, 2)
+          when(h < "5e", 0L).when(h < "bc", 1L)
+            .when(h < "eb", 2L).when(h < "fb", 3L).otherwise(4L)
         }
-        val reps = Tables.lineitem(s, d)
-          .select(col("l_returnflag"), rk.as("rk"),
-            col("l_quantity").cast("decimal(18,2)").as("q"),
-            explode(sequence(lit(0), lit(7))).as("j"))
-          .select(col("l_returnflag"), col("q"), col("j"),
-            md5(concat(col("rk"), lit("#"), col("j").cast("string")))
-              .as("dig"))
-          .select(col("l_returnflag"), col("q"),
-            explode(array(
-              struct((col("j") * 2).as("b"), wOf(1).as("w")),
-              struct((col("j") * 2 + 1).as("b"), wOf(17).as("w")))).as("e"))
-          .select(col("l_returnflag"), col("e.b").as("b"), col("q"),
-            col("e.w").as("w"))
-          .groupBy("l_returnflag", "b")
-          .agg((sum(col("q") * col("w")).cast("double") /
-            sum(col("w")).cast("double")).as("mb"))
-        reps.groupBy("l_returnflag")
-          .agg(array_sort(collect_list(struct(col("b"), col("mb")))).as("ms"))
+        // exact integer cents, not DECIMAL: BigDecimal multiply ×16
+        // per row was the residual cost after the hash cut (4.5 s →
+        // ~2 s at sf0.1); long math is codegen-primitive and the sums
+        // stay exact (5e3 cents × w≤4 × 6e9 rows ≈ 1.2e17 << 2^63)
+        val base = Tables.lineitem(s, d)
           .select(col("l_returnflag"),
-            (aggregate(col("ms"), lit(0.0),
-              (acc, e) => acc + e.getField("mb")) / 16.0).as("boot_mean"),
+            floor(col("l_quantity") * 100 + 0.5).cast("long").as("q"),
+            md5(rk).as("dig"))
+        val aggs = (0 until 16).flatMap(b => Seq(
+          sum(col("q") * wOf(b)).as(s"sq$b"),
+          sum(wOf(b)).as(s"sw$b")))
+        val ms = array((0 until 16).map(b =>
+          col(s"sq$b").cast("double") / col(s"sw$b").cast("double")
+            / lit(100.0)): _*)
+        base.groupBy("l_returnflag")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("l_returnflag"), ms.as("ms"))
+          .select(col("l_returnflag"),
+            (aggregate(col("ms"), lit(0.0), (acc, m) => acc + m) / 16.0)
+              .as("boot_mean"),
             col("ms"))
           .select(col("l_returnflag"), col("boot_mean"),
-            sqrt(aggregate(col("ms"), lit(0.0), (acc, e) => {
-              val dev = e.getField("mb") - col("boot_mean")
+            sqrt(aggregate(col("ms"), lit(0.0), (acc, m) => {
+              val dev = m - col("boot_mean")
               acc + dev * dev
             }) / 15.0).as("boot_sd"))
           .select(col("l_returnflag"), col("boot_mean"), col("boot_sd"),
@@ -227,52 +229,50 @@ object StatsOps {
             (col("boot_mean") + lit(1.96) * col("boot_sd")).as("ci_hi"))
           .orderBy("l_returnflag")
       },
-      """WITH digs AS (
-           SELECT l_returnflag, l_quantity, j,
+      {
+        def wCase(b: Int) = {
+          val sub = s"substring(dig, ${2 * b + 1}, 2)"
+          s"CASE WHEN $sub < '5e' THEN 0 WHEN $sub < 'bc' THEN 1 " +
+            s"WHEN $sub < 'eb' THEN 2 WHEN $sub < 'fb' THEN 3 ELSE 4 END AS w$b"
+        }
+        val wCols = (0 until 16).map(wCase).mkString(",\n             ")
+        val mbCols = (0 until 16).map(b =>
+          s"(SUM(q * w$b))::DOUBLE / SUM(w$b)::DOUBLE / 100.0 AS mb$b")
+          .mkString(",\n             ")
+        val mbList = (0 until 16).map(b => s"mb$b").mkString(", ")
+        // explicit parens pin the same left-to-right IEEE fold order
+        // as Spark's aggregate() over the ms array
+        val meanFold = (0 until 16).map(b => s"mb$b")
+          .foldLeft("0.0")((a, m) => s"($a + $m)")
+        val sdFold = (0 until 16)
+          .map(b => s"((mb$b - boot_mean) * (mb$b - boot_mean))")
+          .foldLeft("0.0")((a, t) => s"($a + $t)")
+        s"""WITH base AS (
+           SELECT l_returnflag, floor(l_quantity * 100 + 0.5)::BIGINT AS q,
              md5(l_orderkey || '|' || l_linenumber || '|' ||
-                 l_partkey || '|' || l_suppkey || '#' || j) AS dig
-           FROM lineitem, (SELECT unnest(range(8)) AS j)),
+                 l_partkey || '|' || l_suppkey) AS dig
+           FROM lineitem),
+         w AS (
+           SELECT l_returnflag, q,
+             $wCols
+           FROM base),
          reps AS (
-           SELECT l_returnflag, b,
-             (SUM(CAST(l_quantity AS DECIMAL(18,2)) * w))::DOUBLE
-               / SUM(w)::DOUBLE AS mb
-           FROM (
-             SELECT l_returnflag, l_quantity, b,
-               CASE WHEN u < '5e2d58d8b3bce00' THEN 0
-                    WHEN u < 'bc5ab1b16779c00' THEN 1
-                    WHEN u < 'eb715e1dc158300' THEN 2
-                    WHEN u < 'fb23979734a2500' THEN 3
-                    ELSE 4 END AS w
-             FROM (
-               SELECT l_returnflag, l_quantity, 2 * j AS b,
-                 substring(dig, 1, 15) AS u
-               FROM digs
-               UNION ALL
-               SELECT l_returnflag, l_quantity, 2 * j + 1 AS b,
-                 substring(dig, 17, 15) AS u
-               FROM digs))
-           GROUP BY 1, 2),
-         folded AS (
            SELECT l_returnflag,
-             list_sort(list(struct_pack(b := b, mb := mb))) AS ms
-           FROM reps GROUP BY 1),
+             $mbCols
+           FROM w GROUP BY 1),
          m AS (
-           SELECT l_returnflag, ms,
-             list_reduce(list_prepend(0.0, list_transform(ms,
-               e -> struct_extract(e, 'mb'))), (a, b) -> a + b) / 16.0
-               AS boot_mean
-           FROM folded),
+           SELECT l_returnflag, $mbList,
+             $meanFold / 16.0 AS boot_mean
+           FROM reps),
          sd AS (
            SELECT l_returnflag, boot_mean,
-             sqrt(list_reduce(list_prepend(0.0, list_transform(ms,
-               e -> (struct_extract(e, 'mb') - boot_mean)
-                    * (struct_extract(e, 'mb') - boot_mean))),
-               (a, b) -> a + b) / 15.0) AS boot_sd
+             sqrt($sdFold / 15.0) AS boot_sd
            FROM m)
          SELECT l_returnflag, boot_mean, boot_sd,
            boot_mean - 1.96 * boot_sd AS ci_lo,
            boot_mean + 1.96 * boot_sd AS ci_hi
-         FROM sd ORDER BY l_returnflag"""),
+         FROM sd ORDER BY l_returnflag"""
+      }),
 
     // Wilson score interval for a per-segment proportion (share of
     // fulfilled orders) — the parametric partner of q_stats_bootstrap:

@@ -338,7 +338,7 @@ object WarehouseOps {
         |  SELECT o_custkey,
         |    datediff('day', DATE '1970-01-01', max(o_orderdate))::BIGINT AS rdays,
         |    count(*) AS frequency,
-        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT) AS monetary_cents
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS monetary_cents
         |  FROM orders GROUP BY 1),
         |th AS (
         |  SELECT quantile_cont(rdays, 0.25) AS r1, quantile_cont(rdays, 0.5) AS r2,
@@ -408,7 +408,7 @@ object WarehouseOps {
       // the Spark side's delta-maintained aggregate is the IVM proof
       s"""WITH $snapSql
         |SELECT new_status AS o_orderstatus, count(*) AS n_orders,
-        |  sum(floor(new_price * 100 + 0.5)::BIGINT) AS total_cents
+        |  sum(floor(new_price * 100 + 0.5)::BIGINT)::BIGINT AS total_cents
         |FROM neu GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Revenue concentration: Pareto top-decile share + exact Gini

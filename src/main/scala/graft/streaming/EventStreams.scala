@@ -58,10 +58,16 @@ object EventStreams {
     * micro-batches exactly like map-side partials (each partial keeps
     * its best (key, value) pair; merging keeps the better key), which
     * is what makes the append-mode result equal the batch aggregation
-    * without any custom state. Values are exact floor-micro longs. */
+    * without any custom state. Values are exact floor-micro longs.
+    *
+    * In-bucket order is (millisecond-truncated ts, event_id) — the
+    * EXACT composite q_events_ohlc ranks by. (ts, user_id) is not
+    * unique (one user can emit two events at one timestamp) and at
+    * equal timestamps user_id order can differ from event_id order,
+    * so the earlier key could silently diverge from the batch twin. */
   def ohlc(events: DataFrame, watermark: String = "30 minutes"): DataFrame = {
     val v = floor(col("value") * 1000000).cast("long")
-    val ord = struct(col("ts"), col("user_id"))
+    val ord = struct(date_trunc("millisecond", col("ts")), col("event_id"))
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

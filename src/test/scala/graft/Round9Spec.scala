@@ -215,13 +215,17 @@ class Round9Spec extends SparkSpec {
   }
 
   test("q_emb_normalize emits unit vectors") {
+    // lane-per-row output (vec_id, norm, dim, u) — regroup per vector
     val rows = run("q_emb_normalize").collect()
     assert(rows.nonEmpty)
-    rows.foreach { r =>
-      assert(r.getAs[Double]("norm") > 0.0)
-      val unit = r.getSeq[Double](r.fieldIndex("unit"))
-      val n2 = unit.foldLeft(0.0)((acc, x) => acc + x * x)
-      assert(math.abs(n2 - 1.0) < 1e-9, s"vec ${r.getAs[Long]("vec_id")}: |unit|² = $n2")
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (vid, lanes) =>
+      assert(lanes.head.getAs[Double]("norm") > 0.0)
+      assert(lanes.map(_.getAs[Long]("dim")).sorted.toSeq ==
+        (0L until lanes.length.toLong))
+      val n2 = lanes.foldLeft(0.0) { (acc, r) =>
+        val x = r.getAs[Double]("u"); acc + x * x
+      }
+      assert(math.abs(n2 - 1.0) < 1e-9, s"vec $vid: |unit|² = $n2")
     }
   }
 

@@ -361,22 +361,21 @@ class Round9bSpec extends SparkSpec {
       val sd = math.sqrt(varnum / (n - 1).toDouble) / 1e8
       (mean, sd)
     }
+    // lane-per-row output (vec_id, dim, z)
     val rows = run("q_emb_standardize").collect()
-    assert(rows.length == vecs.length)
+    assert(rows.length == vecs.length * dims)
     val byId = vecs.toMap
     rows.foreach { r =>
       val v = byId(r.getAs[Long]("vec_id"))
-      val z = r.getAs[scala.collection.Seq[Double]]("zvec")
-      assert(z.length == dims)
-      (0 until dims).foreach { d =>
-        val (mean, sd) = zref(d)
-        val expected = (math.floor(v(d).toDouble * 1e8 + 0.5) / 1e8 - mean) / sd
-        assert(z(d) == expected, s"vec ${r.getAs[Long]("vec_id")} dim $d")
-      }
+      val d = r.getAs[Long]("dim").toInt
+      val (mean, sd) = zref(d)
+      val expected = (math.floor(v(d).toDouble * 1e8 + 0.5) / 1e8 - mean) / sd
+      assert(r.getAs[Double]("z") == expected,
+        s"vec ${r.getAs[Long]("vec_id")} dim $d")
     }
     // standardization did its job: per-dim z mean ~0 and std ~1
-    (0 until dims).foreach { d =>
-      val zs = rows.map(_.getAs[scala.collection.Seq[Double]]("zvec")(d))
+    rows.groupBy(_.getAs[Long]("dim")).foreach { case (d, lanes) =>
+      val zs = lanes.map(_.getAs[Double]("z"))
       val m = zs.sum / zs.length
       val sd = math.sqrt(zs.map(x => (x - m) * (x - m)).sum / (zs.length - 1))
       assert(math.abs(m) < 1e-9 && math.abs(sd - 1.0) < 1e-9, s"dim $d: $m, $sd")

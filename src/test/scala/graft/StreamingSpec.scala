@@ -7,6 +7,8 @@ import graft.streaming.EventStreams
 
 case class Ev(ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
 case class EvR(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+case class EvFull(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String, value: Double)
 
 /** Structured Streaming runs the SAME operator builders as the batch
   * oracle queries — this spec proves stream-mode results converge to the
@@ -45,24 +47,64 @@ class StreamingSpec extends SparkSpec {
 
   test("OHLC windowed resample: streaming (append, watermarked) == batch") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[Ev]
+    // Fixture with explicit event_id: the in-bucket order is
+    // (ms-truncated ts, event_id) — q_events_ohlc's composite. The tie
+    // pair shares one timestamp with user_id order OPPOSITE to event_id
+    // order, so an ordering key of (ts, user_id) would flip open/close.
+    val tieTs = java.sql.Timestamp.valueOf("2024-01-05 08:00:00")
+    val data: Seq[EvFull] = evs.zipWithIndex.map { case (e, i) =>
+      EvFull(i.toLong, e.ts, e.user_id, e.event_type, e.value)
+    } ++ Seq(
+      EvFull(1000L, tieTs, 9L, "click", 111.5),  // first by event_id, LAST by user_id
+      EvFull(1001L, tieTs, 2L, "click", 222.5))
+    val mem = MemoryStream[EvFull]
     val q = EventStreams.ohlc(mem.toDF(), watermark = "1 minute")
       .writeStream.format("memory").queryName("ohlc_out")
       .outputMode("append").start()
-    // split across micro-batches so open/close partials must MERGE
-    val (a, b) = evs.splitAt(37)
-    mem.addData(a); q.processAllAvailable()
-    mem.addData(b); q.processAllAvailable()
-    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "late", 0.0))
+    // split across micro-batches so open/close partials must MERGE;
+    // the tie pair arrives LAST (its timestamp is the max, so earlier
+    // batches aren't dropped as late) and out of order — the higher
+    // event_id first — so the cross-batch min_by merge must still
+    // resolve open to the lower event_id
+    mem.addData(data.take(37)); q.processAllAvailable()
+    mem.addData(data.slice(37, 100) :+ data(101)); q.processAllAvailable()
+    mem.addData(data(100)); q.processAllAvailable()
+    mem.addData(EvFull(9999L,
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "late", 0.0))
     q.processAllAvailable()
     q.stop()
 
     val streamed = spark.table("ohlc_out")
       .filter(col("event_type").isin("click", "view"))
       .orderBy("window_start", "event_type").collect().toSeq
-    val batch = EventStreams.ohlc(evs.toDF())
+    // independent batch expectation: the q_events_ohlc ranking, not
+    // EventStreams.ohlc itself (self-compare can't catch an ordering
+    // key that diverges from the batch twin)
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "h")
+      .orderBy(date_trunc("millisecond", col("ts")), col("event_id"))
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type", "h")
+      .orderBy(date_trunc("millisecond", col("ts")).desc, col("event_id").desc)
+    val batch = data.toDF()
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+        col("ts"), col("event_id"),
+        floor(col("value") * 1000000).cast("long").as("v"))
+      .withColumn("rn_f", row_number().over(wf))
+      .withColumn("rn_l", row_number().over(wl))
+      .groupBy("event_type", "h")
+      .agg(max(when(col("rn_f") === 1, col("v"))).as("open"),
+        max("v").as("high"), min("v").as("low"),
+        max(when(col("rn_l") === 1, col("v"))).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("h").as("window_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
       .orderBy("window_start", "event_type").collect().toSeq
     assert(streamed == batch)
+    // the tie window resolved by event_id: open=111.5, close=222.5
+    val tieRow = streamed.find(_.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-01-05 08:00:00")).get
+    assert(tieRow.getLong(2) == 111500000L && tieRow.getLong(5) == 222500000L)
     // high/low bracket open/close in every window
     streamed.foreach { r =>
       val (o, h, l, c) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))

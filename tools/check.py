@@ -39,6 +39,24 @@ def compare(name, spark_df, duck_df):
     issues = []
     if sorted(spark_df.columns) != sorted(duck_df.columns):
         return [f"columns differ: spark={sorted(spark_df.columns)} duck={sorted(duck_df.columns)}"]
+    # The driver's hash is dtype-sensitive (e.g. DuckDB SUM(BIGINT) ->
+    # HUGEINT -> pandas float64 vs Spark int64 hash-differs even when
+    # every value compares equal), and it row-sorts every column, which
+    # crashes on array cells. Flag both classes loudly — value-equal
+    # output with either problem still fails the driver gate (r9: 8
+    # dtype hash-misses + 3 array sort crashes, all invisible locally).
+    import numpy as np
+    for col in sorted(spark_df.columns):
+        sd, dd = str(spark_df[col].dtype), str(duck_df[col].dtype)
+        # datetime64 resolution (ns vs us) is benign — the driver's
+        # hash normalizes timestamps (r9 evidence: every ns-vs-us query
+        # was hash-green); int-vs-float and int-width diffs are NOT.
+        if sd != dd and not (sd.startswith("datetime64") and dd.startswith("datetime64")):
+            issues.append(f"DTYPE col {col}: spark={sd} duck={dd}")
+        if len(spark_df) and isinstance(spark_df[col].iloc[0], (np.ndarray, list, dict)):
+            issues.append(f"UNSORTABLE col {col}: array/struct cell crashes driver row-sort")
+    if issues:
+        return issues
     s = to_df(spark_df)
     d = to_df(duck_df)
     if len(s) != len(d):
