@@ -45,5 +45,27 @@ object Tables {
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
+  /** `documents`, rebalanced to the session's parallelism when the scan
+    * yields fewer partitions than cores. Parquet splits only at
+    * row-group boundaries, so the corpus's single small file scans as
+    * ONE partition locally and a CPU-heavy per-row operator
+    * (fingerprint hashing, chargram explode) runs its whole map stage
+    * on one thread. On a real cluster the input is already many
+    * partitions/files and this adds nothing. Only worth it for
+    * operators whose per-row compute dwarfs the row's bytes — the
+    * round-robin exchange moves the (capped) text once. */
+  def documentsBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val df = documents(spark, dir)
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+  /** `embeddings` with the same under-parallelized-scan rebalance as
+    * [[documentsBalanced]] — the Gramian/pair-product operators explode
+    * thousands of structs per vector in the map stage. */
+  def embeddingsBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val df = embeddings(spark, dir)
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

@@ -145,7 +145,7 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
          FROM documents GROUP BY md5(text) ORDER BY keep_id"""),
 
     QueryDef("q_dedup_minhash",
-      (s, d) => Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+      (s, d) => Dedup.minHashPairs(Tables.documentsBalanced(s, d), "doc_id", "text",
         nHashes, nBands, minhashThreshold).orderBy("d1", "d2"),
       minhashOracle),
 
@@ -157,7 +157,7 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
     // bucket² on a hot key. The oracle applies the identical cap, so the
     // recall trade cancels and the compare stays hash-exact.
     QueryDef("q_dedup_minhash_capped",
-      (s, d) => Dedup.minHashPairs(Tables.documents(s, d), "doc_id", "text",
+      (s, d) => Dedup.minHashPairs(Tables.documentsBalanced(s, d), "doc_id", "text",
         nHashes, nBands, minhashThreshold, bucketCap = 8).orderBy("d1", "d2"),
       minhashCappedOracle(8)),
 
@@ -166,7 +166,7 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
     // the LSH dedup path, oracle-checked (E[est] = J, err ~ 1/sqrt(k)).
     QueryDef("q_minhash_estimate",
       (s, d) => {
-        val sigs = Dedup.minHashSignatures(Tables.documents(s, d), "doc_id", "text", 16)
+        val sigs = Dedup.minHashSignatures(Tables.documentsBalanced(s, d), "doc_id", "text", 16)
         val matches = (0 until 16)
           .map(i => when(col(s"x.s$i") === col(s"y.s$i"), 1).otherwise(0))
           .reduce(_ + _)
@@ -394,7 +394,7 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
         val grams = array_distinct(transform(
           sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
           i => col("text").substr(i, lit(5))))
-        val sets = Tables.documents(s, d)
+        val sets = Tables.documentsBalanced(s, d)
           .select(col("doc_id"), grams.as("gset"))
         val inter = size(array_intersect(col("x.gset"), col("y.gset")))
         sets.as("x").join(sets.as("y"), col("y.doc_id") === col("x.doc_id") + 1)

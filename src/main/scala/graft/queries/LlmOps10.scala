@@ -370,26 +370,19 @@ object LlmOps10 {
     // integers; one final IEEE division for containment.
     QueryDef("q_dedup_winnowing",
       (s, d) => {
-        val k = 8; val w = 4
-        val base = Tables.documents(s, d)
+        val base = Tables.documentsBalanced(s, d)
           .select(col("doc_id"), substring(col("text"), 1, 1024).as("txt"))
           .select(col("doc_id"), col("txt"),
-            (length(col("txt")) - k + 1).as("n"))
-          .filter(col("n") >= w)
-        val hashes = base
-          .select(col("doc_id"), col("txt"), col("n"),
-            explode(sequence(lit(1), col("n"))).as("pos"))
-          .select(col("doc_id"), col("n"), col("pos"),
-            conv(substring(md5(expr(s"substring(txt, pos, $k)").cast("binary")),
-              1, 8), 16, 10).cast("long").as("h"))
-        val fps = hashes
-          .select(col("doc_id"),
-            explode(sequence(greatest(lit(1), col("pos") - (w - 1)),
-              least(col("pos"), col("n") - (w - 1)))).as("t"),
-            (col("h") * 2048L + (lit(2047) - col("pos"))).as("key"))
-          .groupBy("doc_id", "t").agg(min(col("key")).as("key"))
-          .select(col("doc_id"), expr("key div 2048").as("h"))
-          .distinct()
+            (length(col("txt")) - graft.functions.Winnow.K + 1).as("n"))
+          .filter(col("n") >= graft.functions.Winnow.W)
+        // fingerprint selection is map-only array work ([[Winnow]]);
+        // the per-doc h-set is array_distinct'd BEFORE the explode, so
+        // the only shuffled rows are the fingerprint-density (doc, h)
+        // postings the join actually needs
+        val fps = graft.functions.Winnow.withSel(base)
+          .select(col("doc_id"), explode(
+            expr("array_distinct(transform(sel, key -> key div 2048))"))
+            .as("h"))
           .localCheckpoint(eager = false)
         val nfp = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
         val rare = fps.join(
@@ -411,26 +404,16 @@ object LlmOps10 {
           .orderBy(col("shared").desc, col("d1").asc, col("d2").asc)
           .limit(20)
       },
-      """WITH d0 AS (
+      s"""WITH d0 AS (
         |  SELECT doc_id, substr(text, 1, 1024) AS txt FROM documents),
         |d1 AS (
         |  SELECT doc_id, txt, (length(txt) - 8 + 1) AS n
         |  FROM d0 WHERE (length(txt) - 8 + 1) >= 4),
-        |hs AS (
-        |  SELECT doc_id, txt, n, unnest(range(1, n + 1)) AS pos FROM d1),
-        |hh AS (
-        |  SELECT doc_id, n, pos,
-        |    ('0x' || substring(md5(substr(txt, pos::INT, 8)), 1, 8))::BIGINT AS h
-        |  FROM hs),
-        |ws AS (
-        |  SELECT doc_id,
-        |    unnest(range(greatest(1, pos - 3), least(pos, n - 3) + 1)) AS t,
-        |    h * 2048 + (2047 - pos) AS key
-        |  FROM hh),
-        |sel AS (
-        |  SELECT doc_id, t, min(key) AS key FROM ws GROUP BY doc_id, t),
+        |${graft.functions.Winnow.selSqlCtes("d1")},
         |fps AS (
-        |  SELECT DISTINCT doc_id, key // 2048 AS h FROM sel),
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(sel, key -> key // 2048))) AS h
+        |  FROM fp),
         |nfp AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
         |rare AS (SELECT f.doc_id, f.h FROM fps f
         |         JOIN (SELECT h, count(*) AS df FROM fps GROUP BY 1

@@ -33,7 +33,7 @@ object LlmOps9 {
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val a = transform(col("embedding"),
       x => floor(x.cast("double") * lit(1e4) + lit(0.5)).cast("long"))
-    val emb = Tables.embeddings(s, d).select(a.as("a"))
+    val emb = Tables.embeddingsBalanced(s, d).select(a.as("a"))
     val pstats = emb
       .select(explode(expr(
         """flatten(transform(sequence(0, size(a)-1), i ->
@@ -224,71 +224,45 @@ object LlmOps9 {
     // Winnowing fingerprints (SIGMOD'03): 8-char k-gram hashes, window
     // w=4, rightmost-minimum selection — the guarantee is every match
     // of length ≥ k+w−1 shares a fingerprint, with ~2/(w+1) density.
-    // The rightmost-min-per-window argmin is ONE aggregation, not a
-    // window-sort: (hash, position) packs into a single BIGINT key
-    // `h·2048 + (2047 − pos)` whose MIN is exactly (min hash, max pos)
-    // — so the whole selection is two map-side-combined groupBys
-    // (doc×window → key, then doc×pos dedup), shuffling only
-    // fingerprint-density rows. Per-doc summary output keeps the
-    // verified surface N-rows-proportional, not fingerprint-
-    // proportional; text capped at 1 KiB per doc (curation-pipeline
+    // The whole selection chain ([[graft.functions.Winnow]]) is pure
+    // array expressions inside one row — the per-position hash array,
+    // the per-window packed-key mins (`h·2048 + (2047 − pos)`:
+    // BIGINT MIN = (min hash, max pos)), the pos-dedup — so the
+    // operator is MAP-ONLY: no explode, no shuffle, just the final
+    // per-doc summary projection. (Earlier shape: ~4 window rows per
+    // k-gram through two hash exchanges — 5.5 s at sf0.1 vs ~1 s
+    // in-register.) Text capped at 1 KiB per doc (curation-pipeline
     // convention for fingerprinting).
     QueryDef("q_text_winnowing",
       (s, d) => {
-        val k = 8; val w = 4
-        val base = Tables.documents(s, d)
+        val base = Tables.documentsBalanced(s, d)
           .select(col("doc_id"), substring(col("text"), 1, 1024).as("txt"))
           .select(col("doc_id"), col("txt"),
-            (length(col("txt")) - k + 1).as("n"))
-          .filter(col("n") >= w)
-        val hashes = base
-          .select(col("doc_id"), col("txt"), col("n"),
-            explode(sequence(lit(1), col("n"))).as("pos"))
-          .select(col("doc_id"), col("n"), col("pos"),
-            conv(substring(md5(expr(s"substring(txt, pos, $k)").cast("binary")),
-              1, 8), 16, 10).cast("long").as("h"))
-        val windows = hashes
+            (length(col("txt")) - graft.functions.Winnow.K + 1).as("n"))
+          .filter(col("n") >= graft.functions.Winnow.W)
+        graft.functions.Winnow.withSel(base)
+          .withColumn("hs", expr("transform(sel, key -> key div 2048)"))
           .select(col("doc_id"),
-            explode(sequence(greatest(lit(1), col("pos") - (w - 1)),
-              least(col("pos"), col("n") - (w - 1)))).as("t"),
-            (col("h") * 2048L + (lit(2047) - col("pos"))).as("key"))
-        windows
-          .groupBy("doc_id", "t")
-          .agg(min(col("key")).as("key"))
-          .select(col("doc_id"),
-            (lit(2047L) - expr("key % 2048")).as("pos"),
-            expr("key div 2048").as("h"))
-          .groupBy("doc_id", "pos")
-          .agg(min(col("h")).as("h"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_fp"), sum(col("h")).as("sum_fp"),
-            min(col("h")).as("min_fp"), max(col("h")).as("max_fp"))
+            size(col("hs")).cast("long").as("n_fp"),
+            expr("aggregate(hs, cast(0 as bigint), (a, x) -> a + x)")
+              .as("sum_fp"),
+            array_min(col("hs")).as("min_fp"),
+            array_max(col("hs")).as("max_fp"))
           .orderBy("doc_id")
       },
-      """WITH d0 AS (
+      s"""WITH d0 AS (
         |  SELECT doc_id, substr(text, 1, 1024) AS txt FROM documents),
         |d1 AS (
         |  SELECT doc_id, txt, (length(txt) - 8 + 1) AS n
         |  FROM d0 WHERE (length(txt) - 8 + 1) >= 4),
+        |${graft.functions.Winnow.selSqlCtes("d1")},
         |hs AS (
-        |  SELECT doc_id, txt, n, unnest(range(1, n + 1)) AS pos FROM d1),
-        |hh AS (
-        |  SELECT doc_id, n, pos,
-        |    ('0x' || substring(md5(substr(txt, pos::INT, 8)), 1, 8))::BIGINT AS h
-        |  FROM hs),
-        |ws AS (
-        |  SELECT doc_id,
-        |    unnest(range(greatest(1, pos - 3), least(pos, n - 3) + 1)) AS t,
-        |    h * 2048 + (2047 - pos) AS key
-        |  FROM hh),
-        |sel AS (
-        |  SELECT doc_id, t, min(key) AS key FROM ws GROUP BY doc_id, t),
-        |fp AS (
-        |  SELECT doc_id, 2047 - (key % 2048) AS pos, min(key // 2048) AS h
-        |  FROM sel GROUP BY doc_id, 2047 - (key % 2048))
-        |SELECT doc_id, count(*) AS n_fp, sum(h)::BIGINT AS sum_fp,
-        |  min(h) AS min_fp, max(h) AS max_fp
-        |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+        |  SELECT doc_id, list_transform(sel, key -> key // 2048) AS hs
+        |  FROM fp)
+        |SELECT doc_id, len(hs)::BIGINT AS n_fp,
+        |  list_sum(hs)::BIGINT AS sum_fp,
+        |  list_min(hs) AS min_fp, list_max(hs) AS max_fp
+        |FROM hs ORDER BY doc_id""".stripMargin),
 
     // WET-style HTML→text extraction — the first operator of every web
     // corpus (Common Crawl WARC→WET) pipeline: drop script/style

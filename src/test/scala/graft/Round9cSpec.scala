@@ -76,14 +76,27 @@ class Round9cSpec extends SparkSpec {
     assert(bhj.size >= 2, s"di/dj joins should broadcast, got ${bhj.size}")
   }
 
-  test("q_text_winnowing selection is aggregation, not an all-pairs join") {
+  test("q_text_winnowing selection is map-only: no hash shuffle, no re-hash per window") {
     val plan = planOf("q_text_winnowing")
     assert(collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
     assert(collectAll(plan) { case j: CartesianProductExec => j }.isEmpty)
-    val partials = collectAll(plan) { case a: BaseAggregateExec => a }
-      .filter(_.aggregateExpressions.exists(
-        _.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial))
-    assert(partials.nonEmpty, "window-min must be a combinable aggregate")
+    // the whole Winnow selection lives inside one row: the only
+    // exchanges allowed are the deliberate scan rebalance (round-robin)
+    // and the final doc_id sort (range) — never a hash aggregation
+    val hashEx = collectAll(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.isEmpty, s"selection must not shuffle, got ${hashEx.size}")
+    // CollapseProject guard (Winnow.withSel scaladoc): the per-window
+    // lambda must consume the PRECOMPUTED key array; if the optimizer
+    // inlined the hash array into the lambda, the plan line holding
+    // array_min would also hold md5 — an O(n²)-hashing plan
+    val winLines = plan.toString.linesIterator
+      .filter(_.contains("array_min")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(!_.contains("md5")),
+      "per-window min must read the precomputed key array (O(n·w)), not inline md5 (O(n²))")
   }
 
   test("q_join_asof_nearest runs both direction frames over ONE sort") {
