@@ -321,6 +321,10 @@ object GraphOps {
             expr("x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey"))
           .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
           .distinct()
+          // feeds BOTH the adjacency chain and the existing-edge anti
+          // join - checkpoint so the 3M-row self-join + distinct runs
+          // once, not twice
+          .localCheckpoint(eager = false)
         val adj = pairs.select(col("a").as("node"), col("b").as("nbr"))
           .unionAll(pairs.select(col("b").as("node"), col("a").as("nbr")))
         val w = Window.partitionBy("node").orderBy("nbr")
@@ -408,12 +412,17 @@ object GraphOps {
           .distinct()
         val deg = inc.groupBy("part").agg(count(lit(1)).as("deg"))
           .filter(col("deg").between(2, 32))
-        val wedges = inc.as("x").join(inc.as("y"),
+        // hub cap BEFORE the self-join (not after): the capped
+        // incidence with deg attached is computed ONCE behind a lazy
+        // checkpoint and reused as both wedge sides, so the join never
+        // enumerates a hub part's wedges only to drop them, and the
+        // distinct+cap subtree isn't re-executed per side
+        val incf = inc.join(deg, "part").localCheckpoint(eager = false)
+        val wedges = incf.as("x").join(incf.as("y"),
             expr("x.part = y.part AND x.supp < y.supp"))
-          .select(col("x.part").as("part"),
-            col("x.supp").as("s1"), col("y.supp").as("s2"))
-          .join(deg, "part")
-          .groupBy("s1", "s2", "deg").agg(count(lit(1)).as("cnt"))
+          .groupBy(col("x.supp").as("s1"), col("y.supp").as("s2"),
+            col("x.deg").as("deg"))
+          .agg(count(lit(1)).as("cnt"))
         wedges.groupBy("s1", "s2")
           .agg(sum("cnt").cast("long").as("n_common"),
             array_sort(collect_list(struct(col("deg"),
@@ -462,10 +471,11 @@ object GraphOps {
           .distinct()
         val deg = inc.groupBy("part").agg(count(lit(1)).as("pdeg"))
           .filter(col("pdeg").between(2, 32))
-        val edges = inc.as("x").join(inc.as("y"),
+        // capped incidence computed once, reused as both wedge sides
+        // (the q_graph_linkpred shape)
+        val incf = inc.join(deg, "part").localCheckpoint(eager = false)
+        val edges = incf.as("x").join(incf.as("y"),
             expr("x.part = y.part AND x.supp < y.supp"))
-          .join(deg.withColumnRenamed("part", "dpart"),
-            col("x.part") === col("dpart"))
           .select(col("x.supp").as("s1"), col("y.supp").as("s2"))
           .distinct()
         val nat = Tables.supplier(s, d).select(col("s_suppkey").as("supp"),
