@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic pins for round-10 batch 2 (the hash gate proves DuckDB
+  * value equality; these pin contracts hashes can't express). */
+class Round10Spec2 extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_multimodal_phash_neardup equals a capped-band reference over real phashes") {
+    val ph = graft.ops.Multimodal.phash(
+      graft.ops.Multimodal.pngPayload(Tables.documents(spark, sf), "doc_id"),
+      "doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // replicate bands -> cap 16 by doc_id -> distinct pairs -> hamming<=6
+    val buckets = ph.flatMap { case (id, h) =>
+      (0 until 4).map(b => ((b, (h >> (b * 16)) & 0xffffL), id, h))
+    }.groupBy(_._1).view.mapValues(_.sortBy(_._2).take(16)).toMap
+    val want = buckets.values.flatMap { members0 =>
+      val members = members0.toSeq
+      for {
+        a <- members; b <- members
+        if a._2 < b._2 && java.lang.Long.bitCount(a._3 ^ b._3) <= 6
+      } yield (a._2, b._2, java.lang.Long.bitCount(a._3 ^ b._3).toLong)
+    }.toSet
+    val got = run("q_multimodal_phash_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(got.nonEmpty, "fixture images include near-identical gradients")
+  }
+
+  test("q_mix_temperature shares sum to 1 and upsample smaller sources") {
+    val rows = run("q_mix_temperature").collect()
+    assert(rows.length > 1)
+    val shareSum = rows.map(_.getAs[Double]("temp_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-12, s"Σ temp_share = $shareSum")
+    // α < 1 flattens: below-average sources gain, above-average lose
+    val meanP = 1.0 / rows.length
+    rows.foreach { r =>
+      val p: Double = r.getAs[Double]("p")
+      val up: Double = r.getAs[Double]("upsample_factor")
+      if (p < meanP) assert(up > 1.0, s"${r.getString(0)}: small source must upsample")
+      if (p > meanP) assert(up < 1.0, s"${r.getString(0)}: big source must downsample")
+    }
+  }
+
+  test("q_emb_hamming: ranks ordered, and hamming-selected hits beat the corpus mean cosine") {
+    val rows = run("q_emb_hamming").collect()
+    assert(rows.length == 30) // 3 queries × top-10
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, hits) =>
+      val sorted = hits.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to 10L))
+      // hamming non-decreasing with rank
+      val hs = sorted.map(_.getAs[Long]("hamming"))
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b }, s"q=$q: $hs")
+      // sign-bit hamming is angle-correlated: the selected 10 should
+      // average a much higher cosine than a random vector pair (~0)
+      val meanCos = sorted.map(_.getAs[Double]("cos")).sum / 10.0
+      assert(meanCos > 0.1, s"q=$q: mean cos of hamming top-10 = $meanCos")
+    }
+  }
+
+  test("q_events_forecast_snaive equals a collected-reference computation") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1).getTime), r.getLong(2)))
+      .toMap
+    val ref: Map[String, (Long, Long, Long)] = hourly.toSeq.flatMap { case ((t, h), c) =>
+      for {
+        cw <- hourly.get((t, h - 168L * 3600 * 1000))
+        ch <- hourly.get((t, h - 3600 * 1000L))
+      } yield (t, math.abs(c - cw), math.abs(c - ch))
+    }.groupBy(_._1).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(_._2).sum, xs.map(_._3).sum)
+    }.toMap
+    val got = run("q_events_forecast_snaive").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val t = r.getString(0)
+      val (n: Long, sw: Long, sh: Long) = ref(t)
+      assert(r.getAs[Long]("n_eval") == n, s"$t n_eval")
+      assert(r.getAs[Double]("mae_snaive") == sw.toDouble / n.toDouble, s"$t snaive")
+      assert(r.getAs[Double]("mae_naive1") == sh.toDouble / n.toDouble, s"$t naive1")
+      if (sh == 0L) assert(r.isNullAt(r.fieldIndex("rel_mase")), s"$t mase null")
+      else assert(r.getAs[Double]("rel_mase") == sw.toDouble / sh.toDouble, s"$t mase")
+    }
+    assert(got.length == ref.size)
+  }
+}
