@@ -235,18 +235,24 @@ object Round10Ops {
     // integer sketch so the compare is hash-exact.
     QueryDef("q_agg_countmin",
       (s, d) => {
-        val words = Tables.documents(s, d)
+        // reduce-to-vocab FIRST (Heaps-sublinear), then hash each
+        // DISTINCT word once and add its count into the cells — the
+        // naive per-occurrence form computed 4 md5 per token (~8M at
+        // sf0.1) where this computes 4 per vocab entry (~100k)
+        val wordCounts = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) > 0)
-        val cells = words
-          .select(explode(expr(
+          .groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+          .localCheckpoint(eager = false)
+        val cells = wordCounts
+          .select(col("exact_cnt"), explode(expr(
             """transform(sequence(0, 3), r -> named_struct(
               |  'r', CAST(r AS BIGINT),
               |  'b', CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', word)), 1, 15), 16, 10) AS BIGINT) % 256))"""
               .stripMargin)).as("c"))
           .groupBy(col("c.r").as("r"), col("c.b").as("b"))
-          .agg(count(lit(1)).as("cnt"))
-        val exact = words.groupBy("word").agg(count(lit(1)).as("exact_cnt"))
+          .agg(sum(col("exact_cnt")).as("cnt"))
+        val exact = wordCounts
           .orderBy(col("exact_cnt").desc, col("word").asc).limit(20)
         val probes = exact.select(col("word"), col("exact_cnt"),
           explode(expr(
@@ -267,13 +273,14 @@ object Round10Ops {
         |  SELECT word FROM (
         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  WHERE length(word) > 0),
+        |wc AS (SELECT word, count(*) AS exact_cnt FROM words GROUP BY 1),
         |cells AS (
         |  SELECT r, ('0x' || substring(md5(r::VARCHAR || ':' || word), 1, 15))::BIGINT % 256 AS b,
-        |    count(*) AS cnt
-        |  FROM words, (SELECT unnest(range(4)) AS r)
+        |    sum(exact_cnt)::BIGINT AS cnt
+        |  FROM wc, (SELECT unnest(range(4)) AS r)
         |  GROUP BY 1, 2),
         |exact AS (
-        |  SELECT word, count(*) AS exact_cnt FROM words GROUP BY 1
+        |  SELECT word, exact_cnt FROM wc
         |  ORDER BY exact_cnt DESC, word ASC LIMIT 20),
         |probes AS (
         |  SELECT word, exact_cnt, r,
