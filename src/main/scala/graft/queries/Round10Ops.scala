@@ -158,12 +158,13 @@ object Round10Ops {
 
     // Suffix-LCP repeat detection — the scalable core of suffix-array
     // exact-substring dedup (Lee et al., ACL'22): sample suffixes
-    // (stride 4 over the first 256 chars, 64-char keys), ONE global
-    // sort, then each suffix's longest common prefix with its
-    // lexicographic PREDECESSOR via a char-scan fold. Cross-document
-    // LCP ≥ 32 marks a verbatim repeat ≥ 32 chars. The sort carries
-    // only the capped keys — never documents — and at cluster scale is
-    // repartitionByRange + local sort (suffix-array sharding); the
+    // (stride 4 over the first 256 chars, 64-char keys), a
+    // PREFIX-SHARDED sort (4-char shard key — suffix-array sharding
+    // made literal), then each suffix's longest common prefix with its
+    // in-shard lexicographic PREDECESSOR via a char-scan fold.
+    // Cross-document LCP ≥ 32 marks a verbatim repeat ≥ 32 chars; a
+    // shard-boundary pair shares < 4 chars so the shard cut is
+    // loss-free at the 32 bar. The sort carries only capped keys; the
     // adjacent-only LCP is the standard approximation (equal runs sort
     // adjacent, so any repeated 64-gram IS caught up to stride
     // alignment). The first-mismatch fold freezes `acc` once
@@ -178,7 +179,17 @@ object Round10Ops {
             col("txt"))
           .select(col("doc_id"), col("pos"),
             expr("substring(txt, pos, 64)").as("sfx"))
+        // PREFIX-SHARDED suffix order, not one global window: partition
+        // by the 4-char prefix, sort within. A pair adjacent across a
+        // shard boundary shares < 4 chars, so it can never reach the
+        // 32-char repeat bar — treating it as LCP 0 (prev NULL at shard
+        // head) is loss-free for n_rep32, and the oracle applies the
+        // IDENTICAL partitioning so max_lcp stays hash-exact too. This
+        // is the fix the 1×/3×/10× profile demanded: the unpartitioned
+        // window sorted the whole sample in ONE task (2.4→63 s at 10×);
+        // sharded, each prefix group sorts in parallel.
         val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(expr("substring(sfx, 1, 4)"))
           .orderBy("sfx", "doc_id", "pos")
         sufs
           .withColumn("prev_sfx", lag("sfx", 1).over(w))
@@ -206,8 +217,10 @@ object Round10Ops {
         |    FROM d1)),
         |lagd AS (
         |  SELECT doc_id, sfx,
-        |    lag(sfx) OVER (ORDER BY sfx, doc_id, pos) AS prev_sfx,
-        |    lag(doc_id) OVER (ORDER BY sfx, doc_id, pos) AS prev_doc
+        |    lag(sfx) OVER (PARTITION BY substr(sfx, 1, 4)
+        |      ORDER BY sfx, doc_id, pos) AS prev_sfx,
+        |    lag(doc_id) OVER (PARTITION BY substr(sfx, 1, 4)
+        |      ORDER BY sfx, doc_id, pos) AS prev_doc
         |  FROM sufs),
         |lcps AS (
         |  SELECT doc_id,

@@ -43,6 +43,27 @@ object EventStreams {
       .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"))
       .select(col("window.start").as("window_start"), col("approx_users"))
 
+  /** Windowed Count-Min sketch cells (4 md5-seeded rows × 256 buckets,
+    * the q_agg_countmin geometry) over event_type — the streaming half
+    * of the mergeable-frequency-sketch story: cells are PLAIN COUNTS,
+    * so partials merge across micro-batches exactly like map-side
+    * combine in batch (append-mode == batch bit-for-bit), and
+    * per-open-window state is ≤ 1024 integer cells at ANY event
+    * volume — where an exact per-key count would hold the full key
+    * set. Point estimates read MIN over the 4 row cells downstream. */
+  def countMinCells(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), explode(expr(
+        """transform(sequence(0, 3), r -> named_struct(
+          |  'r', CAST(r AS BIGINT),
+          |  'b', CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', event_type)), 1, 15), 16, 10) AS BIGINT) % 256))"""
+          .stripMargin)).as("c"))
+      .groupBy(window(col("ts"), "1 hour"), col("c.r").as("r"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("r"), col("b"),
+        col("cnt"))
+
   /** Sliding (hopping) 1h/30min windows per event_type. */
   def sliding(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
     events

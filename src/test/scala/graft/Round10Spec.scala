@@ -100,12 +100,17 @@ class Round10Spec extends SparkSpec {
       while (i < math.min(a.length, b.length) && a(i) == b(i)) i += 1
       i
     }
-    val perDoc = sufs.zipWithIndex.map { case ((sfx, id, _), i) =>
-      val l =
-        if (i == 0 || sufs(i - 1)._2 == id) 0
-        else lcp(sfx, sufs(i - 1)._1)
-      (id, l)
-    }.groupBy(_._1).view.mapValues { ls =>
+    // prefix-sharded like the query: predecessor within the 4-char
+    // prefix shard (shard heads get LCP 0 — loss-free at the 32 bar)
+    val perDoc = sufs.groupBy(_._1.take(4)).values.flatMap { g =>
+      val sg = g.sortBy(s => (s._1, s._2, s._3))
+      sg.zipWithIndex.map { case ((sfx, id, _), i) =>
+        val l =
+          if (i == 0 || sg(i - 1)._2 == id) 0
+          else lcp(sfx, sg(i - 1)._1)
+        (id, l)
+      }
+    }.toSeq.groupBy(_._1).view.mapValues { ls =>
       (ls.length.toLong, ls.map(_._2).max.toLong,
         ls.count(_._2 >= 32).toLong)
     }.toMap

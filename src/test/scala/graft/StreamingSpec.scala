@@ -142,6 +142,47 @@ class StreamingSpec extends SparkSpec {
       exact.map(r => (r.getTimestamp(0), r.getLong(1))))
   }
 
+  test("Count-Min cells: streaming (append, watermarked) == batch; estimates bound exact counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.countMinCells(mem.toDF(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("cm_out")
+      .outputMode("append").start()
+    // split so per-cell partial counts must MERGE across micro-batches
+    val (a, b) = evs.splitAt(41)
+    mem.addData(a); q.processAllAvailable()
+    mem.addData(b); q.processAllAvailable()
+    mem.addData(Ev(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val cut = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val streamed = spark.table("cm_out")
+      .filter(col("window_start") < cut)
+      .orderBy("window_start", "r", "b").collect().toSeq
+    val batch = EventStreams.countMinCells(evs.toDF())
+      .orderBy("window_start", "r", "b").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // sketch contract per window: min over the 4 row cells for a key's
+    // buckets >= the key's exact count (never underestimates)
+    val cells = streamed.map(r =>
+      ((r.getTimestamp(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    def bucket(r: Long, key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$key".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16) % 256
+    }
+    val exact = evs.groupBy(e =>
+      (e.ts.getTime - e.ts.getTime % 3600000L, e.event_type))
+      .view.mapValues(_.size.toLong)
+    exact.foreach { case ((hourMs, tpe), n) =>
+      val ws = new java.sql.Timestamp(hourMs)
+      val est = (0L to 3L).map(r => cells(( ws, r, bucket(r, tpe) ))).min
+      assert(est >= n, s"$tpe @$ws: est $est < exact $n")
+    }
+  }
+
   test("watermark drops late data in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
