@@ -10,7 +10,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - doubles aggregated via DECIMAL casts (exact, order-independent),
   *     then cast back to DOUBLE on both sides;
   *   - derived integers cast to BIGINT on both sides (DuckDB widens
-  *     freely; Spark does not).
+  *     freely; Spark does not);
+  *   - the OUTER aggregate of any integer SUM cast to BIGINT in the
+  *     ORACLE: DuckDB `SUM(BIGINT)` returns HUGEINT, which pandas
+  *     reads as float64 and the driver's dtype-sensitive hash then
+  *     diverges from Spark's int64 even when every value compares
+  *     equal (round-9 lesson: 8 green-looking queries failed only at
+  *     the driver gate). `tools/check.py` now flags dtype divergence;
+  *   - no raw ARRAY/STRUCT columns in a query's OUTPUT: the driver's
+  *     compare row-sorts every column and pandas cannot sort ndarray
+  *     cells (round-9 lesson: three emb queries crashed the gate).
+  *     Emit lane-per-row (posexplode) instead;
+  *   - divisions that can hit 0/0 on a degenerate corpus wrapped in
+  *     nullif on BOTH engines (Spark ANSI throws / returns NULL where
+  *     DuckDB returns inf — either way the hash diverges).
   */
 final case class QueryDef(
     name: String,
