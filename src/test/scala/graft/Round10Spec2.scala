@@ -60,6 +60,49 @@ class Round10Spec2 extends SparkSpec {
     }
   }
 
+  test("q_stats_ttest equals a collected Welch reference") {
+    val vals = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100 + 0.5).toLong))
+    def stats(seg: String): (Long, Double, Double) = {
+      val xs = vals.filter(_._1 == seg).map(_._2)
+      val n = xs.length.toLong
+      val sv = xs.sum
+      val ss = xs.map(x => BigInt(x) * BigInt(x)).sum
+      val mean = sv.toDouble / n.toDouble / 100.0
+      val varc = (ss.toDouble - sv.toDouble * sv.toDouble / n.toDouble) /
+        (n - 1).toDouble / 10000.0
+      (n, mean, varc)
+    }
+    val (n1, m1, v1) = stats("BUILDING")
+    val (n2, m2, v2) = stats("MACHINERY")
+    val (se1, se2) = (v1 / n1.toDouble, v2 / n2.toDouble)
+    val r = run("q_stats_ttest").collect().head
+    assert(r.getAs[Long]("n1") == n1 && r.getAs[Long]("n2") == n2)
+    assert(r.getAs[Double]("m1") == m1 && r.getAs[Double]("m2") == m2)
+    assert(r.getAs[Double]("t_stat") == (m1 - m2) / math.sqrt(se1 + se2))
+    val df = (se1 + se2) * (se1 + se2) /
+      (se1 * se1 / (n1 - 1).toDouble + se2 * se2 / (n2 - 1).toDouble)
+    assert(r.getAs[Double]("df_welch") == df)
+    // Welch df lies between min(n)-1 and n1+n2-2
+    assert(df >= math.min(n1, n2) - 1.0 && df <= (n1 + n2 - 2).toDouble)
+  }
+
+  test("q_text_fertility: fertility >= 1 and chars/token positive per language") {
+    val rows = run("q_text_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // the subtoken regex splits words further, never merges them
+      assert(r.getAs[Double]("tokens_per_word") >= 1.0, r.getString(0))
+      assert(r.getAs[Double]("chars_per_token") > 0.0, r.getString(0))
+      assert(r.getAs[Long]("n_subtokens") >= r.getAs[Long]("n_words"))
+    }
+  }
+
   test("q_events_forecast_snaive equals a collected-reference computation") {
     val hourly = Tables.events(spark, sf)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
