@@ -60,6 +60,29 @@ class Round10Spec2 extends SparkSpec {
     }
   }
 
+  test("q_dedup_cross_sources equals a collected overlap reference") {
+    val docs = Tables.documents(spark, sf)
+      .select(substring(col("text"), 1, 256).as("p"), col("source"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def digest(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val perSource = docs.groupBy { case (p, src) => (digest(p), src) }
+      .view.mapValues(_.length).toMap
+    val want = perSource.keys.groupBy(_._1).values.flatMap { ks =>
+      val srcs = ks.map(_._2).toSeq.sorted
+      for {
+        s1 <- srcs; s2 <- srcs
+        if s1 < s2 || (s1 == s2 && perSource((ks.head._1, s1)) >= 2)
+        if s1 <= s2
+      } yield (s1, s2)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run("q_dedup_cross_sources").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"missing=${(want.keySet -- got.keySet).take(5)} " +
+      s"extra=${(got.keySet -- want.keySet).take(5)}")
+  }
+
   test("q_stats_ttest equals a collected Welch reference") {
     val vals = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf),
