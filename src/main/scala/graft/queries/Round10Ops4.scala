@@ -52,5 +52,124 @@ object Round10Ops4 {
         |  count(*) AS n_shared_digests
         |FROM ds x JOIN ds y ON x.digest = y.digest AND x.source <= y.source
         |WHERE x.source < y.source OR x.n_docs >= 2
-        |GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin))
+        |GROUP BY 1, 2 ORDER BY src1, src2""".stripMargin),
+
+    // ANN accuracy-vs-cost curve AS A QUERY: IVF recall@10 against the
+    // exact cosine top-10 at nprobe ∈ {1, 2, 4} (the q_dedup_lsh_eval
+    // discipline applied to the similarity index — the measured curve
+    // IS the tuning evidence a retrieval pipeline reports before
+    // trusting its index). One row per tier: candidates scored (the
+    // cost axis) and hits/recall (the accuracy axis).
+    //
+    // Scale shape: candidates are scored ONCE at the widest tier
+    // (nprobe=4, checkpointed); each narrower tier re-RANKS the same
+    // frame filtered by the probe rank — nested candidate sets mean no
+    // re-scoring. The 8 fixed seed centroids ride as literals (bounded
+    // model state); probes broadcast; the exact side is the brute-force
+    // q_similarity_topk shape over 5 broadcast queries, affordable
+    // precisely because it's 5 queries — the asymmetry LSH/IVF exists
+    // to exploit. Determinism: codegen'd cosine (CosineSimExpr ≡ the
+    // oracle's left-fold), (cos DESC, id ASC) rank ties, integer hit
+    // counts into one final division.
+    QueryDef("q_similarity_recall_sweep",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.Similarity
+        val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("cv"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+          .toSeq.sortBy(_._1)
+        val distArr = array_sort(array(cents.map { case (cid, cv) =>
+          struct(Similarity.l2sq(col("embedding"), typedlit(cv)).as("dist"),
+            lit(cid).as("cid"))
+        }: _*))
+        val assigned = e.select(col("vec_id"), col("embedding"),
+          element_at(distArr, 1).getField("cid").as("cid"))
+        val probes = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            posexplode(slice(distArr, 1, 4)).as(Seq("pos", "pr")))
+          .select(col("q_id"), col("q_emb"),
+            (col("pos") + 1).cast("long").as("prank"),
+            col("pr.cid").as("cid"))
+        val cand = assigned.join(broadcast(probes),
+            assigned("cid") === probes("cid") && col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("vec_id").as("nb"), col("prank"),
+            call_function("cosine_sim", col("embedding"), col("q_emb"))
+              .as("cos"))
+          .localCheckpoint(eager = false) // 3 tiers + the count reuse it
+        import s.implicits._
+        val tiers = Seq(1L, 2L, 4L).toDF("np")
+        val tcand = cand.crossJoin(broadcast(tiers))
+          .filter(col("prank") <= col("np"))
+        val w = Window.partitionBy("np", "q_id")
+          .orderBy(col("cos").desc, col("nb").asc)
+        val ttop = tcand.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10).select("np", "q_id", "nb")
+        val exact = e.as("a").crossJoin(broadcast(e.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))))
+          .filter(col("a.vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("a.vec_id").as("nb"),
+            call_function("cosine_sim", col("a.embedding"), col("q_emb"))
+              .as("cos"))
+          .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("nb").asc)))
+          .filter(col("rn") <= 10).select("q_id", "nb")
+        val hits = ttop.join(exact, Seq("q_id", "nb"))
+          .groupBy("np").agg(count(lit(1)).as("n_hits"))
+        val cnts = tcand.groupBy("np").agg(count(lit(1)).as("n_scored"))
+        cnts.join(hits, Seq("np"), "left")
+          .select(col("np").as("nprobe"), col("n_scored"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double") / 50.0)
+              .as("recall_at_10"))
+          .orderBy("nprobe")
+      },
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid,
+        |         list_transform(embedding, x -> x::DOUBLE) AS cvec
+        |       FROM embeddings WHERE vec_id < 8),
+        |assignd AS (
+        |  SELECT vec_id, embedding, cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist ASC, cid ASC) AS arn
+        |  FROM (SELECT e.vec_id, e.embedding, c.cid,
+        |          ${graft.functions.Similarity.l2sqSql("e.embedding", "c.cvec")} AS dist
+        |        FROM e CROSS JOIN c0 c) s0),
+        |assigned AS (SELECT vec_id, embedding, cid FROM assignd WHERE arn = 1),
+        |probes AS (SELECT vec_id AS q_id, embedding AS q_emb, cid,
+        |             arn AS prank
+        |           FROM assignd WHERE vec_id < 5 AND arn <= 4),
+        |cand AS (
+        |  SELECT p.q_id, a.vec_id AS nb, p.prank,
+        |    ${graft.functions.Similarity.cosineSql("a.embedding", "p.q_emb")} AS cos
+        |  FROM assigned a JOIN probes p
+        |    ON a.cid = p.cid AND a.vec_id <> p.q_id),
+        |tiers AS (SELECT unnest([1, 2, 4]) AS np),
+        |tcand AS (SELECT t.np, c.q_id, c.nb, c.cos
+        |          FROM cand c JOIN tiers t ON c.prank <= t.np),
+        |tranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY np, q_id ORDER BY cos DESC, nb ASC) AS rn
+        |  FROM tcand),
+        |ttop AS (SELECT np, q_id, nb FROM tranked WHERE rn <= 10),
+        |ex AS (
+        |  SELECT p.q_id, a.vec_id AS nb,
+        |    ${graft.functions.Similarity.cosineSql("a.embedding", "p.q_emb")} AS cos
+        |  FROM e a JOIN (SELECT vec_id AS q_id, embedding AS q_emb
+        |                 FROM e WHERE vec_id < 5) p
+        |    ON a.vec_id <> p.q_id),
+        |exact AS (SELECT q_id, nb FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, nb ASC) AS rn FROM ex)
+        |  WHERE rn <= 10),
+        |hits AS (SELECT np, count(*) AS n_hits
+        |         FROM ttop JOIN exact USING (q_id, nb) GROUP BY 1),
+        |cnts AS (SELECT np, count(*) AS n_scored FROM tcand GROUP BY 1)
+        |SELECT c.np::BIGINT AS nprobe, c.n_scored::BIGINT AS n_scored,
+        |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  coalesce(h.n_hits, 0)::DOUBLE / 50.0 AS recall_at_10
+        |FROM cnts c LEFT JOIN hits h ON c.np = h.np
+        |ORDER BY nprobe""".stripMargin))
 }

@@ -83,6 +83,24 @@ class Round10Spec2 extends SparkSpec {
       s"extra=${(got.keySet -- want.keySet).take(5)}")
   }
 
+  test("q_similarity_recall_sweep: recall and cost both rise monotonically with nprobe") {
+    val rows = run("q_similarity_recall_sweep").collect()
+      .sortBy(_.getAs[Long]("nprobe"))
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L))
+    val scored = rows.map(_.getAs[Long]("n_scored"))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(scored.zip(scored.tail).forall { case (a, b) => a < b },
+      s"cost must grow with nprobe: ${scored.toSeq}")
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      s"nested candidate sets: recall can't drop: ${hits.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_at_10") ==
+        r.getAs[Long]("n_hits").toDouble / 50.0)
+    }
+    // the index is useful at all: majority recall even at nprobe=1
+    assert(hits.head >= 25, s"nprobe=1 recall collapsed: ${hits.head}/50")
+  }
+
   test("q_stats_ttest equals a collected Welch reference") {
     val vals = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf),
