@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   *  - q_stats_bootstrap / q_text_winnowing (round-10 reworks): linear
   *    map-only scans — the rework claim is precisely that nothing
   *    super-linear is left.
+  *  - q_stats_ttest / q_text_fertility / q_dedup_cross_sources /
+  *    q_similarity_recall_sweep (batch 3/4): flat-to-sublinear —
+  *    group-/vocab-/probe-bounded after one scan.
   *
   * Results live in SCALING.md §round-10.
   */
@@ -95,7 +98,10 @@ object ProfCorpusScale10 {
     val queries = Seq("q_layout_hilbert", "q_graph_labelprop",
       "q_dedup_suffixlcp", "q_agg_countmin", "q_multimodal_phash_neardup",
       "q_mix_temperature", "q_emb_hamming", "q_events_forecast_snaive",
-      "q_stats_bootstrap", "q_text_winnowing")
+      "q_stats_bootstrap", "q_text_winnowing",
+      // batch 3/4 closers
+      "q_stats_ttest", "q_text_fertility", "q_dedup_cross_sources",
+      "q_similarity_recall_sweep")
     for (f <- factors) {
       val dir = gen(f)
       queries.foreach { q =>
