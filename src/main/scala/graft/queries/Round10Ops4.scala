@@ -171,5 +171,65 @@ object Round10Ops4 {
         |  coalesce(h.n_hits, 0)::BIGINT AS n_hits,
         |  coalesce(h.n_hits, 0)::DOUBLE / 50.0 AS recall_at_10
         |FROM cnts c LEFT JOIN hits h ON c.np = h.np
-        |ORDER BY nprobe""".stripMargin))
+        |ORDER BY nprobe""".stripMargin),
+
+    // Clustering quality readout: per-cluster size, SSE, mean squared
+    // distance, and inertia share over the fixed-seed K=8 assignment —
+    // the evaluation row every k-means consumer inspects before
+    // trusting cluster-based sampling/dedup (a cluster hoarding
+    // inertia needs splitting; a near-empty one is a wasted centroid).
+    // Scale shape: assignment is a narrow per-row argmin over literal
+    // centroids (bounded model state), then ONE map-side-combined
+    // 8-group aggregate; the total-SSE join broadcasts one row.
+    // Determinism: distances quantize to 1e-8 BIGINTs BEFORE summing
+    // (exact in any order), means/shares read the exact integers
+    // through one shared IEEE expression.
+    QueryDef("q_emb_cluster_quality",
+      (s, d) => {
+        import graft.functions.Similarity
+        val e = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("cv"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+          .toSeq.sortBy(_._1)
+        val distArr = array_sort(array(cents.map { case (cid, cv) =>
+          struct(Similarity.l2sq(col("embedding"), typedlit(cv)).as("dist"),
+            lit(cid).as("cid"))
+        }: _*))
+        val g = e
+          .select(element_at(distArr, 1).getField("cid").as("cid"),
+            floor(element_at(distArr, 1).getField("dist") * lit(1e8))
+              .cast("long").as("dfp"))
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n"), sum("dfp").as("sse_fp"))
+        val tot = g.agg(sum("sse_fp").as("total_fp"))
+        g.crossJoin(broadcast(tot))
+          .select(col("cid"), col("n"), col("sse_fp"),
+            (col("sse_fp").cast("double") / lit(1e8) /
+              col("n").cast("double")).as("mean_sq_dist"),
+            (col("sse_fp").cast("double") / col("total_fp").cast("double"))
+              .as("inertia_share"))
+          .orderBy("cid")
+      },
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid,
+        |         list_transform(embedding, x -> x::DOUBLE) AS cvec
+        |       FROM embeddings WHERE vec_id < 8),
+        |a AS (
+        |  SELECT vec_id, cid, dist,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist ASC, cid ASC) AS rn
+        |  FROM (SELECT e.vec_id, c.cid,
+        |          ${graft.functions.Similarity.l2sqSql("e.embedding", "c.cvec")} AS dist
+        |        FROM e CROSS JOIN c0 c) s0),
+        |g AS (
+        |  SELECT cid, count(*) AS n,
+        |    sum(floor(dist * 1e8)::BIGINT)::BIGINT AS sse_fp
+        |  FROM a WHERE rn = 1 GROUP BY cid),
+        |t AS (SELECT sum(sse_fp)::BIGINT AS total_fp FROM g)
+        |SELECT cid, n, sse_fp,
+        |  sse_fp::DOUBLE / 1e8 / n::DOUBLE AS mean_sq_dist,
+        |  sse_fp::DOUBLE / total_fp::DOUBLE AS inertia_share
+        |FROM g, t ORDER BY cid""".stripMargin))
 }

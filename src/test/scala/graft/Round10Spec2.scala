@@ -101,6 +101,20 @@ class Round10Spec2 extends SparkSpec {
     assert(hits.head >= 25, s"nprobe=1 recall collapsed: ${hits.head}/50")
   }
 
+  test("q_emb_cluster_quality: sizes partition the corpus, shares sum to 1, SSE consistent") {
+    val rows = run("q_emb_cluster_quality").collect()
+    assert(rows.length == 8)
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    val shareSum = rows.map(_.getAs[Double]("inertia_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"Σ shares = $shareSum")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("mean_sq_dist") ==
+        r.getAs[Long]("sse_fp").toDouble / 1e8 / r.getAs[Long]("n").toDouble)
+      assert(r.getAs[Long]("sse_fp") >= 0L && r.getAs[Long]("n") > 0L)
+    }
+  }
+
   test("q_stats_ttest equals a collected Welch reference") {
     val vals = Tables.orders(spark, sf)
       .join(Tables.customer(spark, sf),
