@@ -31,6 +31,15 @@ object Winnow {
     * Adds `sel`: the winnowed packed keys, pos-distinct, one array
     * per document.
     *
+    * INVARIANT (enforced, fails loudly): n ≤ 2040, i.e. the caller
+    * caps `txt` at ≤ 2047 chars. The packed key `h·2048 + (2047 −
+    * pos)` encodes the position in 11 bits; a longer text would give
+    * pos > 2047 a NEGATIVE offset that collides across adjacent hash
+    * values and silently corrupts rightmost-min selection on both
+    * engines. Current callers cap at 1024 chars; the per-row
+    * `assert_true` below is one integer compare riding the same
+    * projection.
+    *
     * `size(keys)` instead of `n` in the window sequence is load-
     * bearing: it makes `keys` referenced twice, which stops
     * CollapseProject from inlining the O(n)-hash array into the
@@ -38,7 +47,10 @@ object Winnow {
     * document for EVERY window (O(n²) md5). Pinned in PlanSpec.
     */
   def withSel(df: DataFrame): DataFrame =
-    df.withColumn("keys", expr(
+    df.withColumn("n", expr(
+        "n + ifnull(assert_true(n <= 2040, " +
+        "'Winnow.withSel: packed key requires pos <= 2047 — cap txt at <= 2047 chars'), 0)"))
+      .withColumn("keys", expr(
         s"transform(sequence(1, n), pos -> " +
         s"cast(conv(substring(md5(cast(substring(txt, pos, $K) as binary)), 1, 8), 16, 10) as bigint)" +
         s" * 2048 + (2047 - pos))"))

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed replacements for single-task global windows.
+  *
+  * A `row_number() OVER (ORDER BY ...)` with no PARTITION BY funnels the
+  * entire input through ONE task — the classic one-core cliff this repo
+  * bans over fact-sized frames (see SCALING.md, q_dedup_suffixlcp's
+  * 2.4 s → 63 s at 10×). When the leading sort key can serve as a
+  * shard, the global rank decomposes exactly into
+  *
+  *   rank(row) = offset(shard) + rank_within_shard(row)
+  *
+  * where `offset` is a prefix sum of per-shard counts — a window over
+  * |shards| rows, orders of magnitude smaller than the fact table (and
+  * at extreme shard counts the same decomposition recurses, the classic
+  * tree prefix-sum). The within-shard ranks are a PARTITIONED window:
+  * fully parallel, state bounded by the largest shard.
+  */
+object Sharded {
+
+  /** Exact global 1-based `row_number` over the total order
+    * (shardCol, tieCols...), computed with no unpartitioned window over
+    * `df`. `shardCol` MUST be the leading sort key (any expression
+    * monotone in it shards correctly); `tieCols` must complete a unique
+    * total order for determinism. Adds `out` and keeps all input
+    * columns; `__shard` is dropped before returning.
+    */
+  def globalRowNumber(df: DataFrame, shardCol: Column, tieCols: Seq[Column],
+      out: String): DataFrame = {
+    val withShard = df.withColumn("__shard", shardCol)
+    val inShard = withShard.withColumn("__rn_in",
+      row_number().over(
+        Window.partitionBy("__shard").orderBy(tieCols: _*)))
+    // |shards| rows: per-shard counts, then the one (tiny) ordered window
+    val offsets = withShard.groupBy("__shard")
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum("__cnt").over(Window.orderBy("__shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__shard", "__off")
+    inShard.join(broadcast(offsets), "__shard")
+      .withColumn(out, col("__off") + col("__rn_in"))
+      .drop("__shard", "__rn_in", "__off")
+  }
+}

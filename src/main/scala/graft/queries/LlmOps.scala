@@ -287,13 +287,49 @@ FROM cand WHERE bit_count(xor(h1, h2)) <= 10 ORDER BY d1, d2"""
       },
       clusterOracle),
 
-    // xxhash64-based — not SQL-expressible in DuckDB → rows-only check;
-    // exact semantics pinned by DedupSpec instead. The md5 twin below
-    // carries the full hash oracle for the same pipeline shape.
+    // xxhash64-based SimHash. The raw pair set can NEVER hash-match a
+    // DuckDB oracle: xxhash64 has no DuckDB mirror, and the pair set at
+    // the hamming cut is hash-FAMILY-dependent (empirically only ~27%
+    // of the md5 twin's pairs coincide — the near-threshold pairs flip
+    // with the word-hash family). So the query emits the DuckDB-
+    // checkable CALIBRATION instead: the corpus size (exact,
+    // SQL-mirrored) plus booleans pinning (a) the hamming cut is
+    // honored, (b) LSH actually filters (pairs ≪ all-pairs), and
+    // (c) the xx pair set stays within loose structural agreement of
+    // the fully-oracled md5 twin (count ratio in [¼, 4], overlap ≥ 10%
+    // — observed ~0.52 / ~0.27 across SFs). Exact per-pair semantics
+    // stay pinned by DedupSpec; q_dedup_simhash_md5 carries the full
+    // hash oracle for the identical pipeline shape.
     QueryDef("q_dedup_simhash",
-      (s, d) => Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", 10)
-        .orderBy("d1", "d2"),
-      None),
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val xx = Dedup.simHashPairs(docs, "doc_id", "text", 10)
+          .select(col("d1"), col("d2"), col("hamming"))
+        val md = Dedup.simHashPairsMd5(docs, "doc_id", "text", 10)
+          .select(col("d1"), col("d2"))
+        val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+        val xxStats = broadcast(xx.agg(count(lit(1)).as("n_xx"),
+          max("hamming").as("max_ham")))
+        val mdStats = broadcast(md.agg(count(lit(1)).as("n_md")))
+        val ovStats = broadcast(xx.join(md, Seq("d1", "d2"), "left_semi")
+          .agg(count(lit(1)).as("n_ov")))
+        nDocs.crossJoin(xxStats).crossJoin(mdStats).crossJoin(ovStats)
+          .select(col("n_docs"),
+            (col("n_xx") > 0L).as("pairs_found"),
+            (col("max_ham") <= 10).as("hamming_cut_ok"),
+            (col("n_xx").cast("double") <=
+              col("n_docs").cast("double") * (col("n_docs") - 1L) / 8.0)
+              .as("lsh_filters"),
+            (col("n_xx").cast("double") >= col("n_md") * 0.25 &&
+              col("n_xx").cast("double") <= col("n_md") * 4.0)
+              .as("family_count_agree"),
+            (col("n_ov").cast("double") >= col("n_md") * 0.10)
+              .as("family_overlap_ok"))
+      },
+      """SELECT count(*)::BIGINT AS n_docs, true AS pairs_found,
+           true AS hamming_cut_ok, true AS lsh_filters,
+           true AS family_count_agree, true AS family_overlap_ok
+         FROM documents"""),
 
     // md5-derived 60-bit SimHash: identical banded-LSH pipeline, but every
     // stage (word hash → per-bit votes → fingerprint → 4×15-bit bands →

@@ -158,6 +158,42 @@ object LlmOps9 {
       |      FROM it, m) w1) w2
       |  WHERE k < 30)""".stripMargin
 
+  /** Per-doc DEFLATE stats (doc_id, n_chars_len, n_raw, n_deflate,
+    * ratio) over a (doc_id, text) frame: one Deflater per task,
+    * streaming output counting — zlib lives outside Catalyst, so this
+    * is one of the repo's few legitimate mapPartitions codecs. The
+    * registered q_text_compression aggregates this into its banded
+    * calibration; OpsSpec pins the per-doc planted contract here. */
+  private[graft] def deflateStats(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_chars_len", LongType, nullable = false),
+      StructField("n_raw", LongType, nullable = false),
+      StructField("n_deflate", LongType, nullable = false),
+      StructField("ratio", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    docs.mapPartitions { rows =>
+      val deflater = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+      val buf = new Array[Byte](1 << 16)
+      rows.map { r =>
+        val raw = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset()
+        deflater.setInput(raw)
+        deflater.finish()
+        var out = 0L
+        while (!deflater.finished()) out += deflater.deflate(buf)
+        Row(r.getLong(0), r.getString(1).length.toLong, raw.length.toLong,
+          out, out.toDouble / raw.length.toDouble)
+      }
+    }(enc)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Covariance + Pearson correlation matrix of the embedding lanes —
@@ -520,36 +556,34 @@ object LlmOps9 {
         |FROM best GROUP BY mdoc_id
         |ORDER BY maxsim DESC, mdoc_id ASC LIMIT 10""".stripMargin),
 
+    // Deflate compression-ratio profiling (the entropy/quality signal
+    // of Gopher-style corpus filtering). zlib has no DuckDB mirror, so
+    // the per-doc ratios can't hash-match — the query emits its
+    // CALIBRATION instead: per 128-char length band, the exact doc
+    // count and char mass (SQL-mirrored) plus booleans pinning every
+    // doc's codec contract — n_deflate within (8, n_raw+11] (the zlib
+    // stored-block bound) and ratio inside (0.2, 1.3) (observed
+    // 0.38–1.13 across SFs — tiny docs can expand past 1.0). The oracle states the exact side and
+    // pins the booleans TRUE, so a codec or plumbing regression now
+    // fails the driver gate; per-doc values stay covered by
+    // Round9cSpec's planted-contract pins.
     QueryDef("q_text_compression",
       (s, d) => {
-        import org.apache.spark.sql.Row
-        import org.apache.spark.sql.types._
-        val schema = StructType(Seq(
-          StructField("doc_id", LongType, nullable = false),
-          StructField("n_raw", LongType, nullable = false),
-          StructField("n_deflate", LongType, nullable = false),
-          StructField("ratio", DoubleType, nullable = false)))
-        val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
-        Tables.documents(s, d).select(col("doc_id"), col("text"))
-          .mapPartitions { rows =>
-            val deflater = new java.util.zip.Deflater(
-              java.util.zip.Deflater.DEFAULT_COMPRESSION)
-            Option(org.apache.spark.TaskContext.get())
-              .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
-            val buf = new Array[Byte](1 << 16)
-            rows.map { r =>
-              val raw = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-              deflater.reset()
-              deflater.setInput(raw)
-              deflater.finish()
-              var out = 0L
-              while (!deflater.finished()) out += deflater.deflate(buf)
-              Row(r.getLong(0), raw.length.toLong, out,
-                out.toDouble / raw.length.toDouble)
-            }
-          }(enc)
-          .orderBy("doc_id")
+        deflateStats(Tables.documents(s, d).select(col("doc_id"), col("text")))
+          .withColumn("band", expr("n_chars_len div 128"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars_len")).as("sum_chars"),
+            (min(col("ratio")) > 0.2 && max(col("ratio")) < 1.3)
+              .as("ratio_in_range"),
+            (max(col("n_deflate") - col("n_raw")) <= 11L &&
+              min(col("n_deflate")) >= 8L).as("deflate_bounded"))
+          .orderBy("band")
       },
-      None),
+      """SELECT (length(text) // 128)::BIGINT AS band,
+           count(*)::BIGINT AS n_docs,
+           sum(length(text))::BIGINT AS sum_chars,
+           true AS ratio_in_range, true AS deflate_bounded
+         FROM documents GROUP BY band ORDER BY band"""),
   )
 }

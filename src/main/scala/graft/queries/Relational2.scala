@@ -331,16 +331,33 @@ object Relational2 {
          FROM e ASOF LEFT JOIN c ON e.user_id = c.c_user AND c.click_ts >= e.err_ts
          ORDER BY e.event_id"""),
 
-    // HyperLogLog approximate distinct — sketch implementations differ
-    // across engines, so no hash oracle (rows-only check); exactness is
-    // cross-checked in-test against countDistinct.
+    // HyperLogLog approximate distinct — sketch layouts differ across
+    // engines, so the RAW estimate can't hash-match DuckDB. Instead the
+    // query emits its own CALIBRATION: per group, the exact distinct
+    // count (mirrored in SQL) plus a within-5%-of-exact boolean over
+    // the sketch estimate (default rsd = 0.05 — the accuracy the
+    // sketch contracts). The oracle states the exact side and pins the
+    // booleans TRUE, so the driver gate now fails if the sketch ever
+    // drifts outside its own error bar — strictly stronger than the
+    // old rows-only check (quantitative twin: OpsSpec).
     QueryDef("q_agg_approx",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_suppkey")).as("as_"),
+          countDistinct(col("l_suppkey")).as("exact_supps"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_supps"),
+          (abs(col("ap") - col("exact_parts")).cast("double") <=
+            col("exact_parts") * 0.05).as("parts_within_5pct"),
+          (abs(col("as_") - col("exact_supps")).cast("double") <=
+            col("exact_supps") * 0.05).as("supps_within_5pct"))
         .orderBy("l_returnflag"),
-      None),
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey)::BIGINT AS exact_parts,
+           count(DISTINCT l_suppkey)::BIGINT AS exact_supps,
+           true AS parts_within_5pct, true AS supps_within_5pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
     // Exact interpolated percentiles (Spark `percentile` == DuckDB
     // `quantile_cont`, both (1-g)·a + g·b on the sorted values).
@@ -363,17 +380,42 @@ object Relational2 {
     // one place, a Greenwald-Khanna sketch aggregates in a single pass
     // with bounded memory and a mergeable partial state (rank error
     // ≤ n/accuracy). Sketches differ per engine (DuckDB approx_quantile
-    // is t-digest), so rows-only at the gate; accuracy vs the exact twin
-    // is pinned quantitatively in OpsSpec (same pattern as q_agg_approx).
+    // is t-digest), so the raw estimate can't hash-match — the query
+    // emits its CALIBRATION instead: the exact interpolated percentiles
+    // (SQL-mirrored) plus a boolean per target pinning the sketch value
+    // INSIDE the exact ±5-percentile rank window (with accuracy=10000
+    // the rank error is ≤ n/10000, far inside that bar). The oracle
+    // computes the exact side and states the booleans TRUE — the gate
+    // now catches a sketch drifting outside its rank contract
+    // (value-level twin: OpsSpec's 1% pin).
     QueryDef("q_agg_percentile_approx",
       (s, d) => Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(l_quantity, 0.5, 10000)").as("median_qty"),
-          expr("approx_percentile(l_quantity, 0.9, 10000)").as("p90_qty"),
-          expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("p25_price"))
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("am"),
+          expr("approx_percentile(l_quantity, 0.9, 10000)").as("a9"),
+          expr("approx_percentile(l_extendedprice, 0.25, 10000)").as("ap"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          expr("percentile(l_extendedprice, 0.25)").as("p25_price"),
+          expr("percentile(l_quantity, 0.45)").as("lo50"),
+          expr("percentile(l_quantity, 0.55)").as("hi50"),
+          expr("percentile(l_quantity, 0.85)").as("lo90"),
+          expr("percentile(l_quantity, 0.95)").as("hi90"),
+          expr("percentile(l_extendedprice, 0.20)").as("lo25"),
+          expr("percentile(l_extendedprice, 0.30)").as("hi25"))
+        .select(col("l_returnflag"),
+          col("median_qty"), col("p90_qty"), col("p25_price"),
+          (col("am") >= col("lo50") && col("am") <= col("hi50")).as("p50_in_band"),
+          (col("a9") >= col("lo90") && col("a9") <= col("hi90")).as("p90_in_band"),
+          (col("ap") >= col("lo25") && col("ap") <= col("hi25")).as("p25_in_band"))
         .orderBy("l_returnflag"),
-      None),
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           true AS p50_in_band, true AS p90_in_band, true AS p25_in_band
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
 
     // Mode (most-frequent-value) aggregate — the missing member of the
     // central-tendency family (mean/median/percentiles above): per

@@ -376,11 +376,14 @@ object Relational3 {
     // The SCALE path for q_window_countdistinct: an HLL sketch per frame
     // (Spark 4's datasketches hll_sketch_agg/estimate) instead of a
     // materialized distinct-value set — O(sketch) window state at ANY
-    // value cardinality where collect_set grows with the domain. No SQL
-    // oracle (DuckDB has no datasketches mirror → rows-only check);
-    // Round9Spec pins estimate == exact on this domain (HLL's sparse
-    // mode is exact far beyond the 5-value priority space) against the
-    // independently-computed collect_set twin.
+    // value cardinality where collect_set grows with the domain. The
+    // sketch is EXACT on this domain (HLL's sparse mode is exact far
+    // beyond the 5-value priority space), so the estimate itself is the
+    // oracle-checked output: DuckDB states the exact distinct count via
+    // the list identity (its window DISTINCT support is partial) and
+    // the driver hash-compares estimate against exact per row — the
+    // strongest possible gate for this sketch (Round9Spec pins the same
+    // equality against the collect_set twin in-test).
     QueryDef("q_window_countdistinct_approx",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
@@ -393,7 +396,14 @@ object Relational3 {
               .as("approx_priorities"))
           .orderBy("o_orderkey")
       },
-      None),
+      """SELECT o_orderkey, o_custkey, o_orderdate,
+           len(list_distinct(list(o_orderpriority) OVER w))::BIGINT
+             AS approx_priorities
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey"""),
 
     // Mergeable-sketch rollup: per-type HLL user sketches UNIONED into
     // the all-types distinct count (hll_union_agg) — the property that
@@ -401,10 +411,13 @@ object Relational3 {
     // WITHOUT revisiting the data (a pre-aggregated daily sketch table
     // rolls up to any coarser grain; exact distincts cannot). The
     // per-type sketch pass is the only corpus-scaled work; the union
-    // runs over |types| sketch blobs. No SQL oracle (DuckDB has no
-    // datasketches mirror → rows-only); Round9bSpec pins every estimate
-    // == exact on this domain (sparse-mode HLL is exact there) and the
-    // rollup == the direct global sketch.
+    // runs over |types| sketch blobs. Sketch blobs differ per engine,
+    // so the query emits its CALIBRATION: the exact distinct count per
+    // grain (SQL-mirrored) plus a within-1%-of-exact boolean on every
+    // estimate — comfortable headroom on a domain where sparse-mode
+    // HLL is exact (Round9bSpec pins strict equality in-test, and the
+    // rollup == the direct global sketch). The oracle states the exact
+    // side and pins the booleans TRUE.
     // Recursive CTE (Spark 4's WITH RECURSIVE / UnionLoopExec): walk
     // the synthetic key-division forest (child k → parent k div 10,
     // roots k < 10) to its roots, emitting (key, root, depth) — the
@@ -442,16 +455,28 @@ object Relational3 {
 
     QueryDef("q_agg_hll_union",
       (s, d) => {
-        val sk = Tables.events(s, d)
-          .groupBy("event_type")
-          .agg(hll_sketch_agg(col("user_id")).as("sk"))
-        val per = sk.select(col("event_type"),
-          hll_sketch_estimate(col("sk")).as("n_users_est"))
-        val all = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk")))
-          .as("n_users_est"))
-          .select(lit("__all__").as("event_type"), col("n_users_est"))
-        per.unionAll(all).orderBy("event_type")
+        val ev = Tables.events(s, d)
+        val sk = ev.groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("n_users_exact"))
+        val per = sk.select(col("event_type"), col("n_users_exact"),
+          hll_sketch_estimate(col("sk")).as("est"))
+        val all = sk.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+          .crossJoin(broadcast(
+            ev.agg(countDistinct(col("user_id")).as("n_users_exact"))))
+          .select(lit("__all__").as("event_type"), col("n_users_exact"),
+            col("est"))
+        per.unionAll(all)
+          .select(col("event_type"), col("n_users_exact"),
+            (abs(col("est") - col("n_users_exact")).cast("double") <=
+              col("n_users_exact") * 0.01).as("est_within_1pct"))
+          .orderBy("event_type")
       },
-      None),
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users_exact,
+           true AS est_within_1pct
+         FROM events GROUP BY event_type
+         UNION ALL
+         SELECT '__all__', count(DISTINCT user_id)::BIGINT, true FROM events
+         ORDER BY event_type"""),
   )
 }

@@ -237,10 +237,12 @@ object Relational4 {
     // into 64 equal files. The output is the layout's pruning manifest —
     // per-file min/max of both keys (exactly what a format's file-skipping
     // index stores); z-ordering bounds BOTH spans per file, where a
-    // single-key sort leaves the other key's span at full width. At
-    // cluster scale the global sort is repartitionByRange(zval) + local
-    // sort-on-write (one range shuffle, the standard layout-job shape);
-    // the single-window form here pins the semantics the oracle checks.
+    // single-key sort leaves the other key's span at full width. The
+    // file assignment is the SHARDED rank (ops/Sharded): zval (256
+    // values) is the leading sort key, so within-shard partitioned
+    // row_numbers plus a 256-row prefix-sum of shard counts reproduce
+    // the global rank exactly with no single-task sort — the oracle
+    // keeps the plain global window, pinning the rewrite exact.
     // All math is integer (buckets, shifts, div) so both engines agree
     // bit-for-bit; the sort key is padded to a unique total order because
     // synthetic (l_orderkey, l_linenumber) is not unique.
@@ -259,10 +261,10 @@ object Relational4 {
                shiftleft((shiftright(x, 1) & 1), 2) + shiftleft((shiftright(y, 1) & 1), 3) +
                shiftleft((shiftright(x, 2) & 1), 4) + shiftleft((shiftright(y, 2) & 1), 5) +
                shiftleft((shiftright(x, 3) & 1), 6) + shiftleft((shiftright(y, 3) & 1), 7)"""))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy("zval", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        zipped
-          .withColumn("rn", row_number().over(w) - 1)
+        graft.ops.Sharded.globalRowNumber(zipped, col("zval"),
+            Seq(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey")), "rn1")
+          .withColumn("rn", col("rn1") - 1)
           .withColumn("file_id", expr("rn div ((n + 63) div 64)"))
           .groupBy("file_id")
           .agg(count(lit(1)).cast("long").as("n_rows"),

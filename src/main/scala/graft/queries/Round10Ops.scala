@@ -47,9 +47,10 @@ object Round10Ops {
     // OPTIMIZE implementations offer it. Output is the identical
     // pruning manifest (per-file min/max of both keys), directly
     // comparable row-for-row against the z-order manifest. All state
-    // is integer (4 unrolled flip/swap steps); at cluster scale the
-    // global sort is repartitionByRange(hval) + sort-on-write, one
-    // range shuffle (the q_layout_zorder shape).
+    // is integer (4 unrolled flip/swap steps); file assignment is the
+    // sharded rank (ops/Sharded) keyed on hd4 — 256 shards, partitioned
+    // within-shard row_numbers + a 256-row prefix-sum, no single-task
+    // sort; the oracle keeps the plain global window to pin exactness.
     QueryDef("q_layout_hilbert",
       (s, d) => {
         val li = Tables.lineitem(s, d)
@@ -64,9 +65,10 @@ object Round10Ops {
         hilbertSteps.foreach(_.foreach { case (name, sql) =>
           df = df.withColumn(name, expr(sql))
         })
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy("hd4", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-        df.withColumn("rn", row_number().over(w) - 1)
+        graft.ops.Sharded.globalRowNumber(df, col("hd4"),
+            Seq(col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey")), "rn1")
+          .withColumn("rn", col("rn1") - 1)
           .withColumn("file_id", expr("rn div ((n + 63) div 64)"))
           .groupBy("file_id")
           .agg(count(lit(1)).cast("long").as("n_rows"),
@@ -168,7 +170,10 @@ object Round10Ops {
     // adjacent-only LCP is the standard approximation (equal runs sort
     // adjacent, so any repeated 64-gram IS caught up to stride
     // alignment). The first-mismatch fold freezes `acc` once
-    // contiguity breaks: acc advances to i only while acc = i−1.
+    // contiguity breaks (acc advances to i only while acc = i−1) AND
+    // at the real end of the suffix (substring past the end yields ''
+    // on both sides — without the <> '' guard two equal short suffixes
+    // would report lcp=64 instead of their true length).
     QueryDef("q_dedup_suffixlcp",
       (s, d) => {
         val sufs = Tables.documentsBalanced(s, d)
@@ -198,6 +203,7 @@ object Round10Ops {
             """CASE WHEN prev_doc IS NULL OR prev_doc = doc_id THEN 0
               |ELSE aggregate(sequence(1, 64), 0, (acc, i) ->
               |  CASE WHEN acc = i - 1
+              |         AND substring(sfx, i, 1) <> ''
               |         AND substring(sfx, i, 1) = substring(prev_sfx, i, 1)
               |       THEN i ELSE acc END) END""".stripMargin))
           .groupBy("doc_id")
@@ -227,6 +233,7 @@ object Round10Ops {
         |    CASE WHEN prev_doc IS NULL OR prev_doc = doc_id THEN 0
         |    ELSE list_reduce(list_prepend(0::BIGINT, range(1, 65)),
         |      (acc, i) -> CASE WHEN acc = i - 1
+        |          AND substr(sfx, i, 1) <> ''
         |          AND substr(sfx, i, 1) = substr(prev_sfx, i, 1)
         |        THEN i ELSE acc END) END AS lcp
         |  FROM lagd)

@@ -419,19 +419,22 @@ object WarehouseOps {
     // 1e15 per customer, DECIMAL(38,0) across), so the two closing
     // divisions are the only doubles and both engines share them
     // bit-for-bit. Scale shape: the per-customer rollup is the only
-    // fact-sized work; ranking sorts the CUSTOMER frame (dim-bounded,
-    // the q_customer_rfm caveat) and one more aggregate collapses it
-    // to a single row.
+    // fact-sized work; the customer-frame rank is the SHARDED rank
+    // (ops/Sharded) keyed on revc div 2^24 — monotone in revc, so
+    // within-shard partitioned row_numbers + a |shards|-row prefix-sum
+    // reproduce the global ascending rank with no single-task sort —
+    // and one more aggregate collapses it to a single row. The oracle
+    // keeps the plain global window, pinning the rewrite exact.
     QueryDef("q_agg_pareto",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val rev = Tables.orders(s, d)
           .select(col("o_custkey"),
             floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("revc"))
           .groupBy("o_custkey")
           .agg(sum(col("revc")).as("revc"))
-        val ranked = rev.withColumn("rank",
-          row_number().over(Window.orderBy(col("revc").asc, col("o_custkey").asc)))
+        val ranked = graft.ops.Sharded.globalRowNumber(rev,
+          expr("revc div 16777216"),
+          Seq(col("revc").asc, col("o_custkey").asc), "rank")
         val base = ranked.agg(
           count(lit(1)).as("n"), sum(col("revc")).as("tot"),
           sum((col("rank") * col("revc")).cast("decimal(38,0)")).as("sr"))

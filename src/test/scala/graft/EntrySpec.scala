@@ -35,13 +35,13 @@ class EntrySpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("q_agg_approx")(spark, sf)
       .join(Tables.lineitem(spark, sf).groupBy("l_returnflag")
-        .agg(countDistinct(col("l_partkey")).as("exact_parts")), Seq("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("check_parts")), Seq("l_returnflag"))
       .collect()
     got.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05,
-        s"approx $approx vs exact $exact")
+      assert(r.getAs[Long]("exact_parts") == r.getAs[Long]("check_parts"))
+      assert(r.getAs[Boolean]("parts_within_5pct") &&
+        r.getAs[Boolean]("supps_within_5pct"),
+        s"sketch estimate out of its 5% band: $r")
     }
   }
 

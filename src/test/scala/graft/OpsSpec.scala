@@ -901,19 +901,26 @@ class OpsSpec extends SparkSpec {
   }
 
   test("q_text_compression: repetitive text compresses far below varied text") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-comp").toString
     val varied = (0 until 600).map(i => s"w${i * 2654435761L % 9973}").mkString(" ")
-    Seq((1L, "spam ham " * 300), (2L, varied)).toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    def run() = SparkEntry.queries("q_text_compression")(spark, tmp)
+    val docs = Seq((1L, "spam ham " * 300), (2L, varied)).toDF("doc_id", "text")
+    def run() = graft.queries.LlmOps9.deflateStats(docs)
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+      .map(r => (r.getLong(0), r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_deflate"), r.getAs[Double]("ratio"))).toSeq
     val out = run()
     val rep = out(0)._4; val nat = out(1)._4
     assert(rep < 0.1, s"repetitive text should deflate hard, ratio=$rep")
     assert(nat > rep * 3, s"varied text must compress worse: $nat vs $rep")
     assert(out.forall(r => r._4 > 0 && r._4 < 1.3), s"ratios out of range: $out")
     assert(run() == out, "deflate output must be run-to-run deterministic")
+    // the registered banded calibration over the real corpus: every
+    // band reports its booleans TRUE (the oracle pins the same)
+    val bands = SparkEntry.queries("q_text_compression")(spark, sf).collect()
+    assert(bands.nonEmpty)
+    bands.foreach { b =>
+      assert(b.getAs[Boolean]("ratio_in_range") &&
+        b.getAs[Boolean]("deflate_bounded"), s"band failed calibration: $b")
+    }
   }
 
   test("dHash: deterministic, discriminative, and stable under a 1-LSB pixel nudge") {

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+/** Round-11 pins: the sharded-rank rewrite (ops/Sharded) of the two
+  * data-layout queries and the Pareto/Gini rank must leave NO
+  * unpartitioned window over fact-sized input — the only global-order
+  * window allowed is the |shards|-row prefix-sum, which necessarily
+  * sits ABOVE an aggregate (shard counts). Plus the Winnow text-cap
+  * invariant (fails loudly past pos 2047) and the suffix-LCP
+  * end-of-suffix freeze (equal short suffixes report their TRUE
+  * length, not the 64 cap).
+  */
+class Round11Spec extends SparkSpec {
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = p.collect(pf)
+    val nested = p.collect {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+    }.flatten
+    here ++ nested
+  }
+
+  private def hasAggBelow(p: SparkPlan): Boolean =
+    collectAll(p) {
+      case a: HashAggregateExec => a
+      case a: ObjectHashAggregateExec => a
+      case a: SortAggregateExec => a
+    }.nonEmpty
+
+  /** Every unpartitioned WindowExec must consume a post-aggregate
+    * (shard-granular) frame — i.e. an aggregate below it in the plan —
+    * never the fact table itself. */
+  private def assertNoGlobalFactWindow(name: String): Unit = {
+    val df = run(name)
+    df.collect() // force execution so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan
+    val bad = collectAll(plan) {
+      case w: WindowExec if w.partitionSpec.isEmpty && !hasAggBelow(w.child) => w
+    }
+    assert(bad.isEmpty,
+      s"$name has an unpartitioned window over non-aggregated (fact-sized) input:\n" +
+        bad.map(_.toString).mkString("\n"))
+  }
+
+  test("q_layout_zorder: no unpartitioned window over fact-sized input") {
+    assertNoGlobalFactWindow("q_layout_zorder")
+  }
+
+  test("q_layout_hilbert: no unpartitioned window over fact-sized input") {
+    assertNoGlobalFactWindow("q_layout_hilbert")
+  }
+
+  test("q_agg_pareto: no unpartitioned window over fact-sized input") {
+    assertNoGlobalFactWindow("q_agg_pareto")
+  }
+
+  test("Sharded.globalRowNumber equals the global row_number it replaces") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .withColumn("shard", col("l_partkey") % 7)
+    val expect = df.withColumn("rn", row_number().over(
+      Window.orderBy("shard", "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")))
+    val got = graft.ops.Sharded.globalRowNumber(df, col("shard"),
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey")), "rn")
+    assert(got.select("rn").except(expect.select("rn")).isEmpty &&
+      got.count() == expect.count())
+    val key = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "rn")
+    assert(got.select(key.map(col): _*).except(expect.select(key.map(col): _*)).isEmpty)
+  }
+
+  test("Winnow.withSel fails loudly when the text cap invariant is violated") {
+    import spark.implicits._
+    import graft.functions.Winnow
+    val ok = Seq((1L, "a" * 100)).toDF("doc_id", "txt")
+      .withColumn("n", length(col("txt")) - lit(Winnow.K - 1))
+    assert(Winnow.withSel(ok).collect().length == 1)
+    val bad = Seq((1L, "a" * 3000)).toDF("doc_id", "txt")
+      .withColumn("n", length(col("txt")) - lit(Winnow.K - 1))
+    val e = intercept[Exception] {
+      Winnow.withSel(bad).collect()
+    }
+    assert(e.getMessage.contains("2047") ||
+      Option(e.getCause).exists(_.getMessage.contains("2047")))
+  }
+
+  test("q_dedup_suffixlcp reports TRUE lcp for equal short (tail) suffixes") {
+    // two identical 40-char docs: every sampled suffix pair is equal and
+    // SHORTER than the 64-char key — the pre-fix fold matched '' = ''
+    // past the end and reported 64; the frozen fold reports the true
+    // suffix length, max 40 (the pos-1 suffix)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_lcp").toString
+    val txt = ("abcd" * 10) // 40 chars, shard prefix "abcd" shared
+    Seq((1L, txt, "en", "web", 40L), (2L, txt, "en", "web", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_dedup_suffixlcp")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("max_lcp")).toMap
+    // suffixes at pos 1,5,9 (len 40,36,32); the lexicographic order
+    // interleaves docs, so the cross-doc predecessor pairs carry true
+    // lengths <= 40 — never the 64 cap
+    assert(rows.values.max <= 40L, s"lcp must freeze at suffix end: $rows")
+    assert(rows.values.max == 40L, s"equal pos-1 suffixes must score 40: $rows")
+  }
+}

