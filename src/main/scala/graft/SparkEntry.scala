@@ -6,6 +6,7 @@ object SparkEntry {
     graft.queries.EtlQueries.defs ++ graft.queries.Relational.defs ++
       graft.queries.Relational2.defs ++ graft.queries.Relational3.defs ++
       graft.queries.Relational4.defs ++ graft.queries.TpchQueries.defs ++
+      graft.queries.TpchQueries2.defs ++
       graft.queries.Functions.defs ++
       graft.queries.EventsQueries.defs ++ graft.queries.LlmOps.defs ++
       graft.queries.LlmOps2.defs ++ graft.queries.LlmOps3.defs ++

@@ -21,10 +21,19 @@ class Round11Spec extends SparkSpec {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  /** Collect across ALL plan layers: AQE wrappers, materialized query
+    * stages (QueryStageExec is a LEAF — `collect` alone never sees the
+    * stage's subtree), and reused exchanges. Without the stage
+    * recursion an absence pin ("no unpartitioned window") is vacuously
+    * green once AQE wraps the interesting operator in a stage. */
   private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val here = p.collect(pf)
     val nested = p.collect {
       case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+      case q: QueryStageExec => collectAll(q.plan)(pf)
+      case r: ReusedExchangeExec => collectAll(r.child)(pf)
     }.flatten
     here ++ nested
   }
@@ -92,6 +101,50 @@ class Round11Spec extends SparkSpec {
     }
     assert(e.getMessage.contains("2047") ||
       Option(e.getCause).exists(_.getMessage.contains("2047")))
+  }
+
+  test("q_tpch_partsupp (Q16) plans NOT IN as a broadcast NAAJ, never a nested loop") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // sf0.01: the NOT IN build side must be NON-empty — at sf0.001 no
+    // supplier has a negative balance and AQE's PropagateEmptyRelation
+    // (correctly) erases the anti join from the final plan
+    val df = SparkEntry.queries("q_tpch_partsupp")(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }.isEmpty &&
+      collectAll(plan) { case j: CartesianProductExec => j }.isEmpty,
+      "NOT IN must not fall back to a nested loop / cartesian")
+    assert(collectAll(plan) {
+      case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j
+    }.nonEmpty, "expected a null-aware anti (broadcast hash) join for NOT IN")
+  }
+
+  test("TPC-H Q4/Q11/Q20 shapes: semi joins and broadcasts, no nested loops") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    for (name <- Seq("q_tpch_orderpriority", "q_tpch_stockvalue", "q_tpch_promoparts")) {
+      val df = run(name)
+      assert(df.collect().nonEmpty, s"$name must be non-empty at sf0.001")
+      val plan = df.queryExecution.executedPlan
+      // Q11's 1-row scalar-threshold crossJoin legitimately plans as a
+      // broadcast nested loop — but ONLY with a post-aggregate (single
+      // row) build side; everything else must stay loop-free
+      collectAll(plan) { case j: BroadcastNestedLoopJoinExec => j }.foreach { j =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          case _ => j.left
+        }
+        assert(name == "q_tpch_stockvalue" && hasAggBelow(build),
+          s"$name has a non-scalar nested-loop join")
+      }
+      assert(collectAll(plan) { case j: CartesianProductExec => j }.isEmpty,
+        s"$name has a cartesian product")
+      val semis = collectAll(plan) {
+        case j: org.apache.spark.sql.execution.joins.HashJoin
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+      }
+      if (name != "q_tpch_stockvalue")
+        assert(semis.nonEmpty, s"$name: EXISTS/IN must compile to a semi join")
+    }
   }
 
   test("q_dedup_suffixlcp reports TRUE lcp for equal short (tail) suffixes") {

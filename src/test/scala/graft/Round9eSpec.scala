@@ -16,6 +16,12 @@ class Round9eSpec extends SparkSpec {
     val here = p.collect(pf)
     val nested = p.collect {
       case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+      // query stages are LEAVES — without these two cases an absence
+      // pin is vacuously green once AQE materializes a stage (r11 fix)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan)(pf)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        collectAll(r.child)(pf)
     }.flatten
     here ++ nested
   }
