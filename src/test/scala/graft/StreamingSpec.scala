@@ -52,23 +52,31 @@ class StreamingSpec extends SparkSpec {
     // pair shares one timestamp with user_id order OPPOSITE to event_id
     // order, so an ordering key of (ts, user_id) would flip open/close.
     val tieTs = java.sql.Timestamp.valueOf("2024-01-05 08:00:00")
+    // second collision class: two events from the SAME user at the SAME
+    // ms timestamp — under a (ts, user_id) ord the key is DUPLICATED and
+    // min_by/max_by become nondeterministic; only event_id breaks the
+    // tie deterministically. They straddle a micro-batch boundary below.
+    val tieTs2 = java.sql.Timestamp.valueOf("2024-01-05 09:00:00")
     val data: Seq[EvFull] = evs.zipWithIndex.map { case (e, i) =>
       EvFull(i.toLong, e.ts, e.user_id, e.event_type, e.value)
     } ++ Seq(
       EvFull(1000L, tieTs, 9L, "click", 111.5),  // first by event_id, LAST by user_id
-      EvFull(1001L, tieTs, 2L, "click", 222.5))
+      EvFull(1001L, tieTs, 2L, "click", 222.5),
+      EvFull(1002L, tieTs2, 5L, "view", 10.25),  // same (user, ms-ts) pair:
+      EvFull(1003L, tieTs2, 5L, "view", 20.75))  // only event_id orders them
     val mem = MemoryStream[EvFull]
     val q = EventStreams.ohlc(mem.toDF(), watermark = "1 minute")
       .writeStream.format("memory").queryName("ohlc_out")
       .outputMode("append").start()
     // split across micro-batches so open/close partials must MERGE;
-    // the tie pair arrives LAST (its timestamp is the max, so earlier
-    // batches aren't dropped as late) and out of order — the higher
-    // event_id first — so the cross-batch min_by merge must still
-    // resolve open to the lower event_id
+    // both tie pairs arrive LAST (their timestamps are the max, so
+    // earlier batches aren't dropped as late) and out of order — the
+    // higher event_id first — so the cross-batch min_by merge must
+    // still resolve open to the lower event_id, for the different-user
+    // collision AND the same-(user, ms-ts) one
     mem.addData(data.take(37)); q.processAllAvailable()
-    mem.addData(data.slice(37, 100) :+ data(101)); q.processAllAvailable()
-    mem.addData(data(100)); q.processAllAvailable()
+    mem.addData(data.slice(37, 100) ++ Seq(data(101), data(103))); q.processAllAvailable()
+    mem.addData(data(100), data(102)); q.processAllAvailable()
     mem.addData(EvFull(9999L,
       java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "late", 0.0))
     q.processAllAvailable()
@@ -105,6 +113,13 @@ class StreamingSpec extends SparkSpec {
     val tieRow = streamed.find(_.getTimestamp(0) ==
       java.sql.Timestamp.valueOf("2024-01-05 08:00:00")).get
     assert(tieRow.getLong(2) == 111500000L && tieRow.getLong(5) == 222500000L)
+    // the same-(user, ms-ts) window: a (ts, user_id) ord would leave
+    // open/close to whichever partial merged first — only the event_id
+    // component makes open=10.25, close=20.75 deterministic
+    val tieRow2 = streamed.find(_.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-01-05 09:00:00")).get
+    assert(tieRow2.getLong(2) == 10250000L && tieRow2.getLong(5) == 20750000L,
+      s"same-user ms-collision must resolve by event_id: $tieRow2")
     // high/low bracket open/close in every window
     streamed.foreach { r =>
       val (o, h, l, c) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
