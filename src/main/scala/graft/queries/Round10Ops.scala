@@ -115,11 +115,12 @@ object Round10Ops {
     // (the PageRank discipline).
     QueryDef("q_graph_labelprop",
       (s, d) => {
-        val pairs = Tables.lineitem(s, d).select(
-          (col("l_partkey") * 2).as("p"),
-          (col("l_suppkey") * 2 + 1).as("q")).distinct()
+        val pairs = GraphOps.bipartitePairs(s, d)
+        // repartition(src) before the checkpoint: the per-round label
+        // join reuses the edge layout (the q_graph_pagerank r11 note)
         val edges = pairs.select(col("p").as("src"), col("q").as("dst"))
           .union(pairs.select(col("q").as("src"), col("p").as("dst")))
+          .repartition(col("src"))
           .localCheckpoint(eager = false)
         var labels = edges.select(col("src").as("node")).distinct()
           .withColumn("label", col("node"))

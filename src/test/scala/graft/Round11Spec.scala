@@ -147,6 +147,27 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("StageCache: cached and uncached minhash family results are identical") {
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, sf)
+    val plain = Dedup.minHashPairs(docs, "doc_id", "text", 16, 4, 0.9)
+      .orderBy("d1", "d2").collect().toSeq
+    val plainCluster = Dedup.dedupClusters(docs, "doc_id", "text", 16, 4, 0.9)
+      .orderBy("doc_id").collect().toSeq
+    val dir = Files.createTempDirectory("graft_stage_spec").toString
+    spark.conf.set("spark.graft.stageCache.dir", dir)
+    try {
+      val cached = Dedup.minHashPairs(docs, "doc_id", "text", 16, 4, 0.9)
+        .orderBy("d1", "d2").collect().toSeq
+      // second consumer: must hit the cache (files exist) and agree
+      val cachedCluster = Dedup.dedupClusters(docs, "doc_id", "text", 16, 4, 0.9)
+        .orderBy("doc_id").collect().toSeq
+      assert(cached == plain, "stage-cached pairs diverged")
+      assert(cachedCluster == plainCluster, "stage-cached clusters diverged")
+      assert(new java.io.File(dir).listFiles().nonEmpty, "cache wrote nothing")
+    } finally spark.conf.set("spark.graft.stageCache.dir", "")
+  }
+
   test("q_dedup_suffixlcp reports TRUE lcp for equal short (tail) suffixes") {
     // two identical 40-char docs: every sampled suffix pair is equal and
     // SHORTER than the 64-char key — the pre-fix fold matched '' = ''
