@@ -37,6 +37,11 @@ object Round11Ops2 {
   private val D44 = 17592186044416L
   private val D58 = 288230376151711744L
 
+  /** CEP funnel window (ms) — shared with the streaming twin
+    * (EventStreams.streamingCepFunnels) so batch and stream can never
+    * drift on the timeout rule. */
+  val CepWindowMs = 172800000L
+
   /** The CEP transition lambda body, rendered per engine (`div` vs
     * `//`). acc = st·2^58 + cnt·2^44 + anchor; e = ty·2^44 + tm with
     * ty 1=view, 2=click, 3=purchase. Greedy, non-overlapping, 48-hour
@@ -48,7 +53,7 @@ object Round11Ops2 {
     val anchor = s"(acc % $D44)"
     val ty = s"(e $div $D44)"
     val tm = s"(e % $D44)"
-    val timedOut = s"($st > 0 AND $tm - $anchor > 172800000)"
+    val timedOut = s"($st > 0 AND $tm - $anchor > $CepWindowMs)"
     val effSt = s"(CASE WHEN $timedOut THEN 0 ELSE $st END)"
     val effAnchor = s"(CASE WHEN $timedOut THEN 0 ELSE $anchor END)"
     s"""CASE

@@ -475,4 +475,81 @@ object EventStreams {
         date_trunc("MILLISECOND", col("session_window.start")).as("session_start"),
         date_trunc("MILLISECOND", col("session_window.end")).as("session_end"),
         col("n_events"), col("total_value"))
+
+  /** Per-user CEP automaton state carried by [[CepFunnelProcessor]]:
+    * matcher state (0/1/2), completed funnel count, window anchor (ms),
+    * and events seen — the same triple the batch q_events_cep packs
+    * into its fold accumulator. */
+  case class CepState(st: Int, cnt: Long, anchor: Long, nEvents: Long)
+
+  /** Streaming CEP — the `transformWithState` twin of q_events_cep's
+    * batch fold: the greedy non-overlapping view→click→purchase
+    * automaton (48 h window, `Round11Ops2.CepWindowMs`) runs per user
+    * with O(1) state per key, emitting the running funnel count after
+    * every micro-batch touching the user.
+    *
+    * Ordering contract (the [[AsOfEnrichProcessor]] trade): rows are
+    * sorted by (event time, event_id) WITHIN each micro-batch before
+    * folding; ACROSS batches per-user event time must be non-decreasing
+    * for exact batch equivalence — a late event cannot rewind an
+    * automaton that already consumed a later one. StreamingSpec proves
+    * stream == batch under time-ordered replay.
+    */
+  class CepFunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Long), (Long, Long, Long)] {
+    @transient private var state:
+        org.apache.spark.sql.streaming.ValueState[CepState] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[CepState]("cep",
+        org.apache.spark.sql.Encoders.product[CepState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long)] = {
+      val prev = if (state.exists()) state.get() else CepState(0, 0L, 0L, 0L)
+      var (st, cnt, anchor, n) = (prev.st, prev.cnt, prev.anchor, prev.nEvents)
+      // (user, tm, event_id, ty) — sort the batch's slice by time
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tm, _, ty) =>
+        n += 1
+        if (st > 0 && tm - anchor > graft.queries.Round11Ops2.CepWindowMs) {
+          st = 0; anchor = 0L
+        }
+        (st, ty) match {
+          case (0, 1L) => st = 1; anchor = tm
+          case (1, 2L) => st = 2
+          case (2, 3L) => st = 0; cnt += 1; anchor = 0L
+          case _ =>
+        }
+      }
+      state.update(CepState(st, cnt, anchor, n))
+      Iterator.single((key, cnt, n))
+    }
+  }
+
+  /** [[CepFunnelProcessor]] wired to the events frame: emits
+    * (user_id, n_funnels, n_events) updates, state surviving
+    * micro-batches. */
+  def streamingCepFunnels(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tyCode = when(col("event_type") === "view", 1L)
+      .when(col("event_type") === "click", 2L)
+      .otherwise(3L)
+    events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id").cast("long"),
+        unix_millis(date_trunc("MILLISECOND", col("ts"))),
+        col("event_id").cast("long"), tyCode)
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new CepFunnelProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
 }

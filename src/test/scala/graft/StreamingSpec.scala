@@ -284,6 +284,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+
+  test("streaming CEP (transformWithState) == batch q_events_cep under time-ordered replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the REAL sf0.001 events table, replayed in event-time order
+      // across three micro-batches (the ordering contract the processor
+      // documents); final per-user funnel counts must equal the batch
+      // q_events_cep fold on the same table
+      val real = Tables.events(spark, sf)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"),
+          col("event_id"))
+        .collect()
+        .sortBy(r => (r.getTimestamp(0).getTime, r.getLong(4)))
+        .map(r => EvFull(r.getLong(4), r.getTimestamp(0), r.getLong(1),
+          r.getString(2), r.getDouble(3)))
+        .toSeq
+      val mem = MemoryStream[EvFull]
+      val q = EventStreams.streamingCepFunnels(mem.toDF())
+        .toDF("user_id", "n_funnels", "n_events")
+        .writeStream.format("memory").queryName("cep_out")
+        .outputMode("update").start()
+      val third = real.length / 3
+      mem.addData(real.take(third)); q.processAllAvailable()
+      mem.addData(real.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(real.drop(2 * third)); q.processAllAvailable()
+      q.stop()
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      val streamed = spark.table("cep_out")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "n_funnels")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = SparkEntry.queries("q_events_cep")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_funnels")).toMap
+      assert(streamed == batch)
+      assert(batch.values.sum > 0, "fixture must complete at least one funnel")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
+
   test("chained stateful aggs: windowed top-type, streaming (append) == batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
