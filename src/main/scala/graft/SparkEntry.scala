@@ -29,8 +29,14 @@ object SparkEntry {
     graft.etl.AlbFixture.parsed(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a duplicate name would silently SHADOW the earlier query in this
+    // map (and its specs would then test the wrong code) — fail loudly
+    // instead (r11: a batch-2 query landed on a round-9 name and hid it)
+    val dup = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
     all.map(q => q.name -> q.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -658,9 +658,13 @@ object Dedup {
   private def bandedHammingPairs(fp: DataFrame, bands: Int, bandBits: Int,
                                  maxHamming: Int): DataFrame = {
     val mask = (1L << bandBits) - 1
-    // lazy checkpoint: the banded frame self-joins below; without it the
-    // fingerprint aggregation runs once per join side (see minHashPairs)
-    val banded = fp.localCheckpoint(eager = false)
+    // staged fingerprint frame (lazy checkpoint when the session cache
+    // is off): the banded frame self-joins below; without it the
+    // fingerprint aggregation runs once per join side (see
+    // minHashPairs) — and under the session stage cache the md5
+    // fingerprints are shared between q_dedup_simhash's calibration
+    // and the q_dedup_simhash_md5 twin
+    val banded = StageCache.stage(fp)
       .select(col("doc_id"), col("simhash"),
         posexplode(array((0 until bands).map(j =>
           shiftrightunsigned(col("simhash"), j * bandBits).bitwiseAND(mask)): _*)))
@@ -672,9 +676,13 @@ object Dedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
         col("x.simhash").as("h1"), col("y.simhash").as("h2"))
       .distinct()
-    cand
+    val pairs = cand
       .select(col("d1"), col("d2"),
         bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    // stage the (small) verified pair frame too: q_dedup_simhash
+    // consumes BOTH hash families' pairs for its calibration, and the
+    // md5 side is exactly the q_dedup_simhash_md5 pipeline
+    if (StageCache.dir(fp).isDefined) StageCache.stage(pairs) else pairs
   }
 }

@@ -13,9 +13,12 @@ import graft.Tables
   *     ClickHouse/Doris bitmap-rollup pattern: distinct counts that
   *     re-aggregate without revisiting data AND without HLL's error bar
   *     (the exact counterpoint to q_agg_hll_union).
-  *   - q_join_asof_nearest: nearest-in-time join (either direction,
-  *     bounded window) — sensor/trade alignment; composed from the
-  *     repo's native forward+backward as-of operator plus one argmin.
+  *   - q_join_nearest_tolerance: nearest-in-time join (either
+  *     direction) under a BOUNDED ±30 min tolerance — the
+  *     `merge_asof(direction='nearest', tolerance=...)` variant
+  *     (q_join_asof_nearest is the unbounded window-emulated nearest;
+  *     this one composes the NATIVE as-of operator per direction plus
+  *     one argmin, and unmatchable rows stay -1).
   *   - q_events_cep: MATCH_RECOGNIZE-shaped complex-event detection (a
   *     view→click→purchase funnel within 48 h, greedy, non-
   *     overlapping) run as an integer automaton FOLD — the sequence
@@ -100,16 +103,18 @@ object Round11Ops2 {
          SELECT '__all__', count(DISTINCT user_id)::BIGINT FROM events
          ORDER BY event_type"""),
 
-    // Nearest-in-time join: each error paired with the CLOSEST click by
-    // |Δt| within ±30 min — backward-or-forward, the alignment shape
-    // sensor fusion and trade/quote matching need (plain as-of is
-    // one-directional). Composed Spark-first: the native as-of operator
+    // Bounded-tolerance nearest join: each error paired with the
+    // CLOSEST click by |Δt| within ±30 min — the
+    // merge_asof(direction='nearest', tolerance=30min) shape sensor
+    // fusion and trade/quote matching need (the unbounded nearest
+    // lives in q_join_asof_nearest as a window emulation; this is the
+    // native-operator path). Composed Spark-first: the as-of operator
     // (plans/AsOfJoin, co-partitioned single-pass merge) runs once per
     // direction, then ONE argmin per error picks the winner — candidate
     // volume is ≤2 rows per error, not the ±window blowup a range join
     // would scan. Ties (equidistant before/after) break to the earlier
     // click then click_id; errors with no in-window click keep -1.
-    QueryDef("q_join_asof_nearest",
+    QueryDef("q_join_nearest_tolerance",
       (s, d) => {
         val ev = Tables.events(s, d)
         val errors = ev.filter(col("event_type") === "error")

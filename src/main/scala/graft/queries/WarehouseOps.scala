@@ -420,7 +420,9 @@ object WarehouseOps {
     // divisions are the only doubles and both engines share them
     // bit-for-bit. Scale shape: the per-customer rollup is the only
     // fact-sized work; the customer-frame rank is the SHARDED rank
-    // (ops/Sharded) keyed on revc div 2^24 — monotone in revc, so
+    // (ops/Sharded) keyed on revc div 2^20 — monotone in revc (hundreds of
+    // shards over this corpus's revenue range; at a wider range the
+    // divisor trades shard count against offset-frame size), so
     // within-shard partitioned row_numbers + a |shards|-row prefix-sum
     // reproduce the global ascending rank with no single-task sort —
     // and one more aggregate collapses it to a single row. The oracle
@@ -433,7 +435,7 @@ object WarehouseOps {
           .groupBy("o_custkey")
           .agg(sum(col("revc")).as("revc"))
         val ranked = graft.ops.Sharded.globalRowNumber(rev,
-          expr("revc div 16777216"),
+          expr("revc div 1048576"),
           Seq(col("revc").asc, col("o_custkey").asc), "rank")
         val base = ranked.agg(
           count(lit(1)).as("n"), sum(col("revc")).as("tot"),

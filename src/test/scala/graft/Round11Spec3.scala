@@ -21,12 +21,12 @@ class Round11Spec3 extends SparkSpec {
     assert(rows("__all__") == ev.map(_._2).distinct.length.toLong)
   }
 
-  test("q_join_asof_nearest picks the true argmin within the window") {
+  test("q_join_nearest_tolerance picks the true argmin within the window") {
     val clicks = Tables.events(spark, sf).filter(col("event_type") === "click")
       .groupBy(col("user_id"), date_trunc("MILLISECOND", col("ts")).as("cts"))
       .agg(max("event_id").as("cid")).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
-    val got = run("q_join_asof_nearest").collect()
+    val got = run("q_join_nearest_tolerance").collect()
     assert(got.nonEmpty)
     got.foreach { r =>
       val (u, et) = (r.getLong(0), r.getTimestamp(2).getTime)
