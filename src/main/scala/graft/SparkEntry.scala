@@ -15,6 +15,7 @@ object SparkEntry {
       graft.queries.LlmOps8.defs ++ graft.queries.LlmOps9.defs ++
       graft.queries.LlmOps10.defs ++
       graft.queries.WarehouseOps.defs ++ graft.queries.StatsOps.defs ++
+      graft.queries.StatsOps2.defs ++
       graft.queries.EventsQueries2.defs ++
       graft.queries.GraphOps.defs ++ graft.queries.Round10Ops.defs ++
       graft.queries.Round10Ops2.defs ++

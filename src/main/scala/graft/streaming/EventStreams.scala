@@ -476,6 +476,20 @@ object EventStreams {
         date_trunc("MILLISECOND", col("session_window.end")).as("session_end"),
         col("n_events"), col("total_value"))
 
+  /** Streaming exactly-once dedup: drop re-deliveries of the same
+    * event_id arriving within the watermark horizon —
+    * `dropDuplicatesWithinWatermark`, the at-least-once → exactly-once
+    * repair step in front of any downstream aggregation. State is one
+    * entry per event id seen inside the horizon, EVICTED as the
+    * watermark passes (unlike plain dropDuplicates, whose state grows
+    * with the stream forever — the difference between a pipeline that
+    * runs for a day and one that runs for a year). */
+  def dedupWithinWatermark(events: DataFrame,
+                           watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user CEP automaton state carried by [[CepFunnelProcessor]]:
     * matcher state (0/1/2), completed funnel count, window anchor (ms),
     * and events seen — the same triple the batch q_events_cep packs

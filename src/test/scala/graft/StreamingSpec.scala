@@ -332,6 +332,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+
+  test("dropDuplicatesWithinWatermark: re-delivered events collapse to exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = evs.zipWithIndex.map { case (e, i) =>
+      EvFull(i.toLong, e.ts, e.user_id, e.event_type, e.value)
+    }
+    val mem = MemoryStream[EvFull]
+    val q = EventStreams.dedupWithinWatermark(mem.toDF(), watermark = "1 minute")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // batch 1 delivers 0..59; batch 2 RE-delivers 40..59 (the
+    // at-least-once overlap) plus the fresh tail — the re-deliveries
+    // arrive within the watermark horizon and must be dropped
+    mem.addData(base.take(60)); q.processAllAvailable()
+    mem.addData(base.slice(40, 100)); q.processAllAvailable()
+    mem.addData(EvFull(9999L,
+      java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), 99L, "late", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("dedup_out").filter(col("event_type") =!= "late")
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == base.map(_.event_id).sorted.toSeq,
+      s"expected each event exactly once, got ${got.length} of ${base.length}")
+  }
+
   test("chained stateful aggs: windowed top-type, streaming (append) == batch") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]
