@@ -72,6 +72,10 @@ class Round11Spec extends SparkSpec {
     assertNoGlobalFactWindow("q_agg_pareto")
   }
 
+  test("q_stats_ks: no unpartitioned window over fact-sized input") {
+    assertNoGlobalFactWindow("q_stats_ks")
+  }
+
   test("Sharded.globalRowNumber equals the global row_number it replaces") {
     import org.apache.spark.sql.expressions.Window
     val df = Tables.lineitem(spark, sf)

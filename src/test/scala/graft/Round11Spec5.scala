@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Contracts for round-11 batch 3 (Markov stationary distribution,
+  * scene-cut detection). */
+class Round11Spec5 extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_events_markov_stationary: mass conserved up to floor leak, matches brute force") {
+    val rows = run("q_events_markov_stationary").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("stationary_micro")).toMap
+    assert(rows.size >= 2)
+    val types = rows.keys.toSeq.sorted
+    // brute-force the same integer iteration on the driver
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        unix_millis(date_trunc("MILLISECOND", col("ts"))).as("tm"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._2, e._3)).map(_._4)
+      s.zip(s.tail)
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rowtot = pairs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val p = pairs.map { case ((a, b), c) => (a, b) -> c * 1000000L / rowtot(a) }
+    var v = types.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 8)
+      v = types.map(t => t -> types.map(a =>
+        v(a) * p.getOrElse((a, t), 0L) / 1000000L).sum).toMap
+    assert(rows == v, s"got $rows expected $v")
+    // total micro-mass stays positive and below the starting mass
+    // (floor division + chain-end leak only ever lose mass)
+    assert(rows.values.sum > 0 && rows.values.sum <= types.size * 1000000L)
+  }
+
+  test("q_multimodal_scenecut: repetitive docs cohere, alternating topics cut") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scut").toString
+    val coherent = (("alpha beta gamma delta epsilon zeta eta theta ") * 8).trim
+    val shifting = (("alpha beta gamma delta epsilon zeta eta theta ") * 2 +
+      ("iota kappa lambda mu nu xi omicron pi ") * 2).trim
+    Seq((1L, coherent, "en", "web", 0L), (2L, shifting, "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("q_multimodal_scenecut")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_frames"), r.getAs[Long]("n_cuts"),
+          r.getAs[Long]("first_cut"))).toMap
+    // doc 1 repeats one vocabulary: every adjacent frame is identical → 0 cuts
+    assert(rows(1L)._2 == 0L && rows(1L)._3 == -1L, s"coherent doc: ${rows(1L)}")
+    // doc 2 flips vocabulary at the midpoint: exactly one disjoint boundary
+    assert(rows(2L)._2 == 1L && rows(2L)._3 == 2L, s"shifting doc: ${rows(2L)}")
+    // real corpus: some doc cuts, no doc cuts at every boundary
+    val corpus = run("q_multimodal_scenecut").collect()
+    assert(corpus.exists(_.getAs[Long]("n_cuts") > 0))
+    assert(corpus.forall(r => r.getAs[Long]("n_cuts") < r.getAs[Long]("n_frames")))
+  }
+}
