@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Round10Ops4.defs ++
       graft.queries.Round11Ops.defs ++
       graft.queries.Round11Ops2.defs ++
-      graft.queries.Round11Ops3.defs
+      graft.queries.Round11Ops3.defs ++
+      graft.queries.Round11Ops4.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full ALB parse pipeline over the synthetic line corpus. */

@@ -36,6 +36,38 @@ class Round11Spec5 extends SparkSpec {
     assert(rows.values.sum > 0 && rows.values.sum <= types.size * 1000000L)
   }
 
+
+  test("q_mix_budget_waterfill: max-min fair, budget-respecting, brute-force level") {
+    val rows = run("q_mix_budget_waterfill").collect()
+    val per = rows.filter(_.getString(0) != "__total__")
+    val tot = rows.find(_.getString(0) == "__total__").get
+    val budget = tot.getAs[Long]("n_tokens") / 2
+    assert(tot.getAs[Long]("allocation") <= budget)
+    per.foreach { r =>
+      assert(r.getAs[Long]("allocation") <= r.getAs[Long]("n_tokens"))
+    }
+    assert(per.map(_.getAs[Long]("allocation")).sum == tot.getAs[Long]("allocation"))
+    // brute-force the level on the driver and re-derive every quota
+    val caps = per.map(r => r.getString(0) -> r.getAs[Long]("n_tokens")).toMap
+    def spend(theta: Long) = caps.values.map(math.min(_, theta)).sum
+    if (spend(Long.MaxValue / 2) > budget) {
+      // largest integer theta with spend <= budget (binary search)
+      var lo = 0L; var hi = caps.values.max
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (spend(mid) <= budget) lo = mid else hi = mid - 1
+      }
+      per.foreach { r =>
+        val expect = math.min(caps(r.getString(0)), lo)
+        assert(r.getAs[Long]("allocation") == expect,
+          s"${r.getString(0)}: got ${r.getAs[Long]("allocation")} expect $expect (theta=$lo)")
+        assert(r.getAs[Boolean]("saturated") == (caps(r.getString(0)) > lo))
+      }
+      assert(per.exists(_.getAs[Boolean]("saturated")),
+        "half-the-corpus budget must saturate some source")
+    }
+  }
+
   test("q_multimodal_scenecut: repetitive docs cohere, alternating topics cut") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scut").toString
     val coherent = (("alpha beta gamma delta epsilon zeta eta theta ") * 8).trim
