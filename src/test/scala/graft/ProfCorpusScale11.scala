@@ -87,14 +87,16 @@ object ProfCorpusScale11 {
       dir
     }
 
-    val queries = Seq("q_layout_zorder", "q_layout_hilbert", "q_agg_pareto",
-      "q_curation_dsir", "q_dedup_bloom", "q_sample_reservoir",
-      "q_tpch_partsupp",
-      // batch 2 + drift stats: bitmap rollup and KS are scan+combine
-      // shapes; CEP is user-bounded after one collect; nearest rides
-      // two as-of merges; rouge joins adjacent word-count frames
-      "q_agg_bitmap_distinct", "q_join_nearest_tolerance", "q_events_cep",
-      "q_text_rouge", "q_stats_ks", "q_stats_psi")
+    val queries =
+      if (args.length > 2) args(2).split(",").map(_.trim).toSeq
+      else Seq("q_layout_zorder", "q_layout_hilbert", "q_agg_pareto",
+        "q_curation_dsir", "q_dedup_bloom", "q_sample_reservoir",
+        "q_tpch_partsupp",
+        // batch 2 + drift stats: bitmap rollup and KS are scan+combine
+        // shapes; CEP is user-bounded after one collect; nearest rides
+        // two as-of merges; rouge joins adjacent word-count frames
+        "q_agg_bitmap_distinct", "q_join_nearest_tolerance", "q_events_cep",
+        "q_text_rouge", "q_stats_ks", "q_stats_psi")
     for (f <- factors) {
       val dir = gen(f)
       queries.foreach { q =>
