@@ -46,4 +46,30 @@ object Sharded {
       .withColumn(out, col("__off") + col("__rn_in"))
       .drop("__shard", "__rn_in", "__off")
   }
+
+  /** Exact EXCLUSIVE global prefix sum of `valueCol` (BIGINT) over the
+    * total order (shardCol, orderCols...), with no unpartitioned window
+    * over `df`: within-shard exclusive cumsum (partitioned window) plus
+    * a |shards|-row prefix-sum of the per-shard totals. Same contract
+    * as [[globalRowNumber]] — `shardCol` must be the leading sort key
+    * and (shardCol, orderCols) a deterministic order. Adds `out`.
+    */
+  def globalPrefixSum(df: DataFrame, shardCol: Column, orderCols: Seq[Column],
+      valueCol: Column, out: String): DataFrame = {
+    val withShard = df.withColumn("__shard", shardCol)
+      .withColumn("__v", valueCol.cast("long"))
+    val inShard = withShard.withColumn("__cum_in",
+      coalesce(sum("__v").over(
+        Window.partitionBy("__shard").orderBy(orderCols: _*)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = withShard.groupBy("__shard")
+      .agg(sum("__v").as("__cnt"))
+      .withColumn("__off",
+        coalesce(sum("__cnt").over(Window.orderBy("__shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__shard", "__off")
+    inShard.join(broadcast(offsets), "__shard")
+      .withColumn(out, col("__off") + col("__cum_in"))
+      .drop("__shard", "__v", "__cum_in", "__off")
+  }
 }
