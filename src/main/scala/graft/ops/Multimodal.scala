@@ -296,4 +296,55 @@ object Multimodal {
         })(() => { reader.dispose(); writer.dispose() })
       }(enc)
   }
+
+  /** ViT-style patch extraction: decode the PNG and emit one row per
+    * p×p patch (edge patches truncated) with its pixel count and the
+    * integer BT.601 luma sum (299R+587G+114B) — the grid a vision
+    * tokenizer feeds downstream, with integer-only math so the SQL
+    * oracle can replay every patch from the fixture's closed-form
+    * pixels. Same partition-hoisted reader lifecycle as [[decode]];
+    * pixels never shuffle — only (id, patch coords, two longs) leave
+    * the map side. */
+  def patchify(df: DataFrame, idCol: String, p: Int): DataFrame = {
+    require(p > 0, "patch size must be positive")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("patch_y", IntegerType, nullable = false),
+      StructField("patch_x", IntegerType, nullable = false),
+      StructField("n_px", LongType, nullable = false),
+      StructField("luma_sum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.select(col(idCol).cast("long"), col("payload"))
+      .mapPartitions { rows =>
+        val reader = newPngReader()
+        closingAfter(rows.flatMap { r =>
+          val id = r.getLong(0)
+          val iis = new MemoryCacheImageInputStream(
+            new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          val img = try { reader.setInput(iis); reader.read(0) } finally iis.close()
+          val w = img.getWidth
+          val h = img.getHeight
+          for {
+            py <- 0 until (h + p - 1) / p
+            px <- 0 until (w + p - 1) / p
+          } yield {
+            var sum = 0L
+            var n = 0L
+            var y = py * p
+            while (y < math.min((py + 1) * p, h)) {
+              var x = px * p
+              while (x < math.min((px + 1) * p, w)) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) * 299L +
+                  ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L
+                n += 1
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, py, px, n, sum)
+          }
+        })(() => reader.dispose())
+      }(enc)
+  }
 }
