@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.Round11Ops12.defs ++
       graft.queries.Round11Ops13.defs ++
       graft.queries.Round11Ops14.defs ++
-      graft.queries.Round11Ops15.defs
+      graft.queries.Round11Ops15.defs ++
+      graft.queries.Round11Ops16.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full ALB parse pipeline over the synthetic line corpus. */

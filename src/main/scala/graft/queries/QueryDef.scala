@@ -23,7 +23,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     Emit lane-per-row (posexplode) instead;
   *   - divisions that can hit 0/0 on a degenerate corpus wrapped in
   *     nullif on BOTH engines (Spark ANSI throws / returns NULL where
-  *     DuckDB returns inf — either way the hash diverges).
+  *     DuckDB returns inf — either way the hash diverges);
+  *   - NO multi-field struct accumulators in DuckDB `list_reduce`:
+  *     struct_pack fields evaluate SEQUENTIALLY against a mutating
+  *     accumulator (a later field reading `acc.x` sees the new value a
+  *     previous field just wrote — round-11 lesson, q_events_holt).
+  *     Coupled recursions go in a RECURSIVE CTE on the oracle side,
+  *     which reads all state from the previous row.
   */
 final case class QueryDef(
     name: String,
