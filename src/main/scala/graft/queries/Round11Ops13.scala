@@ -46,15 +46,21 @@ object Round11Ops13 {
           floor(col("sc") * lit(8.0)).cast("long"), Seq(col("sc")),
           col("t"), "before")
         val tot = byS.agg(sum("t").cast("long").as("n"))
+        // Rank sums overflow BIGINT at scale (Σ p·2N ~ 2N² — the same
+        // class the 10× profiler caught in q_stats_spearman):
+        // accumulate in DECIMAL(38,0), subtract in DOUBLE (identical
+        // expression both engines).
         bySl.join(cum, "sc")
           .groupBy("label")
-          .agg(sum(col("p") * (lit(2) * col("before") + col("t") + lit(1)))
-              .cast("long").as("sumrank2"),
+          .agg(sum(col("p").cast("decimal(19,0)")
+              * (lit(2) * col("before") + col("t") + lit(1)).cast("decimal(19,0)"))
+              .as("sumrank2"),
             sum("p").cast("long").as("npos"))
           .crossJoin(broadcast(tot))
           .select(col("label"), col("npos"),
             (col("n") - col("npos")).cast("long").as("nneg"),
-            expr("""CAST(sumrank2 - npos * (npos + 1) AS DOUBLE)
+            expr("""(CAST(sumrank2 AS DOUBLE)
+                - CAST(npos AS DOUBLE) * (CAST(npos AS DOUBLE) + 1.0))
               / (2.0 * CAST(npos AS DOUBLE) * CAST(n - npos AS DOUBLE))""")
               .as("auc"))
           .orderBy("label")
@@ -75,11 +81,11 @@ object Round11Ops13 {
         |tot AS (SELECT sum(t)::BIGINT AS n FROM bys),
         |per AS (
         |  SELECT label,
-        |    sum(p * (2 * before + t + 1))::BIGINT AS sumrank2,
+        |    sum(p * (2 * before + t + 1)) AS sumrank2,
         |    sum(p)::BIGINT AS npos
         |  FROM bysl JOIN cum USING (sc) GROUP BY 1)
         |SELECT label, npos, (n - npos)::BIGINT AS nneg,
-        |  CAST(sumrank2 - npos * (npos + 1) AS DOUBLE)
+        |  (sumrank2::DOUBLE - npos::DOUBLE * (npos::DOUBLE + 1.0))
         |    / (2.0 * npos::DOUBLE * (n - npos)::DOUBLE) AS auc
         |FROM per, tot ORDER BY label""".stripMargin),
 

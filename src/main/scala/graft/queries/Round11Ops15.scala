@@ -12,7 +12,8 @@ import graft.ops.Multimodal
   *
   * Scale shapes: the centroid shift reduces the corpus to |labels|×d
   * fixed-point sums with ONE combinable groupBy (the LlmOps4 kmeans
-  * update shape — floor(v·1e8) BIGINT sums, exact); the pair frame is
+  * update shape — floor(v·1e8) summed in DECIMAL(38,0) so the
+  * accumulator cannot overflow at any corpus size); the pair frame is
   * |labels|²·d, model-sized. Patchify decodes partition-local (codec
   * hoisted per partition, pixels never shuffle) and ships only
   * (id, patch coords, two longs) — the same contract as
@@ -33,8 +34,8 @@ object Round11Ops15 {
           .select(col("label").cast("long").as("label"),
             posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy("label", "pos")
-          .agg(sum(floor(col("v").cast("double") * lit(1e8)).cast("long"))
-              .cast("long").as("sfx"),
+          .agg(sum(floor(col("v").cast("double") * lit(1e8)).cast("long")
+              .cast("decimal(38,0)")).as("sfx"),
             count(lit(1)).cast("long").as("n"))
         val a = per.select(col("label").as("label_a"), col("pos"),
           col("sfx").as("sa"), col("n").as("na"))
@@ -63,7 +64,7 @@ object Round11Ops15 {
         |    floor(embedding[i + 1]::DOUBLE * 1e8)::BIGINT AS vfx
         |  FROM embeddings, range(0, 64) t(i)),
         |per AS (
-        |  SELECT label, pos, sum(vfx)::BIGINT AS sfx, count(*)::BIGINT AS n
+        |  SELECT label, pos, sum(vfx) AS sfx, count(*)::BIGINT AS n
         |  FROM e GROUP BY 1, 2),
         |pairs AS (
         |  SELECT a.label AS label_a, b.label AS label_b, a.pos,

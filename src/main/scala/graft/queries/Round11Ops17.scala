@@ -44,20 +44,27 @@ object Round11Ops17 {
             floor(col("p") / lit(10000.0)).cast("long"), Seq(col("p")),
             col("t"), "before")
           .select(col("p"), (lit(2) * col("before") + col("t") + lit(1)).as("ry"))
+        // Second moments overflow BIGINT at scale (rx ≤ 2N, so Σrx² ~ 4N³:
+        // the 10× profiler hit MathUtils.addExact at 6M rows) —
+        // accumulate in DECIMAL(38,0) and emit DOUBLE casts (exact
+        // round-to-nearest of the same decimal on both engines).
         base.join(broadcast(qr), "q").join(pr, "p")
           .agg(count(lit(1)).cast("long").as("n"),
-            sum("rx").cast("long").as("sx"),
-            sum("ry").cast("long").as("sy"),
-            sum(col("rx") * col("rx")).cast("long").as("sxx"),
-            sum(col("ry") * col("ry")).cast("long").as("syy"),
-            sum(col("rx") * col("ry")).cast("long").as("sxy"))
+            sum(col("rx").cast("decimal(38,0)")).as("dsx"),
+            sum(col("ry").cast("decimal(38,0)")).as("dsy"),
+            sum((col("rx") * col("rx")).cast("decimal(38,0)")).as("dsxx"),
+            sum((col("ry") * col("ry")).cast("decimal(38,0)")).as("dsyy"),
+            sum((col("rx") * col("ry")).cast("decimal(38,0)")).as("dsxy"))
+          .select(col("n"),
+            col("dsx").cast("double").as("sx"),
+            col("dsy").cast("double").as("sy"),
+            col("dsxx").cast("double").as("sxx"),
+            col("dsyy").cast("double").as("syy"),
+            col("dsxy").cast("double").as("sxy"))
           .withColumn("rho",
-            expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""))
+            expr("""(CAST(n AS DOUBLE) * sxy - sx * sy)
+              / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n AS DOUBLE) * syy - sy * sy))"""))
           .select("n", "sx", "sy", "sxy", "rho")
       },
       """WITH base AS (
@@ -75,14 +82,15 @@ object Round11Ops17 {
         |    + t + 1)::BIGINT AS ry
         |  FROM ph),
         |moments AS (
-        |  SELECT count(*)::BIGINT AS n, sum(rx)::BIGINT AS sx,
-        |    sum(ry)::BIGINT AS sy, sum(rx * rx)::BIGINT AS sxx,
-        |    sum(ry * ry)::BIGINT AS syy, sum(rx * ry)::BIGINT AS sxy
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(rx)::DOUBLE AS sx, sum(ry)::DOUBLE AS sy,
+        |    sum(rx * rx)::DOUBLE AS sxx, sum(ry * ry)::DOUBLE AS syy,
+        |    sum(rx * ry)::DOUBLE AS sxy
         |  FROM base JOIN qr USING (q) JOIN pr USING (p))
         |SELECT n, sx, sy, sxy,
-        |  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
-        |    / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
-        |      * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS rho
+        |  (n::DOUBLE * sxy - sx * sy)
+        |    / sqrt((n::DOUBLE * sxx - sx * sx)
+        |      * (n::DOUBLE * syy - sy * sy)) AS rho
         |FROM moments""".stripMargin),
 
     // Annealed mixture weights: epoch e of E interpolates each source's
