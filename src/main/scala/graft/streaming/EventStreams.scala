@@ -566,4 +566,91 @@ object EventStreams {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
   }
+
+  /** Per-user trailing-window buffer for [[PitFeatureProcessor]]: three
+    * parallel primitive seqs (ms time, type code, micro value) — the
+    * events still inside the 24 h lookback. */
+  case class PitBuf(tms: Seq[Long], codes: Seq[Int], vals: Seq[Long])
+
+  /** Streaming point-in-time feature assembly — the stream twin of the
+    * batch q_events_pit_features query: on every purchase, emit the
+    * trailing-24 h (click count, view count, error count, value sum)
+    * computed from a per-user buffer that the processor evicts as event
+    * time advances, with the SAME frame semantics as the batch RANGE
+    * window ([tm−86400000, tm−1] — same-ms rows excluded on both
+    * sides, so ms ties cannot flip features between modes).
+    *
+    * State is bounded by each user's 24 h event volume (the value-frame
+    * analog of a watermark bound), independent of stream length.
+    * Ordering contract (as [[Scd2Processor]]): rows sort by
+    * (event time, event_id) within a batch; per-key event time is
+    * non-decreasing across batches. */
+  class PitFeatureProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long, Int, Long),
+        (Long, Long, Long, Long, Long, Long, Long)] {
+    @transient private var st:
+        org.apache.spark.sql.streaming.ValueState[PitBuf] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[PitBuf]("pitbuf",
+        org.apache.spark.sql.Encoders.product[PitBuf],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Int, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(Long, Long, Long, Long, Long, Long, Long)] = {
+      val dayMs = 86400000L
+      // (event_id, tm, code, vMicro) sorted by (tm, event_id)
+      val sorted = rows.map(r => (r._2, r._3, r._4, r._5)).toSeq
+        .sortBy(e => (e._2, e._1))
+      var buf = if (st.exists()) {
+        val b = st.get()
+        b.tms.indices.map(i => (b.tms(i), b.codes(i), b.vals(i))).toVector
+      } else Vector.empty[(Long, Int, Long)]
+      val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long, Long)]
+      sorted.foreach { case (eid, tm, code, v) =>
+        buf = buf.dropWhile(_._1 < tm - dayMs)
+        if (code == 3) { // purchase: features over [tm-dayMs, tm-1]
+          val frame = buf.filter(_._1 < tm)
+          out += ((key, eid, tm,
+            frame.count(_._2 == 0).toLong,
+            frame.count(_._2 == 1).toLong,
+            frame.count(_._2 == 2).toLong,
+            frame.map(_._3).sum))
+        }
+        buf = buf :+ ((tm, code, v))
+      }
+      st.update(PitBuf(buf.map(_._1), buf.map(_._2), buf.map(_._3)))
+      out.result().iterator
+    }
+  }
+
+  /** [[PitFeatureProcessor]] wired to the events frame: emits
+    * (user_id, event_id, tm, f_clicks, f_views, f_errors,
+    * f_value_micro) rows for each purchase, matching the batch
+    * q_events_pit_features output. */
+  def pitFeatures(events: DataFrame)
+      : org.apache.spark.sql.Dataset[(Long, Long, Long, Long, Long, Long, Long)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tyCode = when(col("event_type") === "click", 0)
+      .when(col("event_type") === "view", 1)
+      .when(col("event_type") === "error", 2)
+      .when(col("event_type") === "purchase", 3)
+      .otherwise(4)
+    events
+      .select(col("user_id").cast("long"),
+        col("event_id").cast("long"),
+        unix_millis(date_trunc("MILLISECOND", col("ts"))),
+        tyCode,
+        floor(col("value") * lit(1e6)).cast("long"))
+      .as[(Long, Long, Long, Int, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new PitFeatureProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
 }
