@@ -93,13 +93,12 @@ object Round11Ops19 {
         val deg = pairs.select(col("a").as("n"))
           .union(pairs.select(col("b").as("n")))
           .groupBy("n").agg(count(lit(1)).as("dg"))
-        val oriented = pairs
+        val oriented = graft.ops.StageCache.stage(pairs
           .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
           .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
           .select(
             when(expr("struct(da, a) < struct(db, b)"), col("a")).otherwise(col("b")).as("src"),
-            when(expr("struct(da, a) < struct(db, b)"), col("b")).otherwise(col("a")).as("dst"))
-          .localCheckpoint(eager = false)
+            when(expr("struct(da, a) < struct(db, b)"), col("b")).otherwise(col("a")).as("dst")))
         val adj = oriented.groupBy("src")
           .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
         val tri = oriented
