@@ -24,6 +24,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - divisions that can hit 0/0 on a degenerate corpus wrapped in
   *     nullif on BOTH engines (Spark ANSI throws / returns NULL where
   *     DuckDB returns inf — either way the hash diverges);
+  *   - DuckDB `//` is floor-division ONLY for integer operands — on
+  *     DOUBLE it is plain division, and a subsequent `::BIGINT` cast
+  *     ROUNDS (round-11 lesson, q_events_growth_accounting: weeks off
+  *     by one half the time). Cast to BIGINT BEFORE `// k`, or use
+  *     floor() explicitly;
   *   - NO multi-field struct accumulators in DuckDB `list_reduce`:
   *     struct_pack fields evaluate SEQUENTIALLY against a mutating
   *     accumulator (a later field reading `acc.x` sees the new value a
