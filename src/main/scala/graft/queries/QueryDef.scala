@@ -29,6 +29,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     ROUNDS (round-11 lesson, q_events_growth_accounting: weeks off
   *     by one half the time). Cast to BIGINT BEFORE `// k`, or use
   *     floor() explicitly;
+  *   - DuckDB multiplies BIGINTs in INT64 even when the SUM is HUGEINT
+  *     — `sum(a * b)` overflows before it widens (round-11 lesson,
+  *     q_text_heaps). Write `sum(a::HUGEINT * b::HUGEINT)`; on the
+  *     Spark side multiply in DECIMAL(19,0);
+  *   - bare float literals inside DuckDB LIST lambdas type as
+  *     DECIMAL(2,1) and the fold truncates to that scale (round-11
+  *     lesson, q_similarity_rbo: 0.9·0.9 became 0.8). Force `::DOUBLE`
+  *     on every literal inside list_transform/list_reduce;
   *   - NO multi-field struct accumulators in DuckDB `list_reduce`:
   *     struct_pack fields evaluate SEQUENTIALLY against a mutating
   *     accumulator (a later field reading `acc.x` sees the new value a
