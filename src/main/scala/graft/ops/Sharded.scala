@@ -28,6 +28,11 @@ object Sharded {
     * monotone in it shards correctly); `tieCols` must complete a unique
     * total order for determinism. Adds `out` and keeps all input
     * columns; `__shard` is dropped before returning.
+    *
+    * NULL shard keys are handled, not dropped: the offsets join is
+    * null-safe (`<=>`), so a NULL shard forms its own group that sorts
+    * first — consistent with `Window.orderBy`'s ASC NULLS FIRST. (A
+    * plain inner join would silently drop every NULL-shard row.)
     */
   def globalRowNumber(df: DataFrame, shardCol: Column, tieCols: Seq[Column],
       out: String): DataFrame = {
@@ -41,10 +46,10 @@ object Sharded {
       .withColumn("__off",
         coalesce(sum("__cnt").over(Window.orderBy("__shard")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__shard", "__off")
-    inShard.join(broadcast(offsets), "__shard")
+      .select(col("__shard").as("__oshard"), col("__off"))
+    inShard.join(broadcast(offsets), col("__shard") <=> col("__oshard"))
       .withColumn(out, col("__off") + col("__rn_in"))
-      .drop("__shard", "__rn_in", "__off")
+      .drop("__shard", "__oshard", "__rn_in", "__off")
   }
 
   /** Exact EXCLUSIVE global prefix sum of `valueCol` (BIGINT) over the
@@ -52,7 +57,9 @@ object Sharded {
     * over `df`: within-shard exclusive cumsum (partitioned window) plus
     * a |shards|-row prefix-sum of the per-shard totals. Same contract
     * as [[globalRowNumber]] — `shardCol` must be the leading sort key
-    * and (shardCol, orderCols) a deterministic order. Adds `out`.
+    * and (shardCol, orderCols) a deterministic order; NULL shard keys
+    * join null-safely (one NULLS-FIRST group) rather than dropping.
+    * Adds `out`.
     */
   def globalPrefixSum(df: DataFrame, shardCol: Column, orderCols: Seq[Column],
       valueCol: Column, out: String): DataFrame = {
@@ -67,9 +74,9 @@ object Sharded {
       .withColumn("__off",
         coalesce(sum("__cnt").over(Window.orderBy("__shard")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__shard", "__off")
-    inShard.join(broadcast(offsets), "__shard")
+      .select(col("__shard").as("__oshard"), col("__off"))
+    inShard.join(broadcast(offsets), col("__shard") <=> col("__oshard"))
       .withColumn(out, col("__off") + col("__cum_in"))
-      .drop("__shard", "__v", "__cum_in", "__off")
+      .drop("__shard", "__oshard", "__v", "__cum_in", "__off")
   }
 }

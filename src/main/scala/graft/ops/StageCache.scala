@@ -52,12 +52,31 @@ object StageCache {
     case None => df.localCheckpoint(eager = false)
     case Some(base) =>
       val spark = df.sparkSession
-      val key = base + "/" + java.lang.Integer.toHexString(
-        df.queryExecution.analyzed.semanticHash())
+      val analyzed = df.queryExecution.analyzed
+      // semanticHash is only 32 bits — a collision between two distinct
+      // staged plans would silently serve one query's parquet to the
+      // other. Append a SHA-256 digest of the canonicalized plan text
+      // (exprIds normalized, same equivalence as semanticHash) so the
+      // effective key is collision-proof.
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(analyzed.canonicalized.toString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(12).map("%02x".format(_)).mkString
+      val key = base + "/" +
+        java.lang.Integer.toHexString(analyzed.semanticHash()) + "_" + sha
       val path = written.computeIfAbsent(key, { k =>
         df.write.mode("overwrite").parquet(k)
         k
       })
-      spark.read.parquet(path)
+      val out = spark.read.parquet(path)
+      // Belt-and-braces on hit: the materialized file must present the
+      // same columns/types as the plan it claims to cache (nullability
+      // legitimately relaxes through the parquet round-trip, so compare
+      // catalogString, which drops it).
+      val want = df.schema.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+      val got = out.schema.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+      require(got == want,
+        s"StageCache: schema mismatch on cache hit at $key — got $got, want $want")
+      out
   }
 }

@@ -188,8 +188,13 @@ object LlmOps9 {
         deflater.finish()
         var out = 0L
         while (!deflater.finished()) out += deflater.deflate(buf)
+        // empty documents would divide by zero (Infinity in a
+        // nullable=false double, poisoning the band calibration
+        // downstream); define their ratio as 1.0 (incompressible)
+        val ratio = if (raw.length == 0) 1.0
+                    else out.toDouble / raw.length.toDouble
         Row(r.getLong(0), r.getString(1).length.toLong, raw.length.toLong,
-          out, out.toDouble / raw.length.toDouble)
+          out, ratio)
       }
     }(enc)
   }
