@@ -19,6 +19,13 @@ import org.apache.spark.sql.functions._
   * at extreme shard counts the same decomposition recurses, the classic
   * tree prefix-sum). The within-shard ranks are a PARTITIONED window:
   * fully parallel, state bounded by the largest shard.
+  *
+  * The internal `__shard` column name is LOAD-BEARING: PlanLintSpec's
+  * whole-surface linter accepts an unpartitioned window exactly when
+  * its child aggregates solely on a column named `__shard`/`shard`
+  * (this helper's offsets frame, or its hand-rolled twins). Renaming it
+  * makes every caller's plan fail the lint — by design, that rename is
+  * the review point.
   */
 object Sharded {
 
