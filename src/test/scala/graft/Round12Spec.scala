@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Round-12 batch 1: VARIANT ingestion (q_json_variant,
+  * q_json_variant_nested). */
+class Round12Spec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val here = p.collect(pf)
+    val nested = p.collect {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan)(pf)
+    }.flatten
+    here ++ nested
+  }
+
+  test("q_json_variant: scan prunes to (event_type, props); extraction matches a direct regex parse") {
+    val df = SparkEntry.queries("q_json_variant")(spark, sf)
+    val scans = collectAll(df.queryExecution.executedPlan) {
+      case s: FileSourceScanExec => s.metadata("ReadSchema") }
+    assert(scans.nonEmpty)
+    scans.foreach { rs =>
+      assert(rs.contains("event_type") && rs.contains("props"), rs)
+      assert(!rs.contains("user_id") && !rs.contains("value") && !rs.contains("ts"),
+        s"variant rollup must not read unused columns: $rs")
+    }
+    // brute: the corpus's props are exactly {"k": N} — regex-extract and
+    // recompute the rollup without any variant machinery
+    val brute = Tables.events(spark, sf)
+      .select(col("event_type"),
+        regexp_extract(col("props"), "\\d+", 0).cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        countDistinct(col("k")).as("n_k"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_hi"))
+      .orderBy("event_type")
+    assert(df.collect().toSeq == brute.collect().toSeq)
+  }
+
+  test("q_json_variant_nested: the variant roundtrip is the identity on every leaf") {
+    val out = SparkEntry.queries("q_json_variant_nested")(spark, sf)
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_id") < 100)
+      .select(col("event_id"), col("user_id").as("u"),
+        col("event_type").as("t"),
+        floor(col("value") * 100 + 0.5).cast("long").as("mv"),
+        (regexp_extract(col("props"), "\\d+", 0).cast("long") * 2).as("a1"))
+      .orderBy("event_id")
+    assert(out.collect().toSeq == direct.collect().toSeq)
+    assert(out.count() == 100)
+  }
+
+  test("schema_of_variant sees the nested document's full structure") {
+    val one = Tables.events(spark, sf).filter(col("event_id") === 0)
+      .select(expr(
+        """schema_of_variant(parse_json(
+          |  to_json(struct(user_id AS u,
+          |    struct(event_type AS t, 5L AS v) AS m,
+          |    array(1L, 2L) AS a))))""".stripMargin).as("sch"))
+      .head().getString(0)
+    assert(one.contains("ARRAY") && one.contains("BIGINT") && one.contains("STRING"),
+      s"unexpected variant schema: $one")
+  }
+}
