@@ -435,17 +435,11 @@ object EventsQueries {
     // groupBy on short strings; top-20 plans as TakeOrdered, never a
     // global sort.
     QueryDef("q_events_paths",
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
-        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            date_trunc("MILLISECOND", col("ts")).as("tsm"))
-          .withColumn("prev", lag("tsm", 1).over(w))
-          .withColumn("brk", when(col("prev").isNull ||
-            col("tsm") >= col("prev") + expr("interval 10 minutes"), 1L)
-            .otherwise(0L))
-          .withColumn("sid", sum("brk").over(wRun))
+      (s, d) =>
+        // the lag/brk/sid columns come from the family's shared staged
+        // adjacency frame (EventAdjacency) — one user-keyed sort serves
+        // paths/transitions/concurrency/entropy_rate
+        EventAdjacency.frame(s, d)
           .groupBy("user_id", "sid")
           .agg(array_sort(collect_list(struct(col("tsm"), col("event_id"),
             col("event_type")))).as("evs"))
@@ -453,8 +447,7 @@ object EventsQueries {
             transform(col("evs"), e => e.getField("event_type"))).as("path"))
           .groupBy("path").agg(count(lit(1)).as("n_sessions"))
           .orderBy(col("n_sessions").desc, col("path").asc)
-          .limit(20)
-      },
+          .limit(20),
       """WITH e AS (
            SELECT user_id, event_id, event_type,
              date_trunc('milliseconds', ts) AS tsm
@@ -490,13 +483,9 @@ object EventsQueries {
     // in DOUBLE (per-from totals via one small window over the matrix
     // frame, which is |types|²-bounded, not corpus-scaled).
     QueryDef("q_events_transitions",
-      (s, d) => {
-        val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
-        Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            date_trunc("MILLISECOND", col("ts")).as("tsm"))
-          .withColumn("prev_type", lag("event_type", 1).over(w))
-          .withColumn("prev_tsm", lag("tsm", 1).over(w))
+      (s, d) =>
+        // prev_type/prev_tsm read from the shared staged adjacency frame
+        EventAdjacency.frame(s, d)
           .filter(col("prev_tsm").isNotNull &&
             col("tsm") < col("prev_tsm") + expr("interval 10 minutes"))
           .groupBy(col("prev_type").as("from_type"),
@@ -504,8 +493,7 @@ object EventsQueries {
           .agg(count(lit(1)).as("n"))
           .withColumn("prob", col("n").cast("double") /
             sum("n").over(Window.partitionBy("from_type")).cast("double"))
-          .orderBy("from_type", "to_type")
-      },
+          .orderBy("from_type", "to_type"),
       """WITH e AS (
            SELECT user_id, event_id, event_type,
              date_trunc('milliseconds', ts) AS tsm

@@ -37,23 +37,14 @@ object EventsQueries2 {
       |  SELECT user_id, sid, min(tsm) AS st, max(tsm) AS en
       |  FROM sid GROUP BY 1, 2)""".stripMargin
 
-  /** Spark twin of [[sessSql]]: one user-keyed sort carries the break
-    * flag and the running session id (same partitioning + order, so
-    * Catalyst plans a single exchange + sort). */
-  private def sessFrame(s: org.apache.spark.sql.SparkSession, d: String) = {
-    val w = Window.partitionBy("user_id").orderBy("tsm", "event_id")
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d)
-      .select(col("user_id"), col("event_id"),
-        date_trunc("MILLISECOND", col("ts")).as("tsm"))
-      .withColumn("prev", lag("tsm", 1).over(w))
-      .withColumn("brk", when(col("prev").isNull ||
-        col("tsm") >= col("prev") + expr("interval 10 minutes"), 1L)
-        .otherwise(0L))
-      .withColumn("sid", sum("brk").over(wRun))
+  /** Spark twin of [[sessSql]]: the break flag and running session id
+    * come from the family's shared staged adjacency frame
+    * ([[EventAdjacency]] — one user-keyed sort, staged once per session
+    * in bench mode), collapsed here to one (st, en) row per island. */
+  private def sessFrame(s: org.apache.spark.sql.SparkSession, d: String) =
+    EventAdjacency.frame(s, d)
       .groupBy("user_id", "sid")
       .agg(min("tsm").as("st"), max("tsm").as("en"))
-  }
 
   val defs: Seq[QueryDef] = Seq(
 

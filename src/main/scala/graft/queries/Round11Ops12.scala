@@ -32,14 +32,13 @@ object Round11Ops12 {
     QueryDef("q_events_entropy_rate",
       (s, d) => {
         graft.functions.LnIeee.register(s)
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("tm"), col("event_id"))
-        val pairs = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_millis(date_trunc("MILLISECOND", col("ts"))).as("tm"))
-          .withColumn("next_type", lead("event_type", 1).over(w))
-          .filter(col("next_type").isNotNull)
-          .groupBy(col("event_type").as("a"), col("next_type").as("b"))
+        // adjacent pairs read from the family's shared staged adjacency
+        // frame (EventAdjacency): the (lag type, type) pairs over rows
+        // whose predecessor exists are the same multiset as the former
+        // (type, lead type) enumeration, read from the other end
+        val pairs = EventAdjacency.frame(s, d)
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type").as("a"), col("event_type").as("b"))
           .agg(count(lit(1)).as("cij"))
         val ci = pairs.groupBy("a").agg(sum("cij").as("ci"))
         val tot = ci.agg(sum("ci").as("ctot"))
