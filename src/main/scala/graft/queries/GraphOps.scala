@@ -495,11 +495,17 @@ object GraphOps {
           .distinct()
         val nat = Tables.supplier(s, d).select(col("s_suppkey").as("supp"),
           col("s_nationkey").as("c"))
-        val lab = edges
+        // `lab` feeds FOUR consumers below (m, both nodeDeg projections,
+        // the intra-community filter); without materialization each one
+        // re-runs the wedge join + distinct — the 4-10 s run-to-run
+        // spread the round-11 verdict flagged was exactly that rebuild
+        // racing checkpoint jitter. Stage it once (parquet in bench
+        // mode, lazy localCheckpoint at the gate).
+        val lab = graft.ops.StageCache.stage(edges
           .join(broadcast(nat.withColumnRenamed("supp", "s1")
             .withColumnRenamed("c", "c1")), "s1")
           .join(broadcast(nat.withColumnRenamed("supp", "s2")
-            .withColumnRenamed("c", "c2")), "s2")
+            .withColumnRenamed("c", "c2")), "s2"))
         val m = lab.groupBy().agg(count(lit(1)).as("m"))
         val nodeDeg = lab.select(col("s1").as("supp"), col("c1").as("c"))
           .unionAll(lab.select(col("s2").as("supp"), col("c2").as("c")))
