@@ -29,6 +29,25 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Streaming twin of q_json_variant: VARIANT parse + typed extraction
+    * under a watermarked tumbling window. parse_json/variant_get are
+    * per-row scalar expressions, so they ride the streaming plan exactly
+    * like any projection — the windowed rollup's state is
+    * #open-windows × #types regardless of payload shape, and append-mode
+    * results equal the batch aggregation on the same rows. This is the
+    * raw-JSON-lake ingestion path: the stream lands typed columns
+    * without declaring a schema up front. */
+  def variantRollup(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("event_type"),
+        expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+      .filter(col("k").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_k"))
+
   /** Windowed distinct-user sketch: HLL per 1-hour window — the
     * streaming half of the q_agg_hll_union mergeable-sketch story. The
     * per-window state is ONE sketch (bounded at any user cardinality,

@@ -55,6 +55,35 @@ class Round12Spec extends SparkSpec {
     assert(out.count() == 100)
   }
 
+  test("variant rollup streaming twin: append-mode == batch on the same rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 120).map { i =>
+      (new java.sql.Timestamp(base.getTime + i * 5 * 60 * 1000L),
+        if (i % 2 == 0) "click" else "view", s"""{"k": ${i % 17}}""")
+    }
+    val mem = MemoryStream[(java.sql.Timestamp, String, String)]
+    val q = graft.streaming.EventStreams.variantRollup(
+        mem.toDF().toDF("ts", "event_type", "props"), watermark = "1 minute")
+      .writeStream.format("memory").queryName("variant_out")
+      .outputMode("append").start()
+    mem.addData(rows)
+    q.processAllAvailable()
+    // advance the watermark past every window, then flush
+    mem.addData((java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), "late", """{"k": 0}"""))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("variant_out")
+      .filter(col("event_type").isin("click", "view"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = graft.streaming.EventStreams.variantRollup(
+        rows.toDF("ts", "event_type", "props"))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("schema_of_variant sees the nested document's full structure") {
     val one = Tables.events(spark, sf).filter(col("event_id") === 0)
       .select(expr(
