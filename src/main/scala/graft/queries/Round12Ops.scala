@@ -83,6 +83,184 @@ object Round12Ops {
         |  floor(value * 100 + 0.5)::BIGINT AS mv,
         |  (json_extract(props, '$.k')::BIGINT * 2)::BIGINT AS a1
         |FROM events WHERE event_id < 100
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin),
+
+    // One-way ANOVA F across ALL market segments — the k-group
+    // generalization q_stats_ttest (2 groups, Welch) was missing: is
+    // mean order value equal across segments? Exact integer-cents
+    // co-moments per group (n, Σv in BIGINT, Σv² in DECIMAL(38,0) —
+    // the spearman overflow lesson), then SSB/SSW/F/η² in ONE shared
+    // IEEE expression tree; the only order-sensitive double addition
+    // (Σᵢ Sᵢ²/nᵢ over k=5 groups) is a segment-sorted fold on both
+    // engines. Scale: one broadcast dim join + one map-side-combined
+    // 5-group aggregate; everything after is 5 rows.
+    QueryDef("q_stats_anova",
+      (s, d) => {
+        val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+        val g = Tables.orders(s, d)
+          .join(broadcast(Tables.customer(s, d)
+            .select("c_custkey", "c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("seg"), cents.as("v"))
+          .groupBy("seg")
+          .agg(count(lit(1)).as("ni"), sum("v").as("si"),
+            sum((col("v") * col("v")).cast("decimal(38,0)")).as("ssqi"))
+        g.groupBy(lit(1).as("_g"))
+          .agg(count(lit(1)).cast("long").as("k"),
+            sum("ni").cast("long").as("n"),
+            sum(col("si").cast("decimal(38,0)")).as("s_all"),
+            sum("ssqi").as("ssq_all"),
+            array_sort(collect_list(struct(col("seg"),
+              (col("si").cast("double") * col("si").cast("double") /
+                col("ni").cast("double")).as("term")))).as("terms"))
+          .select(col("k"), col("n"),
+            aggregate(col("terms"), lit(0.0),
+              (acc, e) => acc + e.getField("term")).as("sb_raw"),
+            col("s_all"), col("ssq_all"))
+          .select(col("k"), col("n"),
+            ((col("sb_raw") - col("s_all").cast("double") *
+              col("s_all").cast("double") / col("n").cast("double")) / 1e4)
+              .as("ss_between"),
+            ((col("ssq_all").cast("double") - col("sb_raw")) / 1e4)
+              .as("ss_within"))
+          .select(col("k"), col("n"), col("ss_between"), col("ss_within"),
+            ((col("ss_between") / (col("k") - 1L).cast("double")) /
+              nullif(col("ss_within") / (col("n") - col("k")).cast("double"),
+                lit(0.0))).as("f_stat"),
+            (col("ss_between") /
+              nullif(col("ss_between") + col("ss_within"), lit(0.0)))
+              .as("eta_sq"))
+      },
+      """WITH g AS (
+        |  SELECT c_mktsegment AS seg, count(*) AS ni,
+        |    sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS si,
+        |    sum(floor(o_totalprice * 100 + 0.5)::HUGEINT
+        |        * floor(o_totalprice * 100 + 0.5)::HUGEINT) AS ssqi
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS k, sum(ni)::BIGINT AS n,
+        |    sum(si::HUGEINT) AS s_all, sum(ssqi) AS ssq_all,
+        |    list_reduce(list_prepend(0.0, list_transform(
+        |        list_sort(list(struct_pack(seg := seg,
+        |          term := si::DOUBLE * si::DOUBLE / ni::DOUBLE))),
+        |        e -> struct_extract(e, 'term'))),
+        |      (a, b) -> a + b) AS sb_raw
+        |  FROM g),
+        |ss AS (
+        |  SELECT k, n,
+        |    (sb_raw - s_all::DOUBLE * s_all::DOUBLE / n::DOUBLE) / 1e4
+        |      AS ss_between,
+        |    (ssq_all::DOUBLE - sb_raw) / 1e4 AS ss_within
+        |  FROM m)
+        |SELECT k, n, ss_between, ss_within,
+        |  (ss_between / (k - 1)::DOUBLE)
+        |    / nullif(ss_within / (n - k)::DOUBLE, 0.0) AS f_stat,
+        |  ss_between / nullif(ss_between + ss_within, 0.0) AS eta_sq
+        |FROM ss""".stripMargin),
+
+    // Kruskal–Wallis H across the three return flags on l_quantity —
+    // the k-group rank test beside q_stats_mannwhitney (its 2-group
+    // member), with the tie correction the integer quantity domain
+    // makes mandatory. Midranks come off the VALUE HISTOGRAM (the
+    // mannwhitney machinery): mr2 = 2·cumBelow + t + 1 keeps every
+    // rank quantity an exact integer (doubled midrank), per-group rank
+    // sums accumulate in DECIMAL(38,0) (products would pass 2⁶³ at
+    // 10¹⁰ rows), and Σ(t³−t) multiplies in DECIMAL/HUGEINT. H and
+    // the correction divide once in DOUBLE through one shared tree;
+    // the k=3 Σ R²/n fold is flag-sorted. Scale: one combinable
+    // histogram groupBy; the unpartitioned window runs over the
+    // ≤|quantity-domain| histogram, never the fact table.
+    QueryDef("q_stats_kruskal",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hist = Tables.lineitem(s, d)
+          .select(col("l_quantity").cast("long").as("v"), col("l_returnflag").as("f"))
+          .groupBy("v")
+          .agg(count(when(col("f") === "R", lit(1))).as("nr"),
+            count(when(col("f") === "A", lit(1))).as("na"),
+            count(when(col("f") === "N", lit(1))).as("nn"))
+          .withColumn("t", col("nr") + col("na") + col("nn"))
+        val w = Window.orderBy("v")
+        val mr = hist.withColumn("mr2",
+          lit(2L) * coalesce(sum("t").over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+            col("t") + lit(1L))
+        def r2(c: String) = sum((col(c).cast("decimal(38,0)") *
+          col("mr2").cast("decimal(38,0)"))).as(s"r2_$c")
+        val agg = mr.groupBy(lit(1).as("_g"))
+          .agg(sum("t").cast("long").as("n"),
+            r2("nr"), r2("na"), r2("nn"),
+            sum("nr").cast("long").as("n_r"),
+            sum("na").cast("long").as("n_a"),
+            sum("nn").cast("long").as("n_n"),
+            sum((col("t").cast("decimal(38,0)") * col("t").cast("decimal(38,0)")
+              * col("t").cast("decimal(38,0)")) - col("t").cast("decimal(38,0)"))
+              .as("t3t"))
+        // flag-sorted fold of Σ R_g²/n_g (doubled ranks: R2²/4)
+        val terms = array_sort(array(
+          struct(lit("A").as("fl"), (col("r2_na").cast("double") *
+            col("r2_na").cast("double") / col("n_a").cast("double")).as("term")),
+          struct(lit("N").as("fl"), (col("r2_nn").cast("double") *
+            col("r2_nn").cast("double") / col("n_n").cast("double")).as("term")),
+          struct(lit("R").as("fl"), (col("r2_nr").cast("double") *
+            col("r2_nr").cast("double") / col("n_r").cast("double")).as("term"))))
+        agg
+          .select(col("n"), lit(3L).as("k"),
+            aggregate(terms, lit(0.0), (acc, e) => acc + e.getField("term"))
+              .as("sr2"),
+            col("t3t"))
+          .select(col("n"), col("k"),
+            (lit(3.0) / (col("n").cast("double") * (col("n") + 1L).cast("double"))
+              * col("sr2") - lit(3.0) * (col("n") + 1L).cast("double")).as("h_stat"),
+            (lit(1.0) - col("t3t").cast("double") /
+              (col("n").cast("double") * col("n").cast("double") *
+                col("n").cast("double") - col("n").cast("double")))
+              .as("tie_c"))
+          .select(col("n"), col("k"), col("h_stat"), col("tie_c"),
+            (col("h_stat") / nullif(col("tie_c"), lit(0.0))).as("h_corrected"))
+      },
+      """WITH hist AS (
+        |  SELECT l_quantity::BIGINT AS v,
+        |    count(*) FILTER (WHERE l_returnflag ='R') AS nr,
+        |    count(*) FILTER (WHERE l_returnflag ='A') AS na,
+        |    count(*) FILTER (WHERE l_returnflag ='N') AS nn
+        |  FROM lineitem GROUP BY 1),
+        |mr AS (
+        |  SELECT *, nr + na + nn AS t,
+        |    2 * coalesce(sum(nr + na + nn) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (nr + na + nn) + 1 AS mr2
+        |  FROM hist),
+        |agg AS (
+        |  SELECT sum(t)::BIGINT AS n,
+        |    sum(nr::HUGEINT * mr2::HUGEINT) AS r2_nr,
+        |    sum(na::HUGEINT * mr2::HUGEINT) AS r2_na,
+        |    sum(nn::HUGEINT * mr2::HUGEINT) AS r2_nn,
+        |    sum(nr)::BIGINT AS n_r, sum(na)::BIGINT AS n_a,
+        |    sum(nn)::BIGINT AS n_n,
+        |    sum(t::HUGEINT * t::HUGEINT * t::HUGEINT - t::HUGEINT) AS t3t
+        |  FROM mr),
+        |f AS (
+        |  SELECT n, 3::BIGINT AS k,
+        |    list_reduce(list_prepend(0.0, list_transform(
+        |        list_sort([
+        |          struct_pack(fl := 'A', term := r2_na::DOUBLE * r2_na::DOUBLE / n_a::DOUBLE),
+        |          struct_pack(fl := 'N', term := r2_nn::DOUBLE * r2_nn::DOUBLE / n_n::DOUBLE),
+        |          struct_pack(fl := 'R', term := r2_nr::DOUBLE * r2_nr::DOUBLE / n_r::DOUBLE)]),
+        |        e -> struct_extract(e, 'term'))),
+        |      (a, b) -> a + b) AS sr2,
+        |    t3t
+        |  FROM agg),
+        |h AS (
+        |  SELECT n, k,
+        |    3.0 / (n::DOUBLE * (n + 1)::DOUBLE) * sr2 - 3.0 * (n + 1)::DOUBLE
+        |      AS h_stat,
+        |    1.0 - t3t::DOUBLE
+        |      / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE) AS tie_c
+        |  FROM f)
+        |SELECT n, k, h_stat, tie_c,
+        |  h_stat / nullif(tie_c, 0.0) AS h_corrected
+        |FROM h""".stripMargin)
   )
 }

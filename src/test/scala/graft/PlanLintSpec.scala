@@ -122,6 +122,7 @@ class PlanLintSpec extends SparkSpec {
     "q_stats_chisq" -> "contingency frame: groupBy(event_type, tod) — |types| x 24 rows",
     "q_stats_cramersv" -> "contingency frame: groupBy(event_type, tod) — |types| x 24 rows",
     "q_stats_mannwhitney" -> "value histogram: groupBy(l_quantity) — quantity domain <= 50 rows",
+    "q_stats_kruskal" -> "value histogram: groupBy(l_quantity) — quantity domain <= 50 rows (the mannwhitney machinery)",
     "q_stats_runs" -> "daily-count frame: groupBy(day) — calendar-bounded",
     "q_events_survival" -> "per-day death/censor life table: groupBy(t) — calendar-bounded",
     "q_mix_budget_waterfill" -> "per-source quota frame: groupBy(source) — |sources| rows"
@@ -197,6 +198,19 @@ class PlanLintSpec extends SparkSpec {
     val v = lint("scratch_zorder_global", bad)
     assert(v.exists(_.contains("unpartitioned WindowExec")),
       s"linter failed to flag the global-window anti-pattern; got: $v")
+  }
+
+  test("canary: the window allowlist cannot hide a raw global sort") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bad = docs.withColumn("r",
+      row_number().over(Window.orderBy(col("doc_id"))))
+    // lint it UNDER AN ALLOWLISTED NAME: the sanity check (aggregation
+    // required below an allowlisted unpartitioned window) must still fire
+    val v = lint("q_stats_chisq", bad)
+    assert(v.exists(_.contains("raw global sort")),
+      s"allowlist sanity check failed to fire; got: $v")
   }
 
   test("canary: the linter catches a fact-fact cartesian") {

@@ -84,6 +84,57 @@ class Round12Spec extends SparkSpec {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("q_stats_anova matches a driver-side brute-force recomputation") {
+    val out = SparkEntry.queries("q_stats_anova")(spark, sf).head()
+    val rows = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), floor(col("o_totalprice") * 100 + 0.5)
+        .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val k = groups.size
+    val n = rows.length
+    val sAll = rows.map(_._2.toDouble).sum
+    val ssqAll = rows.map(r => r._2.toDouble * r._2.toDouble).sum
+    val sbRaw = groups.map { case (_, g) =>
+      val s = g.map(_._2.toDouble).sum; s * s / g.size }.sum
+    val ssb = (sbRaw - sAll * sAll / n) / 1e4
+    val ssw = (ssqAll - sbRaw) / 1e4
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert(out.getAs[Long]("k") == k && out.getAs[Long]("n") == n)
+    assert(math.abs(out.getAs[Double]("f_stat") - f) / f < 1e-9,
+      s"F ${out.getAs[Double]("f_stat")} vs brute $f")
+    val eta = out.getAs[Double]("eta_sq")
+    assert(eta > 0 && eta < 1)
+  }
+
+  test("q_stats_kruskal matches a driver-side brute-force midrank recomputation") {
+    val out = SparkEntry.queries("q_stats_kruskal")(spark, sf).head()
+    val rows = Tables.lineitem(spark, sf)
+      .select(col("l_quantity").cast("long"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val n = rows.length
+    // midranks: for each distinct value, mean rank of its tie block
+    val byV = rows.groupBy(_._1).view.mapValues(_.length).toSeq.sortBy(_._1)
+    var below = 0L
+    val mid = byV.map { case (v, t) =>
+      val m = below + (t + 1) / 2.0; below += t; v -> m }.toMap
+    val rSum = rows.groupBy(_._2).view
+      .mapValues(_.map(r => mid(r._1)).sum).toMap
+    val nG = rows.groupBy(_._2).view.mapValues(_.length).toMap
+    val h = 12.0 / (n.toDouble * (n + 1)) *
+      rSum.map { case (g, r) => r * r / nG(g) }.sum - 3.0 * (n + 1)
+    val tie = 1.0 - byV.map { case (_, t) =>
+      t.toDouble * t * t - t }.sum / (n.toDouble * n * n - n)
+    assert(out.getAs[Long]("n") == n)
+    assert(math.abs(out.getAs[Double]("h_stat") - h) / h < 1e-9,
+      s"H ${out.getAs[Double]("h_stat")} vs brute $h")
+    assert(math.abs(out.getAs[Double]("tie_c") - tie) < 1e-12)
+    assert(out.getAs[Double]("h_corrected") > out.getAs[Double]("h_stat"),
+      "tie correction must increase H (C < 1 with ties present)")
+  }
+
   test("schema_of_variant sees the nested document's full structure") {
     val one = Tables.events(spark, sf).filter(col("event_id") === 0)
       .select(expr(
