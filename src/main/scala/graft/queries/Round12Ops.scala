@@ -261,6 +261,126 @@ object Round12Ops {
         |  FROM f)
         |SELECT n, k, h_stat, tie_c,
         |  h_stat / nullif(tie_c, 0.0) AS h_corrected
-        |FROM h""".stripMargin)
+        |FROM h""".stripMargin),
+
+    // Leave-one-out smoothed target encoding — the feature-engineering
+    // staple for high-cardinality categoricals: encode category c for a
+    // row with target y as (Σy_c − y + m·prior)/(n_c − 1 + m), so a
+    // row never sees its own label (leakage guard) and rare categories
+    // shrink toward the global prior (m = 20). The encoding depends
+    // only on (category, y), so the output is |cats|×2 rows — emitted
+    // as the encoding TABLE a pipeline would broadcast-join back onto
+    // the facts. All inputs exact integers; one division in DOUBLE
+    // through the identical expression on both engines. Scale: one
+    // map-side-combined groupBy + two broadcast scalars.
+    QueryDef("q_feature_target_encoding",
+      (s, d) => {
+        val base = Tables.orders(s, d)
+          .select(col("o_orderpriority").as("cat"),
+            (col("o_orderstatus") === "F").cast("long").as("y"))
+        val cy = base.groupBy("cat", "y").agg(count(lit(1)).as("n_cy"))
+        val cstats = base.groupBy("cat")
+          .agg(count(lit(1)).as("n_c"), sum("y").as("sy_c"))
+        val glob = base.agg(count(lit(1)).as("gn"), sum("y").as("gy"))
+        cy.join(broadcast(cstats), "cat")
+          .crossJoin(broadcast(glob))
+          .select(col("cat"), col("y"), col("n_cy"), col("n_c"),
+            ((col("sy_c") - col("y")).cast("double") +
+              lit(20.0) * col("gy").cast("double") / col("gn").cast("double"))
+              ./(col("n_c").cast("double") - 1.0 + 20.0).as("te"))
+          .orderBy("cat", "y")
+      },
+      """WITH base AS (
+        |  SELECT o_orderpriority AS cat,
+        |    (o_orderstatus = 'F')::BIGINT AS y
+        |  FROM orders),
+        |cy AS (SELECT cat, y, count(*) AS n_cy FROM base GROUP BY 1, 2),
+        |cs AS (SELECT cat, count(*) AS n_c, sum(y)::BIGINT AS sy_c
+        |       FROM base GROUP BY 1),
+        |g AS (SELECT count(*) AS gn, sum(y)::BIGINT AS gy FROM base)
+        |SELECT cat, y, n_cy, n_c,
+        |  ((sy_c - y)::DOUBLE + 20.0 * gy::DOUBLE / gn::DOUBLE)
+        |    / (n_c::DOUBLE - 1.0 + 20.0) AS te
+        |FROM cy JOIN cs USING (cat) CROSS JOIN g
+        |ORDER BY cat, y""".stripMargin),
+
+    // Johnson–Lindenstrauss sign random projection: 64-dim embeddings
+    // down to 16 dims through a DETERMINISTIC ±1 matrix (sign of an
+    // md5 bit per (i, j) cell — both engines hash identically), scaled
+    // by 1/√16, evaluated by the pairwise-L2 distortion d16/d64 over a
+    // 40-vector labeled subset. This is the cheap pre-ANN reduction:
+    // at 100 TB the projection is a map-only pass (the sign matrix is
+    // 1 KB of broadcast state) and the distortion table here is the
+    // calibration a pipeline records before trusting the reduced
+    // index. Sequence-ordered folds keep every double addition in the
+    // same order on both engines.
+    QueryDef("q_emb_randproj",
+      (s, d) => {
+        // the 16×64 sign matrix, computed ONCE on a 1-row frame and
+        // broadcast — never per data row
+        val sgn = s.range(1).select(expr(
+          """transform(sequence(0, 15), j -> transform(sequence(1, 64), i ->
+            |  CASE WHEN substring(md5(cast(concat(cast(i AS string), '_',
+            |    cast(j AS string)) AS binary)), 1, 1) < '8'
+            |  THEN cast(1.0 AS double) ELSE cast(-1.0 AS double) END))""".stripMargin)
+          .as("sgn"))
+        val e = Tables.embeddings(s, d).filter(col("vec_id") < 40)
+        val proj = e.crossJoin(broadcast(sgn))
+          .select(col("vec_id"), col("embedding"), expr(
+            """transform(sgn, row -> aggregate(sequence(1, 64),
+              |  cast(0.0 AS double),
+              |  (acc, i) -> acc + element_at(row, i) *
+              |    cast(element_at(embedding, i) AS double)) / 4.0)""".stripMargin)
+            .as("p16"))
+        val a = proj.select(col("vec_id").as("a"), col("embedding").as("ea"),
+          col("p16").as("pa"))
+        val b = proj.select(col("vec_id").as("b"), col("embedding").as("eb"),
+          col("p16").as("pb"))
+        a.join(b, col("a") < col("b"))
+          .select(col("a"), col("b"),
+            sqrt(expr(
+              """aggregate(sequence(1, 64), cast(0.0 AS double), (acc, i) ->
+                |  acc + (cast(element_at(ea, i) AS double) -
+                |         cast(element_at(eb, i) AS double)) *
+                |        (cast(element_at(ea, i) AS double) -
+                |         cast(element_at(eb, i) AS double)))""".stripMargin))
+              .as("d64"),
+            sqrt(expr(
+              """aggregate(sequence(1, 16), cast(0.0 AS double), (acc, i) ->
+                |  acc + (element_at(pa, i) - element_at(pb, i)) *
+                |        (element_at(pa, i) - element_at(pb, i)))""".stripMargin))
+              .as("d16"))
+          .select(col("a"), col("b"), col("d64"), col("d16"),
+            (col("d16") / nullif(col("d64"), lit(0.0))).as("distortion"))
+          .orderBy("a", "b")
+      },
+      """WITH sgn AS (
+        |  SELECT list_transform(range(0, 16), j ->
+        |    list_transform(range(1, 65), i ->
+        |      CASE WHEN substring(md5(i::VARCHAR || '_' || j::VARCHAR), 1, 1) < '8'
+        |      THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END)) AS m),
+        |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+        |p AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(sgn.m, row ->
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        list_transform(range(1, 65), i ->
+        |          row[i] * embedding[i]::DOUBLE)),
+        |        (acc, x) -> acc + x) / 4.0) AS p16
+        |  FROM e, sgn),
+        |pairs AS (
+        |  SELECT x.vec_id AS a, y.vec_id AS b,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 65), i ->
+        |        (x.embedding[i]::DOUBLE - y.embedding[i]::DOUBLE)
+        |        * (x.embedding[i]::DOUBLE - y.embedding[i]::DOUBLE))),
+        |      (acc, v) -> acc + v)) AS d64,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(range(1, 17), i ->
+        |        (x.p16[i] - y.p16[i]) * (x.p16[i] - y.p16[i]))),
+        |      (acc, v) -> acc + v)) AS d16
+        |  FROM p x JOIN p y ON x.vec_id < y.vec_id)
+        |SELECT a, b, d64, d16, d16 / nullif(d64, 0.0) AS distortion
+        |FROM pairs ORDER BY a, b""".stripMargin)
   )
 }

@@ -111,6 +111,7 @@ class PlanLintSpec extends SparkSpec {
     "q_emb_hardnegatives" -> "broadcast bounded query set fan-out (vec_id<k filter)",
     "q_emb_matryoshka" -> "4 rankings x the broadcast 5-query set (vec_id<5 filter)",
     "q_events_abtest" -> "build side = one variant of the 2-group rollup (<=1 row)",
+    "q_emb_randproj" -> "all-pairs over the 40-vector labeled eval subset only (distortion calibration); the projection itself is map-only",
     "q_stats_ttest" -> "build side = one segment of the 2-group rollup (<=1 row)"
   )
 

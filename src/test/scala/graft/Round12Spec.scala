@@ -135,6 +135,46 @@ class Round12Spec extends SparkSpec {
       "tie correction must increase H (C < 1 with ties present)")
   }
 
+  test("q_feature_target_encoding: leave-one-out recomputation + leakage direction") {
+    val out = SparkEntry.queries("q_feature_target_encoding")(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val rows = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        (col("o_orderstatus") === "F").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val gy = rows.map(_._2).sum.toDouble
+    val gn = rows.length.toDouble
+    for (((cat, y), (nCy, nC, te)) <- out) {
+      val g = rows.filter(_._1 == cat)
+      assert(g.size == nC && g.count(_._2 == y) == nCy)
+      val brute = ((g.map(_._2).sum - y).toDouble + 20.0 * gy / gn) /
+        (g.size - 1.0 + 20.0)
+      assert(math.abs(te - brute) < 1e-12, s"($cat,$y): $te vs $brute")
+    }
+    // leakage guard direction: for the same category, the y=1 row's
+    // encoding must be LOWER than the y=0 row's (its own positive label
+    // is excluded from its numerator)
+    out.keys.map(_._1).toSeq.distinct.foreach { cat =>
+      (out.get((cat, 0L)), out.get((cat, 1L))) match {
+        case (Some((_, _, te0)), Some((_, _, te1))) => assert(te1 < te0)
+        case _ =>
+      }
+    }
+  }
+
+  test("q_emb_randproj: JL distortion concentrates near 1 over the eval pairs") {
+    val rows = SparkEntry.queries("q_emb_randproj")(spark, sf).collect()
+    assert(rows.length == 40 * 39 / 2)
+    val ds = rows.map(_.getAs[Double]("distortion"))
+    assert(ds.forall(x => !x.isNaN && x > 0))
+    // E[d16²/d64²] = 1 for a ±1/√k projection; k = 16 gives sd ≈ 1/√8,
+    // so the MEAN of squared distortion over 780 pairs sits well inside
+    // [0.8, 1.2] — this is the JL calibration a pipeline records
+    val meanSq = ds.map(x => x * x).sum / ds.length
+    assert(meanSq > 0.8 && meanSq < 1.2, s"mean squared distortion $meanSq")
+  }
+
   test("schema_of_variant sees the nested document's full structure") {
     val one = Tables.events(spark, sf).filter(col("event_id") === 0)
       .select(expr(
