@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -381,6 +382,162 @@ object Round12Ops {
         |      (acc, v) -> acc + v)) AS d16
         |  FROM p x JOIN p y ON x.vec_id < y.vec_id)
         |SELECT a, b, d64, d16, d16 / nullif(d64, 0.0) AS distortion
-        |FROM pairs ORDER BY a, b""".stripMargin)
+        |FROM pairs ORDER BY a, b""".stripMargin),
+
+    // NDCG@10 of the 8-dim sketch retriever against full-cosine graded
+    // relevance — the industry-standard ranking metric beside the
+    // repo's RBO (top-weighted agreement) and recall@k members: the
+    // full ranking's position defines graded relevance (rel = 11 − r,
+    // 0 outside its top-10), the sketch ranking is the system under
+    // evaluation, and per query DCG = Σ rel_d / log2(d+1) over the
+    // sketch order, normalized by the ideal DCG. log2 goes through
+    // ln_ieee (Spark's log is StrictMath and can miss DuckDB's
+    // correctly-rounded ln by ulps); both DCG sums are depth-sorted
+    // folds. Output 3 rows at any corpus size.
+    QueryDef("q_similarity_ndcg",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        graft.functions.LnIeee.register(s)
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val wq = Window.partitionBy("q_id")
+        def ranked(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("rn", row_number().over(
+            wq.orderBy(col("sim").desc, col("doc_id").asc)).cast("long"))
+          .filter(col("rn") <= 10)
+        val full = ranked(
+          e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("doc_id"),
+              call_function("cosine_sim", col("embedding"), col("q_emb"))
+                .as("sim")))
+          .select(col("q_id"), col("doc_id"), (lit(11L) - col("rn")).as("rel"))
+        val sketch = ranked(
+          e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("doc_id"),
+              expr("""aggregate(zip_with(slice(embedding, 1, 8),
+                  slice(q_emb, 1, 8),
+                  (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+                0.0D, (acc, x) -> acc + x)""").as("sim")))
+        val terms = sketch.join(full, Seq("q_id", "doc_id"), "left")
+          .select(col("q_id"), col("rn"),
+            (coalesce(col("rel"), lit(0L)).cast("double") /
+              (call_function("ln_ieee", (col("rn") + 1L).cast("double")) /
+                call_function("ln_ieee", lit(2.0)))).as("dcg_term"))
+        terms.groupBy("q_id")
+          .agg(array_sort(collect_list(struct(col("rn"), col("dcg_term"))))
+            .as("ts"))
+          .select(col("q_id"),
+            aggregate(transform(col("ts"), e0 => e0.getField("dcg_term")),
+              lit(0.0), (acc, x) => acc + x).as("dcg"),
+            expr("""aggregate(sequence(1, 10), 0.0D, (acc, d0) ->
+                acc + CAST(11 - d0 AS DOUBLE)
+                  / (ln_ieee(CAST(d0 + 1 AS DOUBLE)) / ln_ieee(2.0D)))""")
+              .as("idcg"))
+          .select(col("q_id"), col("dcg"), col("idcg"),
+            (col("dcg") / col("idcg")).as("ndcg"))
+          .orderBy("q_id")
+      },
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 3),
+        |fullr AS (
+        |  SELECT q_id, doc_id, 11 - rn AS rel FROM (
+        |    SELECT q_id, e.vec_id AS doc_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY
+        |        ${graft.functions.Similarity.cosineSql("e.embedding", "q.q_emb")}
+        |          DESC, e.vec_id ASC) AS rn
+        |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE rn <= 10),
+        |sk AS (
+        |  SELECT q_id, doc_id, rn FROM (
+        |    SELECT q_id, e.vec_id AS doc_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |          i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE)),
+        |          (acc, x) -> acc + x) DESC, e.vec_id ASC) AS rn
+        |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE rn <= 10),
+        |terms AS (
+        |  SELECT sk.q_id, sk.rn,
+        |    coalesce(fullr.rel, 0)::DOUBLE
+        |      / (ln((sk.rn + 1)::DOUBLE) / ln(2.0)) AS dcg_term
+        |  FROM sk LEFT JOIN fullr USING (q_id, doc_id)),
+        |agg AS (
+        |  SELECT q_id,
+        |    list_reduce(list_prepend(0.0, list_transform(
+        |      list_sort(list(struct_pack(rn := rn, t := dcg_term))),
+        |      s0 -> struct_extract(s0, 't'))), (a, b) -> a + b) AS dcg,
+        |    list_reduce(list_prepend(0.0, list_transform(range(1, 11),
+        |      d0 -> (11 - d0)::DOUBLE / (ln((d0 + 1)::DOUBLE) / ln(2.0)))),
+        |      (a, b) -> a + b) AS idcg
+        |  FROM terms GROUP BY 1)
+        |SELECT q_id, dcg, idcg, dcg / idcg AS ndcg
+        |FROM agg ORDER BY q_id""".stripMargin),
+
+    // Weight of evidence + information value of banded order value vs
+    // the F-status target — the feature-screening pass run before any
+    // model training: WOE_i = ln((g_i/G)/(b_i/B)) per band, IV =
+    // Σ (g_i/G − b_i/B)·WOE_i. Exact integer band counts; the ln goes
+    // through ln_ieee on one exact product ratio (products widened to
+    // DECIMAL — g_i·B passes 2⁶³ at 10¹⁰ rows); the IV sum is a
+    // band-sorted fold. Output: per-band rows + a band = -1 summary
+    // carrying the IV. One combinable groupBy; everything after is
+    // |bands| rows.
+    QueryDef("q_feature_woe_iv",
+      (s, d) => {
+        graft.functions.LnIeee.register(s)
+        val bands = Tables.orders(s, d)
+          .select(least(floor(col("o_totalprice") / 50000.0), lit(5.0))
+            .cast("long").as("band"),
+            (col("o_orderstatus") === "F").cast("long").as("y"))
+          .groupBy("band")
+          .agg(sum("y").as("g"), sum(lit(1L) - col("y")).as("b"))
+        val tot = bands.agg(sum("g").cast("long").as("gt"),
+          sum("b").cast("long").as("bt"))
+        val per = bands.crossJoin(broadcast(tot))
+          .select(col("band"), col("g").as("n_good"), col("b").as("n_bad"),
+            call_function("ln_ieee",
+              (col("g").cast("decimal(38,0)") * col("bt").cast("decimal(38,0)"))
+                .cast("double") /
+              nullif((col("b").cast("decimal(38,0)") *
+                col("gt").cast("decimal(38,0)")).cast("double"), lit(0.0)))
+              .as("woe"))
+          .crossJoin(broadcast(tot))
+          .withColumn("iv_term",
+            (col("n_good").cast("double") / col("gt").cast("double") -
+              col("n_bad").cast("double") / col("bt").cast("double")) *
+              col("woe"))
+          .select("band", "n_good", "n_bad", "woe", "iv_term")
+        val total = per.groupBy(lit(1).as("_g"))
+          .agg(sum("n_good").cast("long").as("n_good"),
+            sum("n_bad").cast("long").as("n_bad"),
+            array_sort(collect_list(struct(col("band"), col("iv_term"))))
+              .as("ts"))
+          .select(lit(-1L).as("band"), col("n_good"), col("n_bad"),
+            lit(0.0).as("woe"),
+            aggregate(transform(col("ts"), e => e.getField("iv_term")),
+              lit(0.0), (acc, x) => acc + x).as("iv_term"))
+        per.unionAll(total).orderBy("band")
+      },
+      """WITH bands AS (
+        |  SELECT least(floor(o_totalprice / 50000.0), 5.0)::BIGINT AS band,
+        |    sum((o_orderstatus = 'F')::BIGINT)::BIGINT AS g,
+        |    sum((o_orderstatus <> 'F')::BIGINT)::BIGINT AS b
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(g)::BIGINT AS gt, sum(b)::BIGINT AS bt FROM bands),
+        |per AS (
+        |  SELECT band, g AS n_good, b AS n_bad,
+        |    ln((g::HUGEINT * bt::HUGEINT)::DOUBLE
+        |       / nullif((b::HUGEINT * gt::HUGEINT)::DOUBLE, 0.0)) AS woe,
+        |    (g::DOUBLE / gt::DOUBLE - b::DOUBLE / bt::DOUBLE)
+        |      * ln((g::HUGEINT * bt::HUGEINT)::DOUBLE
+        |           / nullif((b::HUGEINT * gt::HUGEINT)::DOUBLE, 0.0)) AS iv_term
+        |  FROM bands CROSS JOIN t),
+        |tot AS (
+        |  SELECT -1::BIGINT AS band, sum(n_good)::BIGINT AS n_good,
+        |    sum(n_bad)::BIGINT AS n_bad, 0.0 AS woe,
+        |    list_reduce(list_prepend(0.0, list_transform(
+        |      list_sort(list(struct_pack(band := band, t := iv_term))),
+        |      s0 -> struct_extract(s0, 't'))), (a, b) -> a + b) AS iv_term
+        |  FROM per)
+        |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY band""".stripMargin)
   )
 }

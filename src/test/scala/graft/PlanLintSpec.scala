@@ -112,6 +112,7 @@ class PlanLintSpec extends SparkSpec {
     "q_emb_matryoshka" -> "4 rankings x the broadcast 5-query set (vec_id<5 filter)",
     "q_events_abtest" -> "build side = one variant of the 2-group rollup (<=1 row)",
     "q_emb_randproj" -> "all-pairs over the 40-vector labeled eval subset only (distortion calibration); the projection itself is map-only",
+    "q_similarity_ndcg" -> "broadcast 3-query fan-out (the rbo/topk ranking shape)",
     "q_stats_ttest" -> "build side = one segment of the 2-group rollup (<=1 row)"
   )
 

@@ -175,6 +175,44 @@ class Round12Spec extends SparkSpec {
     assert(meanSq > 0.8 && meanSq < 1.2, s"mean squared distortion $meanSq")
   }
 
+  test("q_similarity_ndcg: ndcg in (0,1], idcg is the closed-form constant, dcg <= idcg") {
+    val rows = SparkEntry.queries("q_similarity_ndcg")(spark, sf).collect()
+    assert(rows.length == 3)
+    val idcgBrute = (1 to 10).map(d0 =>
+      (11 - d0).toDouble / (math.log(d0 + 1.0) / math.log(2.0))).sum
+    rows.foreach { r =>
+      val (dcg, idcg, ndcg) = (r.getAs[Double]("dcg"),
+        r.getAs[Double]("idcg"), r.getAs[Double]("ndcg"))
+      assert(math.abs(idcg - idcgBrute) < 1e-9)
+      // dcg = 0 is legitimate: at tiny corpora a sketch top-10 can be
+      // fully disjoint from the full top-10 (zero graded relevance)
+      assert(dcg >= 0 && dcg <= idcg + 1e-12)
+      assert(ndcg >= 0 && ndcg <= 1.0 + 1e-12)
+    }
+    assert(rows.exists(_.getAs[Double]("ndcg") > 0),
+      "at least one query's sketch ranking should retrieve relevant docs")
+  }
+
+  test("q_feature_woe_iv: brute recomputation; IV total positive; marginals reconcile") {
+    val out = SparkEntry.queries("q_feature_woe_iv")(spark, sf).collect()
+    val per = out.filter(_.getLong(0) >= 0)
+    val tot = out.filter(_.getLong(0) == -1L).head
+    assert(per.map(_.getLong(1)).sum == tot.getLong(1) &&
+      per.map(_.getLong(2)).sum == tot.getLong(2))
+    val gt = tot.getLong(1).toDouble
+    val bt = tot.getLong(2).toDouble
+    var iv = 0.0
+    per.foreach { r =>
+      val (g, b) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      val woe = math.log((g * bt) / (b * gt))
+      assert(math.abs(r.getAs[Double]("woe") - woe) < 1e-9)
+      iv += (g / gt - b / bt) * woe
+    }
+    assert(math.abs(tot.getAs[Double]("iv_term") - iv) < 1e-9)
+    assert(tot.getAs[Double]("iv_term") >= 0,
+      "IV is a sum of (p-q)*ln(p/q) terms, each non-negative")
+  }
+
   test("schema_of_variant sees the nested document's full structure") {
     val one = Tables.events(spark, sf).filter(col("event_id") === 0)
       .select(expr(
