@@ -472,6 +472,134 @@ object Round12Ops {
         |SELECT q_id, dcg, idcg, dcg / idcg AS ndcg
         |FROM agg ORDER BY q_id""".stripMargin),
 
+    // MRR + MAP@10 of the same sketch-vs-full ranking pair — the
+    // remaining standard retrieval-eval members (NDCG above grades by
+    // position; MRR asks "how deep is the FIRST relevant hit", MAP
+    // averages precision at every relevant position). Relevance =
+    // membership in the full-cosine top-10. Everything is exact
+    // integer arithmetic on ranks until the final divisions; the
+    // precision-at-k prefix counts come from a rank-sorted fold.
+    // Output: one row per query + a '__mean__' summary (3+1 rows at
+    // any corpus size).
+    QueryDef("q_similarity_mrr_map",
+      (s, d) => {
+        graft.functions.CosineSimExpr.register(s)
+        val e = Tables.embeddings(s, d)
+        val q = e.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val wq = Window.partitionBy("q_id")
+        def ranked(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("rn", row_number().over(
+            wq.orderBy(col("sim").desc, col("doc_id").asc)).cast("long"))
+          .filter(col("rn") <= 10)
+        val full = ranked(
+          e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("doc_id"),
+              call_function("cosine_sim", col("embedding"), col("q_emb"))
+                .as("sim")))
+          .select(col("q_id"), col("doc_id"), lit(1L).as("rel"))
+        val sketch = ranked(
+          e.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("doc_id"),
+              expr("""aggregate(zip_with(slice(embedding, 1, 8),
+                  slice(q_emb, 1, 8),
+                  (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+                0.0D, (acc, x) -> acc + x)""").as("sim")))
+        val marked = sketch.join(full, Seq("q_id", "doc_id"), "left")
+          .select(col("q_id"), col("rn"),
+            coalesce(col("rel"), lit(0L)).as("rel"))
+        val perQ = marked.groupBy("q_id")
+          .agg(array_sort(collect_list(struct(col("rn"), col("rel"))))
+            .as("rs"))
+          .select(col("q_id"),
+            expr("""CASE WHEN exists(rs, r -> r.rel = 1)
+                THEN 1.0D / CAST(filter(rs, r -> r.rel = 1)[0].rn AS DOUBLE)
+                ELSE 0.0D END""").as("rr"),
+            // AP@10: mean over relevant positions of precision@that rank.
+            // Prefix relevant counts via O(k²) slice sums (k = 10) — NO
+            // multi-field struct accumulator (the DuckDB list_reduce
+            // mutating-accumulator trap, QueryDef rules / q_events_holt)
+            expr("""CASE WHEN size(filter(rs, r -> r.rel = 1)) = 0 THEN 0.0D
+                ELSE aggregate(sequence(1, size(rs)), 0.0D, (acc, i) ->
+                  acc + CASE WHEN rs[i - 1].rel = 1
+                    THEN CAST(aggregate(slice(rs, 1, i), 0L,
+                        (a2, r) -> a2 + r.rel) AS DOUBLE)
+                      / CAST(rs[i - 1].rn AS DOUBLE)
+                    ELSE 0.0D END)
+                  / CAST(size(filter(rs, r -> r.rel = 1)) AS DOUBLE) END""")
+              .as("ap"))
+        val mean = perQ.groupBy(lit(1).as("_g"))
+          .agg(count(lit(1)).as("nq"),
+            array_sort(collect_list(struct(col("q_id"), col("rr").as("a"),
+              col("ap").as("b")))).as("ts"))
+          .select(lit(-1L).as("q_id"),
+            (aggregate(transform(col("ts"), t => t.getField("a")), lit(0.0),
+              (acc, x) => acc + x) / col("nq").cast("double")).as("rr"),
+            (aggregate(transform(col("ts"), t => t.getField("b")), lit(0.0),
+              (acc, x) => acc + x) / col("nq").cast("double")).as("ap"))
+        perQ.unionAll(mean).orderBy("q_id")
+      },
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id < 3),
+        |fullr AS (
+        |  SELECT q_id, doc_id FROM (
+        |    SELECT q_id, e.vec_id AS doc_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY
+        |        ${graft.functions.Similarity.cosineSql("e.embedding", "q.q_emb")}
+        |          DESC, e.vec_id ASC) AS rn
+        |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE rn <= 10),
+        |sk AS (
+        |  SELECT q_id, doc_id, rn FROM (
+        |    SELECT q_id, e.vec_id AS doc_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY
+        |        list_reduce(list_prepend(0.0, list_transform(range(1, 9),
+        |          i -> e.embedding[i]::DOUBLE * q.q_emb[i]::DOUBLE)),
+        |          (acc, x) -> acc + x) DESC, e.vec_id ASC) AS rn
+        |    FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id) WHERE rn <= 10),
+        |marked AS (
+        |  SELECT sk.q_id, sk.rn,
+        |    CASE WHEN fullr.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+        |  FROM sk LEFT JOIN fullr USING (q_id, doc_id)),
+        |perq AS (
+        |  SELECT q_id,
+        |    list_sort(list(struct_pack(rn := rn, rel := rel))) AS rs
+        |  FROM marked GROUP BY 1),
+        |m AS (
+        |  SELECT q_id,
+        |    CASE WHEN len(list_filter(rs, r -> struct_extract(r, 'rel') = 1)) > 0
+        |      THEN 1.0 / struct_extract(
+        |        list_filter(rs, r -> struct_extract(r, 'rel') = 1)[1], 'rn')::DOUBLE
+        |      ELSE 0.0 END AS rr,
+        |    CASE WHEN len(list_filter(rs, r -> struct_extract(r, 'rel') = 1)) = 0
+        |      THEN 0.0
+        |      ELSE list_reduce(list_prepend(0.0::DOUBLE,
+        |        list_transform(range(1, len(rs) + 1), i ->
+        |          CASE WHEN struct_extract(rs[i], 'rel') = 1
+        |            THEN list_reduce(list_prepend(0::BIGINT,
+        |                list_transform(list_slice(rs, 1, i),
+        |                  r -> struct_extract(r, 'rel')::BIGINT)),
+        |                (a2, x) -> a2 + x)::DOUBLE
+        |              / struct_extract(rs[i], 'rn')::DOUBLE
+        |            ELSE 0.0::DOUBLE END)),
+        |        (a, b) -> a + b)
+        |        / len(list_filter(rs, r -> struct_extract(r, 'rel') = 1))::DOUBLE
+        |      END AS ap
+        |  FROM perq),
+        |mean AS (
+        |  SELECT -1::BIGINT AS q_id,
+        |    list_reduce(list_prepend(0.0, list_transform(
+        |      list_sort(list(struct_pack(q := q_id, v := rr))),
+        |      s0 -> struct_extract(s0, 'v'))), (a, b) -> a + b)
+        |      / count(*)::DOUBLE AS rr,
+        |    list_reduce(list_prepend(0.0, list_transform(
+        |      list_sort(list(struct_pack(q := q_id, v := ap))),
+        |      s0 -> struct_extract(s0, 'v'))), (a, b) -> a + b)
+        |      / count(*)::DOUBLE AS ap
+        |  FROM m)
+        |SELECT q_id, rr, ap FROM m
+        |UNION ALL SELECT q_id, rr, ap FROM mean
+        |ORDER BY q_id""".stripMargin),
+
     // Weight of evidence + information value of banded order value vs
     // the F-status target — the feature-screening pass run before any
     // model training: WOE_i = ln((g_i/G)/(b_i/B)) per band, IV =

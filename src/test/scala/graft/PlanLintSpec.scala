@@ -113,6 +113,7 @@ class PlanLintSpec extends SparkSpec {
     "q_events_abtest" -> "build side = one variant of the 2-group rollup (<=1 row)",
     "q_emb_randproj" -> "all-pairs over the 40-vector labeled eval subset only (distortion calibration); the projection itself is map-only",
     "q_similarity_ndcg" -> "broadcast 3-query fan-out (the rbo/topk ranking shape)",
+    "q_similarity_mrr_map" -> "broadcast 3-query fan-out (the rbo/topk ranking shape)",
     "q_stats_ttest" -> "build side = one segment of the 2-group rollup (<=1 row)"
   )
 

@@ -213,6 +213,63 @@ class Round12Spec extends SparkSpec {
       "IV is a sum of (p-q)*ln(p/q) terms, each non-negative")
   }
 
+  test("q_similarity_mrr_map: brute recomputation from the two collected rankings") {
+    graft.functions.CosineSimExpr.register(spark)
+    val out = SparkEntry.queries("q_similarity_mrr_map")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var (dp, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) { dp += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def dot8(a: Array[Float], b: Array[Float]): Double =
+      (0 until 8).map(i => a(i).toDouble * b(i)).sum
+    var (srr, sap) = (0.0, 0.0)
+    for (qid <- 0L until 3L) {
+      val qv = e(qid)
+      def top10(score: Array[Float] => Double): Seq[Long] =
+        e.toSeq.filter(_._1 != qid)
+          .map { case (id, v) => (id, score(v)) }
+          .sortBy { case (id, s0) => (-s0, id) }.take(10).map(_._1)
+      val full = top10(v => cos(qv, v)).toSet
+      val sk = top10(v => dot8(qv, v))
+      val rels = sk.zipWithIndex.map { case (id, i) => (i + 1, full(id)) }
+      val rr = rels.find(_._2).map(p => 1.0 / p._1).getOrElse(0.0)
+      val nRel = rels.count(_._2)
+      val ap = if (nRel == 0) 0.0 else
+        rels.filter(_._2).map { case (rk, _) =>
+          rels.count(p => p._2 && p._1 <= rk).toDouble / rk }.sum / nRel
+      val (orr, oap) = out(qid)
+      assert(math.abs(orr - rr) < 1e-12, s"q$qid rr $orr vs $rr")
+      assert(math.abs(oap - ap) < 1e-12, s"q$qid ap $oap vs $ap")
+      srr += rr; sap += ap
+    }
+    val (mrr, map) = out(-1L)
+    assert(math.abs(mrr - srr / 3) < 1e-12 && math.abs(map - sap / 3) < 1e-12)
+  }
+
+  test("variant columns round-trip through parquet and extract after re-read") {
+    // the lakehouse path: land VARIANT in parquet, read it back, extract
+    // typed paths — proves the storage plumbing, not just in-memory exprs
+    val tmp = java.nio.file.Files.createTempDirectory("graft-variant").toString
+    Tables.events(spark, sf)
+      .select(col("event_id"), expr("parse_json(props)").as("pv"))
+      .write.mode("overwrite").parquet(s"$tmp/ev_variant.parquet")
+    val back = spark.read.parquet(s"$tmp/ev_variant.parquet")
+    assert(back.schema("pv").dataType.typeName == "variant")
+    val got = back
+      .select(col("event_id"), expr("variant_get(pv, '$.k', 'bigint')").as("k"))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = Tables.events(spark, sf)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\\d+", 0).cast("long").as("k"))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("schema_of_variant sees the nested document's full structure") {
     val one = Tables.events(spark, sf).filter(col("event_id") === 0)
       .select(expr(
