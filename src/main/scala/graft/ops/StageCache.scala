@@ -47,8 +47,15 @@ object StageCache {
   }
 
   /** Materialize `df` as a shared stage: parquet-backed when the cache
-    * is enabled, lazy localCheckpoint otherwise. */
+    * is enabled, lazy localCheckpoint otherwise. With
+    * `spark.graft.stageCache.passthrough` set, returns `df` UNCHANGED —
+    * no checkpoint barrier — so plan-inspection tooling (PlanLintSpec's
+    * whole-surface linter) can see INSIDE the staged substrates; never
+    * set it for execution (consumers would rebuild the substrate). */
   def stage(df: DataFrame): DataFrame = dir(df) match {
+    case None
+      if df.sparkSession.conf
+        .get("spark.graft.stageCache.passthrough", "false") == "true" => df
     case None => df.localCheckpoint(eager = false)
     case Some(base) =>
       val spark = df.sparkSession

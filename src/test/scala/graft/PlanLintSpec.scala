@@ -181,14 +181,20 @@ class PlanLintSpec extends SparkSpec {
   }
 
   test("all registered queries satisfy the plan house rules") {
-    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        try lint(name, fn(spark, sf))
-        catch { case e: Throwable =>
-          Seq(s"$name: plan compilation FAILED: ${e.getMessage}") }
-    }
-    assert(violations.isEmpty,
-      s"\n${violations.size} plan-rule violations:\n  " + violations.mkString("\n  "))
+    // passthrough makes StageCache.stage a no-op, so the lint sees
+    // INSIDE every staged substrate (minhash/graph/ALB/adjacency
+    // frames) instead of stopping at a localCheckpoint RDD-scan leaf
+    spark.conf.set("spark.graft.stageCache.passthrough", "true")
+    try {
+      val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          try lint(name, fn(spark, sf))
+          catch { case e: Throwable =>
+            Seq(s"$name: plan compilation FAILED: ${e.getMessage}") }
+      }
+      assert(violations.isEmpty,
+        s"\n${violations.size} plan-rule violations:\n  " + violations.mkString("\n  "))
+    } finally spark.conf.unset("spark.graft.stageCache.passthrough")
   }
 
   test("canary: the linter catches the round-10 zorder bug (global row_number over a fact scan)") {
