@@ -666,6 +666,40 @@ object Round12Ops {
         |      list_sort(list(struct_pack(band := band, t := iv_term))),
         |      s0 -> struct_extract(s0, 't'))), (a, b) -> a + b) AS iv_term
         |  FROM per)
-        |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY band""".stripMargin)
+        |SELECT * FROM per UNION ALL SELECT * FROM tot ORDER BY band""".stripMargin),
+
+    // Deterministic stratified k-fold assignment — the cross-validation
+    // split every training pipeline needs: fold = md5(id) % 5 is
+    // reproducible across runs, engines, and partitionings (no RNG
+    // state; the established `('0x'||hex)::BIGINT` md5 bridge), and the
+    // output is the (fold × label) balance audit a pipeline checks
+    // before trusting the split: per-cell counts plus each fold's
+    // share of its label (should all sit near 1/k). The hash-based
+    // assignment also inherits the q_split_hash leakage property:
+    // identical ids always land in the same fold. One
+    // map-side-combined groupBy; |folds|×|labels| rows out.
+    QueryDef("q_split_kfold",
+      (s, d) => {
+        val cells = Tables.orders(s, d)
+          .select((expr(
+            "conv(substring(md5(cast(o_orderkey AS string)), 1, 4), 16, 10)")
+            .cast("long") % 5).as("fold"),
+            col("o_orderstatus").as("label"))
+          .groupBy("fold", "label").agg(count(lit(1)).as("n"))
+        val perLabel = cells.groupBy("label").agg(sum("n").as("n_label"))
+        cells.join(broadcast(perLabel), "label")
+          .select(col("fold"), col("label"), col("n"),
+            (col("n").cast("double") / col("n_label").cast("double"))
+              .as("label_share"))
+          .orderBy("fold", "label")
+      },
+      """WITH cells AS (
+        |  SELECT ('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT % 5
+        |    AS fold, o_orderstatus AS label, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |pl AS (SELECT label, sum(n)::BIGINT AS n_label FROM cells GROUP BY 1)
+        |SELECT fold, label, n, n::DOUBLE / n_label::DOUBLE AS label_share
+        |FROM cells JOIN pl USING (label)
+        |ORDER BY fold, label""".stripMargin)
   )
 }

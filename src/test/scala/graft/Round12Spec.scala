@@ -270,6 +270,23 @@ class Round12Spec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("q_split_kfold: folds partition the corpus; shares balanced near 1/k; assignment stable") {
+    val out = SparkEntry.queries("q_split_kfold")(spark, sf).collect()
+    val total = out.map(_.getLong(2)).sum
+    assert(total == Tables.orders(spark, sf).count())
+    assert(out.map(_.getLong(0)).distinct.sorted.toSeq == (0L to 4L),
+      "all 5 folds must be populated")
+    // stratification: each fold's share of each label near 1/k = 0.2
+    out.foreach { r =>
+      val share = r.getAs[Double]("label_share")
+      assert(share > 0.1 && share < 0.3,
+        s"fold ${r.getLong(0)} label ${r.getString(1)} share $share")
+    }
+    // determinism: identical second run
+    val again = SparkEntry.queries("q_split_kfold")(spark, sf).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("schema_of_variant sees the nested document's full structure") {
     val one = Tables.events(spark, sf).filter(col("event_id") === 0)
       .select(expr(
