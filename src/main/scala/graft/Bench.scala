@@ -152,10 +152,29 @@ object Bench {
     val repsJson = results.map { case (k, ss) =>
       s"\"" + k + "\":" + ss.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Substrate-build vs steady-state split (round-12 verdict item 3):
+    // for stage-cached families the PASS-1 sample pays the one-time
+    // substrate build+write at sfDir (warmup ran at sf0.001, a different
+    // cache key), so the all-samples median conflates build with reuse
+    // whenever pass 1 lands mid-order. Emit both explicitly:
+    //   "first"  = the pass-1 sample (build-inclusive upper bound)
+    //   "steady" = median over passes 2+ (pure reuse; = pass-1 when only
+    //              one pass ran, e.g. under the wall-clock budget stop)
+    // "queries" keeps its historical all-samples-median semantics so
+    // bench_compare lineage against r12d and earlier stays meaningful.
+    val firstJson = results.map { case (k, ss) =>
+      s"\"" + k + "\":" + (if (ss.exists(_ < 0)) -1.0 else ss.head)
+    }.mkString("{", ",", "}")
+    val steadyJson = results.map { case (k, ss) =>
+      val v = if (ss.exists(_ < 0)) -1.0
+              else if (ss.size >= 2) median(ss.tail)
+              else ss.head
+      s"\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
     val errs = medians.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"errors":$errs,"sf":"$sfDir","stage_cache":true}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firstJson,"steady":$steadyJson,"reps":$repsJson,"errors":$errs,"sf":"$sfDir","stage_cache":true}"""
     println(json)
     // Also persist the JSON whole to a well-known file: the driver
     // captures stdout and has truncated it before (BENCH_r11.json
@@ -168,10 +187,22 @@ object Bench {
     spark.stop()
     // The per-run stage dir would otherwise accumulate parquet under
     // /tmp across runs; delete it now that the session is closed.
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm(_))
-      java.nio.file.Files.deleteIfExists(p)
+    // walkFileTree (not Files.list) — the list() Stream must be closed
+    // or it leaks a file descriptor per directory, and deleting while
+    // the stream is open mutates the directory under iteration.
+    def rm(root: java.nio.file.Path): Unit = {
+      import java.nio.file.{FileVisitResult, Files, Path, SimpleFileVisitor}
+      import java.nio.file.attribute.BasicFileAttributes
+      if (!Files.exists(root)) return
+      Files.walkFileTree(root, new SimpleFileVisitor[Path] {
+        override def visitFile(f: Path, a: BasicFileAttributes): FileVisitResult = {
+          Files.deleteIfExists(f); FileVisitResult.CONTINUE
+        }
+        override def postVisitDirectory(d: Path, e: java.io.IOException): FileVisitResult = {
+          if (e != null) throw e
+          Files.deleteIfExists(d); FileVisitResult.CONTINUE
+        }
+      })
     }
     try rm(stageDir)
     catch { case e: Throwable =>

@@ -52,10 +52,15 @@ object StageCache {
     * no checkpoint barrier — so plan-inspection tooling (PlanLintSpec's
     * whole-surface linter) can see INSIDE the staged substrates; never
     * set it for execution (consumers would rebuild the substrate). */
-  def stage(df: DataFrame): DataFrame = dir(df) match {
-    case None
-      if df.sparkSession.conf
-        .get("spark.graft.stageCache.passthrough", "false") == "true" => df
+  def stage(df: DataFrame): DataFrame = {
+    // Passthrough wins over dir — checked FIRST, so a session that sets
+    // both gets the plan-inspection no-op, not a silent parquet
+    // write/read that would hand PlanLintSpec a scan leaf and make the
+    // whole-surface lint vacuous (round-12 ADVICE).
+    if (df.sparkSession.conf
+          .get("spark.graft.stageCache.passthrough", "false") == "true")
+      return df
+    dir(df) match {
     case None => df.localCheckpoint(eager = false)
     case Some(base) =>
       val spark = df.sparkSession
@@ -85,5 +90,6 @@ object StageCache {
       require(got == want,
         s"StageCache: schema mismatch on cache hit at $key — got $got, want $want")
       out
+    }
   }
 }

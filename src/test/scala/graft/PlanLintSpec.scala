@@ -67,8 +67,19 @@ class PlanLintSpec extends SparkSpec {
     case r: RangeExec => r.numElements <= 1000
     case j: BaseJoinExec => tiny(j.left) && tiny(j.right)
     case u: UnionExec => u.children.forall(tiny)
-    case g: GenerateExec => false
-    case _ if p.children.size == 1 => tiny(p.children.head)
+    // Explicit whitelist of single-child nodes that cannot INCREASE row
+    // count (round-12 ADVICE: a generic single-child fallthrough would
+    // also accept expanding operators — GenerateExec/ExpandExec/
+    // flatMap-style object operators — and silently weaken the
+    // BNLJ/window guard). Grouped aggregation emits <= input rows, and
+    // the groupless case is already unconditionally tiny above.
+    case _: ProjectExec | _: FilterExec | _: SortExec | _: CoalesceExec |
+         _: LocalLimitExec | _: BaseAggregateExec |
+         _: org.apache.spark.sql.execution.exchange.Exchange |
+         _: WholeStageCodegenExec | _: InputAdapter |
+         _: WindowExec | _: WindowGroupLimitExec |
+         _: SubqueryExec | _: SubqueryBroadcastExec =>
+      tiny(p.children.head)
     case _ => false
   }
 

@@ -11,8 +11,14 @@ import sys
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    qs = d.get("queries", d)
-    return {k: v for k, v in qs.items() if isinstance(v, (int, float))}
+    if "queries" not in d:
+        # Fail loudly: a wrapper-format BENCH_rNN.json (keys n/rc/cpus/
+        # sf/tail) has no per-query timings; silently comparing its
+        # metadata scalars as timings is worse than an error.
+        sys.exit(f"{path}: no 'queries' key — not a per-query bench record "
+                 f"(top-level keys: {', '.join(sorted(d))})")
+    return {k: v for k, v in d["queries"].items()
+            if isinstance(v, (int, float))}
 
 
 def main():
