@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // whole-operator extension (ladder step c): native as-of join
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // SQL-frontend extension: QUALIFY desugar (Spark 4.1's grammar has
+    // no QUALIFY; the wrapper only fires on statements the default
+    // parser REJECTS that carry a top-level QUALIFY — see GraftSqlParser)
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     // optimizer-rule rung: every Similarity.dot HOF pattern in any plan
     // goes native (bit-identical — see RewriteDotProduct's contract)
     e.injectOptimizerRule(_ => RewriteDotProduct)
