@@ -139,7 +139,8 @@ class PlanLintSpec extends SparkSpec {
     "q_stats_kruskal" -> "value histogram: groupBy(l_quantity) — quantity domain <= 50 rows (the mannwhitney machinery)",
     "q_stats_runs" -> "daily-count frame: groupBy(day) — calendar-bounded",
     "q_events_survival" -> "per-day death/censor life table: groupBy(t) — calendar-bounded",
-    "q_mix_budget_waterfill" -> "per-source quota frame: groupBy(source) — |sources| rows"
+    "q_mix_budget_waterfill" -> "per-source quota frame: groupBy(source) — |sources| rows",
+    "q_text_unigram_train" -> "prune-rank over the piece-vocab frame: top-120 seed ∪ single chars, then EM-used pieces only — vocab-bounded by construction"
   )
 
   // ---- the lint -------------------------------------------------------
