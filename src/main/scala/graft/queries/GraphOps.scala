@@ -286,11 +286,15 @@ object GraphOps {
         val li = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
         val pairs = coOrderPairs(s, d)
         // repartition(src) before the checkpoint — the frontier join
-        // reuses the edge layout every round (the pagerank note)
+        // reuses the edge layout every round (the pagerank note).
+        // EAGER since round 13: the lazy checkpoint did not truncate
+        // lineage under AQE (each round re-executed its predecessors —
+        // the labelprop 30× A/B measured lazy 2× over eager; this
+        // query's 100× profile showed the same exp-1.47 signature).
         val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
           .union(pairs.select(col("b").as("src"), col("a").as("dst")))
           .repartition(col("src"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         val nodes = li.select(col("l_partkey").as("node")).distinct()
         var dist = nodes.filter(col("node") % 100 === 0)
           .withColumn("dist", lit(0L))
@@ -300,7 +304,7 @@ object GraphOps {
             .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
           dist = dist.unionAll(next)
             .groupBy("node").agg(min("dist").as("dist"))
-            .localCheckpoint(eager = false)
+            .localCheckpoint(eager = true)
         }
         dist.select(col("node").cast("long").as("node"),
             col("dist").cast("long").as("dist"))

@@ -117,14 +117,20 @@ object Round10Ops {
       (s, d) => {
         val pairs = GraphOps.bipartitePairs(s, d)
         // repartition(src) before the checkpoint: the per-round label
-        // join reuses the edge layout (the q_graph_pagerank r11 note)
+        // join reuses the edge layout (the q_graph_pagerank r11 note).
+        // EAGER checkpoints since round 13: the lazy variant does NOT
+        // reliably truncate lineage under AQE — each round re-executed
+        // its predecessors, turning 4 rounds into ~rounds²·edges work
+        // (measured on the labelprop loop at 30×: lazy 281 s, eager
+        // 140 s, none 115 s; at 100× the lazy shape profiled exp 1.58
+        // — the round-13 third-decade finding, SCALING.md §round-13).
         val edges = pairs.select(col("p").as("src"), col("q").as("dst"))
           .union(pairs.select(col("q").as("src"), col("p").as("dst")))
           .repartition(col("src"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         var labels = edges.select(col("src").as("node")).distinct()
           .withColumn("label", col("node"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         for (_ <- 1 to 4) {
           labels = edges
             .join(labels.withColumnRenamed("node", "src"), "src")
@@ -135,7 +141,7 @@ object Round10Ops {
             // the smallest id — one combinable aggregate, no window
             .agg(min_by(col("label"),
               struct((-col("c")).as("nc"), col("label"))).as("label"))
-            .localCheckpoint(eager = false)
+            .localCheckpoint(eager = true)
         }
         labels.orderBy("node")
       },

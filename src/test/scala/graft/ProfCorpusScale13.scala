@@ -48,6 +48,13 @@ object ProfCorpusScale13 {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // Measured and REJECTED as the third-decade fix: raising the AQE
+      // initial partition count (SPARK_GRAFT_INIT_PARTS=256) made the
+      // superlinear queries WORSE at 100× (q_graph_labelprop 540→796 s,
+      // q_graph_bfs 365→714 s) — the cliff is not shuffle width; see
+      // SCALING.md §round-13 for the actual cause (checkpoint lineage).
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", "32"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
