@@ -81,14 +81,18 @@ object GraphOps {
         // preserves its input partitioning — so the EDGE side (the big
         // one) ships zero bytes in every round; only the rank frame
         // moves (r11 experiment, ProfGraphCkpt: 3.2 → 2.6 s at sf0.1)
+        // EAGER checkpoints since round 14: the lazy variant does NOT
+        // truncate lineage under AQE (SCALING.md §round-13 finding 1 —
+        // each round re-executes its predecessors, ~rounds²·edges work;
+        // measured on the labelprop loop 30×: lazy 281 s / eager 140 s)
         val edges = pairs.select(col("p").as("src"), col("q").as("dst"))
           .union(pairs.select(col("q").as("src"), col("p").as("dst")))
           .repartition(col("src"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         val nodes = edges.select(col("src").as("node")).distinct()
-          .localCheckpoint(eager = false)
+          .localCheckpoint(eager = true)
         var rank = nodes.withColumn("rank", lit(1000000L))
         for (_ <- 1 to 3) {
           val contribs = edges
@@ -100,7 +104,7 @@ object GraphOps {
             .select(col("node"),
               (lit(150000L) + expr("(coalesce(in_mass, 0L) * 85) div 100"))
                 .as("rank"))
-            .localCheckpoint(eager = false)
+            .localCheckpoint(eager = true)
         }
         rank.select(col("node").cast("long").as("node"),
             col("rank").cast("long").as("rank"))
@@ -218,9 +222,11 @@ object GraphOps {
     // carries (node, count) longs), one filter to the keep-set, two
     // LEFT-SEMI joins re-inducing the edge list — semi joins so edges
     // never widen, keyed on node ids so AQE broadcasts the keep-set once
-    // it shrinks below the threshold. Lazy checkpoints truncate lineage
-    // per round (the CC/PageRank pattern); no driver-side state beyond
-    // the loop counter.
+    // it shrinks below the threshold. EAGER per-round checkpoints since
+    // round 14 — lazy localCheckpoint does NOT truncate lineage under
+    // AQE (SCALING.md §round-13 finding 1), so the lazy form re-ran
+    // every earlier round's peel inside each later round. No
+    // driver-side state beyond the loop counter.
     QueryDef("q_graph_kcore",
       (s, d) => {
         var edges = coOrderPairs(s, d)
@@ -229,12 +235,12 @@ object GraphOps {
             .union(edges.select(col("b").as("n")))
             .groupBy("n").agg(count(lit(1)).as("dg"))
           val keep = deg.filter(col("dg") >= 3).select("n")
-            .localCheckpoint(eager = false)
+            .localCheckpoint(eager = true)
           edges = edges
             .join(keep.withColumnRenamed("n", "a"), Seq("a"), "leftsemi")
             .join(keep.withColumnRenamed("n", "b"), Seq("b"), "leftsemi")
             .select("a", "b")
-            .localCheckpoint(eager = false)
+            .localCheckpoint(eager = true)
         }
         edges.select(col("a").as("node")).union(edges.select(col("b").as("node")))
           .groupBy("node").agg(count(lit(1)).cast("long").as("degree"))

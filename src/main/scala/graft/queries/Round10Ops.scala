@@ -168,9 +168,11 @@ object Round10Ops {
     // Suffix-LCP repeat detection — the scalable core of suffix-array
     // exact-substring dedup (Lee et al., ACL'22): sample suffixes
     // (stride 4 over the first 256 chars, 64-char keys), a
-    // PREFIX-SHARDED sort (4-char shard key — suffix-array sharding
-    // made literal), then each suffix's longest common prefix with its
-    // in-shard lexicographic PREDECESSOR via a char-scan fold.
+    // PREFIX-SHARDED sort (4-char SEMANTIC shard key — suffix-array
+    // sharding made literal — executed since round 14 as 12-char fine
+    // shards chained through per-shard tails, so no hot prefix ever
+    // sorts in one task), then each suffix's longest common prefix with
+    // its in-shard lexicographic PREDECESSOR via a char-scan fold.
     // Cross-document LCP ≥ 32 marks a verbatim repeat ≥ 32 chars; a
     // shard-boundary pair shares < 4 chars so the shard cut is
     // loss-free at the 32 bar. The sort carries only capped keys; the
@@ -191,21 +193,54 @@ object Round10Ops {
             col("txt"))
           .select(col("doc_id"), col("pos"),
             expr("substring(txt, pos, 64)").as("sfx"))
-        // PREFIX-SHARDED suffix order, not one global window: partition
-        // by the 4-char prefix, sort within. A pair adjacent across a
-        // shard boundary shares < 4 chars, so it can never reach the
-        // 32-char repeat bar — treating it as LCP 0 (prev NULL at shard
-        // head) is loss-free for n_rep32, and the oracle applies the
-        // IDENTICAL partitioning so max_lcp stays hash-exact too. This
-        // is the fix the 1×/3×/10× profile demanded: the unpartitioned
-        // window sorted the whole sample in ONE task (2.4→63 s at 10×);
-        // sharded, each prefix group sorts in parallel.
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(expr("substring(sfx, 1, 4)"))
-          .orderBy("sfx", "doc_id", "pos")
-        sufs
-          .withColumn("prev_sfx", lag("sfx", 1).over(w))
-          .withColumn("prev_doc", lag("doc_id", 1).over(w))
+        // PREFIX-SHARDED suffix order, not one global window — and since
+        // round 14, FINE shards with tail chaining. The semantic
+        // boundary stays the 4-char prefix: a pair adjacent across a
+        // pfx4 boundary shares < 4 chars, can never reach the 32-char
+        // repeat bar, so LCP 0 there is loss-free and the oracle applies
+        // the IDENTICAL pfx4 partitioning. But a window PARTITIONED on
+        // pfx4 puts each prefix group in ONE task, and hot English
+        // prefixes grow linearly with the corpus — the residual
+        // third-decade superlinearity (exp 1.23 even at shuffle width
+        // 2048, SCALING.md §round-13: width spreads total volume but a
+        // hot shard is still one task). Fix: partition the window by the
+        // 12-char prefix (a REFINEMENT of pfx4, so in-shard predecessors
+        // are unchanged), then restore the exact pfx4-window semantics
+        // for each fine shard's head row by chaining it to the
+        // lexicographic TAIL of the previous fine shard within the same
+        // pfx4 group — the ops/Sharded offset discipline applied to lag:
+        // per-shard partitioned windows over the fact frame plus one
+        // |shards|-row ordered frame (per-shard max(struct), lagged
+        // within pfx4). Output is byte-identical to the pfx4 window;
+        // the oracle text is untouched. The chain join keys on the fine
+        // shard, which the window already hash-partitioned and sorted —
+        // no extra exchange or sort on the fact side.
+        val withKeys = sufs
+          .withColumn("pfx4", substring(col("sfx"), 1, 4))
+          .withColumn("shard", substring(col("sfx"), 1, 12))
+        val wIn = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("sfx", "doc_id", "pos")
+        val wShard = org.apache.spark.sql.expressions.Window
+          .partitionBy("pfx4").orderBy("shard")
+        // |shards| rows: each fine shard's last row in (sfx, doc_id,
+        // pos) order (struct max = the same total order), lagged to the
+        // shard that FOLLOWS it inside the pfx4 group; the first shard
+        // of a group keeps NULL — exactly the old pfx4 window head.
+        val prevTails = withKeys
+          .groupBy("pfx4", "shard")
+          .agg(max(struct(col("sfx"), col("doc_id"), col("pos"))).as("t"))
+          .withColumn("pt", lag("t", 1).over(wShard))
+          .select(col("shard").as("jshard"),
+            col("pt.sfx").as("t_sfx"), col("pt.doc_id").as("t_doc"))
+        withKeys
+          .withColumn("rn", row_number().over(wIn))
+          .withColumn("prev_sfx", lag("sfx", 1).over(wIn))
+          .withColumn("prev_doc", lag("doc_id", 1).over(wIn))
+          .join(prevTails, col("shard") === col("jshard"), "left")
+          .withColumn("prev_sfx",
+            when(col("rn") === 1, col("t_sfx")).otherwise(col("prev_sfx")))
+          .withColumn("prev_doc",
+            when(col("rn") === 1, col("t_doc")).otherwise(col("prev_doc")))
           .withColumn("lcp", expr(
             """CASE WHEN prev_doc IS NULL OR prev_doc = doc_id THEN 0
               |ELSE aggregate(sequence(1, 64), 0, (acc, i) ->

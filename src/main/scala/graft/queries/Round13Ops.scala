@@ -111,6 +111,11 @@ object Round13Ops {
     // division of two DECIMAL(38,0)-exact products — the kappa
     // discipline. KrippendorffSpec pins this closed form against the
     // textbook coincidence-matrix computation on collected data.
+    // The denominator 2·n_0·n_1 is zero when one category receives no
+    // votes at all (all three gates unanimous corpus-wide — alpha is
+    // undefined there); BOTH engines guard it with nullif so the
+    // degenerate corpus yields NULL on each side rather than a
+    // NULL-vs-inf hash divergence (Spark double ÷ 0 → NULL, DuckDB → inf).
     //
     // Scale shape: one combinable aggregate over the corpus (4 BIGINT
     // sums); alpha is scalar arithmetic on the 1-row result. Nothing
@@ -136,9 +141,10 @@ object Round13Ops {
             (lit(1.0) -
               ((lit(3L) * col("n_units") - lit(1L)).cast("decimal(19,0)")
                 * col("do_sum").cast("decimal(19,0)")).cast("decimal(38,0)").cast("double")
-              / (lit(2L).cast("decimal(19,0)")
+              / nullif((lit(2L).cast("decimal(19,0)")
                 * (lit(3L) * col("n_units") - col("n1")).cast("decimal(19,0)")
-                * col("n1").cast("decimal(19,0)")).cast("decimal(38,0)").cast("double"))
+                * col("n1").cast("decimal(19,0)")).cast("decimal(38,0)").cast("double"),
+                lit(0.0)))
               .as("alpha"))
       },
       """WITH lab AS (
@@ -156,8 +162,8 @@ object Round13Ops {
         |  (3 * n_units - n1)::BIGINT AS n0, do_sum,
         |  1.0 - CAST(CAST((3 * n_units - 1)::DECIMAL(19,0)
         |               * do_sum::DECIMAL(19,0) AS DECIMAL(38,0)) AS DOUBLE)
-        |      / CAST(CAST(2::DECIMAL(19,0) * (3 * n_units - n1)::DECIMAL(19,0)
-        |               * n1::DECIMAL(19,0) AS DECIMAL(38,0)) AS DOUBLE) AS alpha
+        |      / nullif(CAST(CAST(2::DECIMAL(19,0) * (3 * n_units - n1)::DECIMAL(19,0)
+        |               * n1::DECIMAL(19,0) AS DECIMAL(38,0)) AS DOUBLE), 0.0) AS alpha
         |FROM agg""".stripMargin),
 
     // Delete/retention propagation — the right-to-be-forgotten path
