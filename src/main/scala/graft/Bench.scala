@@ -62,6 +62,24 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
+    // Spill observability (round-14): per-query shuffle/sort spill bytes
+    // from executor task metrics, so the next spill cliff (the suffixlcp
+    // third-decade finding was INFERRED from wall time) is measured, not
+    // deduced. Listener-bus posting is async, so attribution to a query
+    // window is approximate (a task finishing after consume() returns
+    // lands in the next window) — totals across the run are exact, and a
+    // query that spills GBs dwarfs the boundary bleed.
+    val spillMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          spillMem.addAndGet(m.memoryBytesSpilled)
+          spillDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
     val tMain = System.nanoTime()
     // JIT/codegen warmup at the smallest scale so the timed pass below
     // measures steady-state engine throughput, not first-call compilation.
@@ -96,6 +114,10 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq
     val samplesByName = scala.collection.mutable.Map(
       names.map(_ -> Vector.empty[Double]): _*)
+    // max (mem+disk) spill bytes observed over any one sample of the
+    // query — the conservative "this query can spill this much at this
+    // SF/width" figure; 0 for the (typical) never-spilling query.
+    val spillByName = scala.collection.mutable.Map(names.map(_ -> 0L): _*)
     // Wall-clock budget (driver cap is 30 min): after each full pass, stop
     // early if another pass of the same length would overrun. Medians over
     // fewer samples degrade gracefully — one honest sample per query beats
@@ -110,12 +132,15 @@ object Bench {
       var sinceGc = 0
       for (name <- timed) {
         val fn = SparkEntry.queries(name)
+        val sp0 = spillMem.get() + spillDisk.get()
         val t0 = System.nanoTime()
         val ok = try { consume(fn(spark, sfDir)); true }
                  catch { case e: Throwable =>
                    System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         releaseState()
+        spillByName(name) = math.max(spillByName(name),
+          spillMem.get() + spillDisk.get() - sp0)
         // Forced GC every query cost ~0.3-0.5 s × |queries| × reps —
         // ~40% of the r9 bench wall at 231 queries, pressing the
         // driver's 30-minute cap. Every 4th query keeps heap debt from
@@ -174,7 +199,9 @@ object Bench {
     val errs = medians.collect { case (k, v) if v < 0 => s"\"$k\"" }
       .mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firstJson,"steady":$steadyJson,"reps":$repsJson,"errors":$errs,"sf":"$sfDir","stage_cache":true}"""
+    val spillJson = names.map(k => s"\"" + k + "\":" + spillByName(k))
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first":$firstJson,"steady":$steadyJson,"reps":$repsJson,"spill_bytes":$spillJson,"errors":$errs,"sf":"$sfDir","stage_cache":true}"""
     println(json)
     // Also persist the JSON whole to a well-known file: the driver
     // captures stdout and has truncated it before (BENCH_r11.json

@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // no QUALIFY; the wrapper only fires on statements the default
     // parser REJECTS that carry a top-level QUALIFY — see GraftSqlParser)
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // analyzer-rule rung: MERGE INTO over plain relations/temp views
+    // resolves to its read-side post-merge preview (see MergePreviewRule
+    // — this engine's storage is parquet+JDBC, not a row-level catalog)
+    e.injectResolutionRule(_ => graft.plans.MergePreviewRule)
     // optimizer-rule rung: every Similarity.dot HOF pattern in any plan
     // goes native (bit-identical — see RewriteDotProduct's contract)
     e.injectOptimizerRule(_ => RewriteDotProduct)

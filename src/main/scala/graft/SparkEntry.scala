@@ -53,7 +53,8 @@ object SparkEntry {
       graft.queries.Round12Ops.defs ++
       graft.queries.Round13Ops.defs ++
       graft.queries.Round13Ops2.defs ++
-      graft.queries.Round13Ops3.defs
+      graft.queries.Round13Ops3.defs ++
+      graft.queries.Round14Ops.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full ALB parse pipeline over the synthetic line corpus. */

@@ -28,10 +28,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * (the subquery rewrite makes every select-list alias visible to the
   * predicate and the trailing ORDER BY/LIMIT). Inline window
   * expressions inside the predicate itself are out of scope — alias
-  * them in the select list. Statements the default parser accepts are
-  * NEVER touched, so the extension cannot change the meaning of any
-  * existing SQL; statements that fail for unrelated reasons rethrow
-  * the ORIGINAL error.
+  * them in the select list. Also out of scope (declined EXPLICITLY,
+  * original error rethrown): statements with a top-level set operation
+  * (UNION/INTERSECT/EXCEPT) or SORT BY / DISTRIBUTE BY / CLUSTER BY —
+  * the wrap cannot know which query block a set-operand QUALIFY binds
+  * to (Round13Spec pins the rethrow). Statements the default parser
+  * accepts are NEVER touched, so the extension cannot change the
+  * meaning of any existing SQL; statements that fail for unrelated
+  * reasons rethrow the ORIGINAL error.
   *
   * The token scan is quote- and comment-aware (single/double quotes,
   * backticks, `--` line comments, bracketed comments) and only fires
@@ -122,11 +126,24 @@ object GraftSqlParser {
   }
 
   /** The QUALIFY → window-subquery rewrite, or None when the statement
-    * has no top-level QUALIFY (→ the original parse error stands). */
+    * has no top-level QUALIFY (→ the original parse error stands).
+    *
+    * EXPLICIT subset boundary (round-14, ADVICE r13): a statement with
+    * a top-level set operation (UNION/INTERSECT/EXCEPT) or a
+    * SORT BY / DISTRIBUTE BY / CLUSTER BY organization clause is
+    * DECLINED outright. The predicate cut below runs to the first
+    * ORDER BY/LIMIT only; under a set operation the naive wrap would
+    * parse but bind the filter to the WRONG block (QUALIFY in a second
+    * branch would become a filter over the whole union), so those
+    * shapes must rethrow the original error rather than rely on the
+    * re-parse happening to fail. Declining can only lose a desugar,
+    * never change semantics. */
   def desugarQualify(sql: String): Option[String] = {
     val marks = topLevelKeywordOffsets(sql, Seq("QUALIFY", "ORDER BY", "LIMIT"))
     val qs = marks.collect { case (off, "QUALIFY") => off }
     if (qs.size != 1) return None
+    if (topLevelKeywordOffsets(sql, Seq("UNION", "INTERSECT", "EXCEPT",
+        "SORT BY", "DISTRIBUTE BY", "CLUSTER BY")).nonEmpty) return None
     val q = qs.head
     val predEnd = marks
       .collectFirst { case (off, k) if off > q && k != "QUALIFY" => off }

@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** MERGE-INTO preview — the SQL-frontend rung for upsert syntax.
+  *
+  * Spark's grammar parses `MERGE INTO` fine, but executing it needs a
+  * catalog table with row-level-operation support; over temp views the
+  * analyzer rejects the command. This engine's storage surface is
+  * parquet + JDBC (reference: `etl_elb_log_to_mysql.py`'s append-only
+  * MySQL sink), so instead of a writable catalog the extension rewrites
+  * a resolved [[MergeIntoTable]] over plain relations into the
+  * equivalent READ plan: the post-merge state as a result set (a "merge
+  * preview" — the same SELECT a warehouse would run to validate a merge
+  * before committing it, and exactly the shape the DuckDB oracle can
+  * cross-check). Registered via `injectResolutionRule` — the analyzer
+  * rung of the extension ladder (AsOfJoinStrategy = planner,
+  * GraftSqlParser = parser, RewriteDotProduct = optimizer).
+  *
+  * Supported shape (anything else is left untouched, so Spark's own
+  * error surfaces): at most ONE matched action — `UPDATE SET`
+  * (optionally conditional) or `DELETE` (optionally conditional) — at
+  * most ONE not-matched `INSERT (cols) VALUES (...)` (optionally
+  * conditional), no not-matched-by-source actions, no star forms.
+  *
+  * Rewrite, in target-column space:
+  * {{{
+  *   updated  = Project(target LEFT OUTER JOIN tag(source) ON cond)
+  *              -- per column: IF(matched AND updCond, assigned, old)
+  *              -- DELETE instead filters matched-AND-cond rows out
+  *   inserted = Project(source LEFT ANTI JOIN target ON cond
+  *                      [WHERE insCond])   -- unassigned cols → NULL
+  *   preview  = updated UNION ALL inserted
+  * }}}
+  * `tag(source)` appends a literal TRUE `__graft_matched` column; after
+  * the outer join its NULL-ness is the match indicator (source columns
+  * themselves may be legitimately NULL). Cardinality precondition, as
+  * in every MERGE engine: the source side must match each target row at
+  * most once — real MERGE throws on duplicate matches, the preview
+  * would duplicate the target row (documented, spec-pinned).
+  *
+  * Scale shape: one equi-join shuffle per branch on the merge keys
+  * (AQE broadcasts a small source), map-side projections, a union —
+  * no window, no global sort; exactly the plan a hand-written upsert
+  * SELECT compiles to.
+  */
+object MergePreviewRule extends Rule[LogicalPlan] {
+
+  private def resolvedActions(as: Seq[MergeAction]): Boolean =
+    as.forall(a => a.condition.forall(_.resolved) && (a match {
+      case u: UpdateAction => u.assignments.forall(_.resolved)
+      case i: InsertAction => i.assignments.forall(_.resolved)
+      case _: DeleteAction => true
+      case _               => false
+    }))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m: MergeIntoTable
+        if m.targetTable.resolved && m.sourceTable.resolved &&
+          m.mergeCondition.resolved && !m.withSchemaEvolution &&
+          m.notMatchedBySourceActions.isEmpty &&
+          m.matchedActions.size <= 1 && m.notMatchedActions.size <= 1 &&
+          resolvedActions(m.matchedActions) &&
+          resolvedActions(m.notMatchedActions) &&
+          supported(m) =>
+      rewrite(m)
+  }
+
+  private def supported(m: MergeIntoTable): Boolean = {
+    val matchedOk = m.matchedActions.forall {
+      case _: UpdateAction | _: DeleteAction => true
+      case _                                 => false
+    }
+    val notMatchedOk = m.notMatchedActions.forall {
+      case _: InsertAction => true
+      case _               => false
+    }
+    matchedOk && notMatchedOk
+  }
+
+  private def castTo(v: Expression, a: Attribute): Expression =
+    if (v.dataType == a.dataType) v else Cast(v, a.dataType)
+
+  private def rewrite(m: MergeIntoTable): LogicalPlan = {
+    val tgt = m.targetTable
+    val src = m.sourceTable
+    val tCols = tgt.output
+
+    // ---- survivor branch: target rows, updated / deleted where matched
+    val updatedBranch: LogicalPlan = m.matchedActions.headOption match {
+      case None =>
+        // no matched action: every target row survives unchanged
+        Project(tCols, tgt)
+      case Some(action) =>
+        val tag = Alias(Literal(true), "__graft_matched")()
+        val tagged = Project(src.output :+ tag, src)
+        val joined =
+          Join(tgt, tagged, LeftOuter, Some(m.mergeCondition), JoinHint.NONE)
+        val matched: Expression = action.condition
+          .map(c => And(IsNotNull(tag.toAttribute), c))
+          .getOrElse(IsNotNull(tag.toAttribute))
+        action match {
+          case u: UpdateAction =>
+            val byId: Map[ExprId, Expression] = u.assignments.collect {
+              case Assignment(k: AttributeReference, v) => k.exprId -> v
+            }.toMap
+            val cols = tCols.map { a =>
+              byId.get(a.exprId) match {
+                case Some(v) =>
+                  Alias(If(matched, castTo(v, a), a), a.name)()
+                case None => a
+              }
+            }
+            Project(cols, joined)
+          case _: DeleteAction =>
+            Project(tCols, Filter(Not(Coalesce(Seq(matched, Literal(false)))),
+              joined))
+        }
+    }
+
+    // ---- insert branch: source rows with no target match
+    m.notMatchedActions.headOption match {
+      case None => updatedBranch
+      case Some(i: InsertAction) =>
+        val anti = Join(src, tgt, LeftAnti, Some(m.mergeCondition), JoinHint.NONE)
+        val filtered = i.condition.map(Filter(_, anti)).getOrElse(anti)
+        val byId: Map[ExprId, Expression] = i.assignments.collect {
+          case Assignment(k: AttributeReference, v) => k.exprId -> v
+        }.toMap
+        val cols = tCols.map { a =>
+          Alias(castTo(byId.getOrElse(a.exprId, Literal(null, a.dataType)), a),
+            a.name)()
+        }
+        Union(updatedBranch, Project(cols, filtered))
+      case Some(other) =>
+        throw new IllegalStateException(s"unreachable: $other") // guarded above
+    }
+  }
+}

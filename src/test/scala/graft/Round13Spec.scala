@@ -41,6 +41,44 @@ class Round13Spec extends SparkSpec {
     assert(desugarQualify("SELECT a FROM t QUALIFY ").isEmpty)
   }
 
+  test("desugarQualify declines top-level set operations and distribution clauses") {
+    // r14 / ADVICE r13: under a set operation the wrap cannot know which
+    // block the QUALIFY binds to (a second-branch QUALIFY would become a
+    // filter over the whole union), so the boundary is enforced
+    // EXPLICITLY — decline, original error rethrown — not by hoping the
+    // re-parse fails.
+    assert(desugarQualify(
+      "SELECT a, r FROM t QUALIFY r = 1 UNION ALL SELECT a, r FROM u").isEmpty)
+    assert(desugarQualify(
+      "SELECT a, 1 AS r FROM t UNION SELECT a, r FROM u QUALIFY r = 1").isEmpty)
+    assert(desugarQualify(
+      "SELECT a FROM t INTERSECT SELECT a, r FROM u QUALIFY r = 1").isEmpty)
+    assert(desugarQualify(
+      "SELECT a, r FROM t QUALIFY r = 1 DISTRIBUTE BY a").isEmpty)
+    assert(desugarQualify(
+      "SELECT a, r FROM t QUALIFY r = 1 SORT BY a").isEmpty)
+    assert(desugarQualify(
+      "SELECT a, r FROM t QUALIFY r = 1 CLUSTER BY a").isEmpty)
+    // parenthesized set operands are depth > 0: still in scope
+    assert(desugarQualify(
+      "SELECT a, r FROM (SELECT a FROM t UNION ALL SELECT a FROM u) z QUALIFY r = 1").nonEmpty)
+  }
+
+  test("spark.sql rethrows the original error for QUALIFY + set operation / DISTRIBUTE BY") {
+    import org.apache.spark.sql.catalyst.parser.ParseException
+    spark.read.parquet(s"$sf/customer.parquet")
+      .createOrReplaceTempView("cust_q13neg")
+    val e1 = intercept[ParseException](spark.sql(
+      """SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+         FROM cust_q13neg QUALIFY rn <= 2
+         UNION ALL SELECT c_custkey, CAST(1 AS BIGINT) FROM cust_q13neg""").collect())
+    assert(e1.getMessage.toUpperCase(java.util.Locale.ROOT).contains("QUALIFY"))
+    val e2 = intercept[ParseException](spark.sql(
+      """SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+         FROM cust_q13neg QUALIFY rn <= 2 DISTRIBUTE BY c_custkey""").collect())
+    assert(e2.getMessage.toUpperCase(java.util.Locale.ROOT).contains("QUALIFY"))
+  }
+
   // ---- QUALIFY end-to-end through the injected parser ---------------
 
   test("spark.sql accepts QUALIFY via GraftSqlParser and matches the window-subquery form") {
