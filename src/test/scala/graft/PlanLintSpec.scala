@@ -116,6 +116,7 @@ class PlanLintSpec extends SparkSpec {
     "q_similarity_maxsim" -> "broadcast bounded query set fan-out (vec_id<k filter)",
     "q_similarity_recall_sweep" -> "broadcast bounded query set + ground-truth top-k lists",
     "q_similarity_rrf" -> "broadcast bounded query set fan-out",
+    "q_similarity_hybrid" -> "broadcast bounded query set (vec_id<4 filter); brute-force both-channel scoring is the fusion baseline, the IVF/PQ family is the scale path",
     "q_similarity_rbo" -> "build side = 3-query aggregated top-10 rank lists",
     "q_similarity_ivf" -> "broadcast K=16 centroid table; the NxK nearest-centroid assignment IS the IVF design",
     "q_emb_hamming" -> "broadcast bounded query set fan-out (vec_id<k filter)",
@@ -125,7 +126,9 @@ class PlanLintSpec extends SparkSpec {
     "q_emb_randproj" -> "all-pairs over the 40-vector labeled eval subset only (distortion calibration); the projection itself is map-only",
     "q_similarity_ndcg" -> "broadcast 3-query fan-out (the rbo/topk ranking shape)",
     "q_similarity_mrr_map" -> "broadcast 3-query fan-out (the rbo/topk ranking shape)",
-    "q_stats_ttest" -> "build side = one segment of the 2-group rollup (<=1 row)"
+    "q_stats_ttest" -> "build side = one segment of the 2-group rollup (<=1 row)",
+    "q_stats_friedman" -> "gap-fill grid + stats fan-out: |days| x |event_types| aggregated frames and two <=k/1-row global rollups",
+    "q_events_cusum" -> "build side = the 1-row (total, n_days) global rollup"
   )
 
   /** Queries allowed an unpartitioned WindowExec that is neither
@@ -140,7 +143,8 @@ class PlanLintSpec extends SparkSpec {
     "q_stats_runs" -> "daily-count frame: groupBy(day) — calendar-bounded",
     "q_events_survival" -> "per-day death/censor life table: groupBy(t) — calendar-bounded",
     "q_mix_budget_waterfill" -> "per-source quota frame: groupBy(source) — |sources| rows",
-    "q_text_unigram_train" -> "prune-rank over the piece-vocab frame: top-120 seed ∪ single chars, then EM-used pieces only — vocab-bounded by construction"
+    "q_text_unigram_train" -> "prune-rank over the piece-vocab frame: top-120 seed ∪ single chars, then EM-used pieces only — vocab-bounded by construction",
+    "q_events_cusum" -> "CUSUM prefix sum + running min over the daily-count frame: groupBy(day) — calendar-bounded (the q_stats_runs shape)"
   )
 
   // ---- the lint -------------------------------------------------------
