@@ -57,7 +57,8 @@ object SparkEntry {
       graft.queries.Round14Ops.defs ++
       graft.queries.Round14Ops2.defs ++
       graft.queries.Round14Ops3.defs ++
-      graft.queries.Round14Ops4.defs
+      graft.queries.Round14Ops4.defs ++
+      graft.queries.Round14Ops5.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full ALB parse pipeline over the synthetic line corpus. */

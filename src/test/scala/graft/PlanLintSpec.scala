@@ -130,7 +130,9 @@ class PlanLintSpec extends SparkSpec {
     "q_stats_friedman" -> "gap-fill grid + stats fan-out: |days| x |event_types| aggregated frames and two <=k/1-row global rollups",
     "q_events_cusum" -> "build side = the 1-row (total, n_days) global rollup",
     "q_stats_mannkendall" -> "i<j pair frame over the calendar-bounded daily series (|days|^2, data-independent) + 1-row stat rollups",
-    "q_stats_power" -> "build side = one variant of the 2-group rollup (<=1 row)"
+    "q_stats_power" -> "build side = one variant of the 2-group rollup (<=1 row)",
+    "q_stats_permtest" -> "build side = the 1-row observed-statistic rollup broadcast onto the 32-row permutation frame",
+    "q_curation_submodular" -> "build sides = 1-row covered-total rollups onto 1-row argmax picks (k=3 greedy rounds)"
   )
 
   /** Queries allowed an unpartitioned WindowExec that is neither
