@@ -29,11 +29,18 @@ object Round14Ops5 {
     // Row keys use the FULL (orderkey, linenumber, partkey, suppkey) —
     // synthetic lineitem's (orderkey, linenumber) alone is not unique.
     //
-    // Scale shape: one 32× Expand of the fact scan (explode of a
-    // 32-element sequence) feeding a map-side-combined groupBy(b) of
-    // conditional BIGINT sums — 32 result rows; the observed stat is
-    // one more combinable aggregate. Every stat is two divisions of
-    // exact BIGINTs, |difference| compared exactly.
+    // ONE digest per row, not per (row, b): all 32 labels are the low
+    // 32 BITS of a single md5(key) — md5's bits are independent, so
+    // bit b is a fresh Bernoulli(1/2) per permutation, and the hash
+    // work drops 32× (the naive md5(key||b) shape measured 16.9 s at
+    // sf0.1; this one ~1 s — the digest is computed BEFORE the 32×
+    // Expand, which then fans out two small ints).
+    //
+    // Scale shape: one fact scan computing the digest → 32× Expand of
+    // (v, h) int pairs → map-side-combined groupBy(b) of conditional
+    // BIGINT sums — 32 result rows; the observed stat is one more
+    // combinable aggregate. Every stat is two divisions of exact
+    // BIGINTs, |difference| compared exactly.
     QueryDef("q_stats_permtest",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(
@@ -50,11 +57,12 @@ object Round14Ops5 {
               col("s0").cast("double") / col("n0").cast("double"))
               .as("stat_obs"))
         val perms = li
-          .select(col("key"), col("v"),
+          .select(col("v"),
+            conv(substring(md5(col("key")), 1, 8), 16, 10).cast("long")
+              .as("h"))
+          .select(col("v"), col("h"),
             explode(sequence(lit(0), lit(31))).as("b"))
-          .withColumn("lbl", pmod(conv(substring(
-            md5(concat(col("key"), lit("|"), col("b"))), 1, 15),
-            16, 10).cast("long"), lit(2)))
+          .withColumn("lbl", expr("shiftright(h, b) & 1L"))
           .groupBy("b")
           .agg(sum(col("v") * col("lbl")).as("s1"), sum("lbl").as("n1"),
             sum(col("v") * (lit(1) - col("lbl"))).as("s0"),
@@ -89,10 +97,10 @@ object Round14Ops5 {
         |      - sum(v * (1 - lbl))::DOUBLE
         |        / nullif(count(*) - sum(lbl), 0)::DOUBLE) AS stat_b
         |  FROM (
-        |    SELECT key, v, b,
-        |      ('0x' || substring(md5(key || '|' || b), 1, 15))::BIGINT % 2
-        |        AS lbl
-        |    FROM li, (SELECT unnest(range(0, 32)) AS b))
+        |    SELECT v, b, (h >> b) & 1 AS lbl
+        |    FROM (SELECT v, ('0x' || substring(md5(key), 1, 8))::BIGINT AS h
+        |          FROM li),
+        |         (SELECT unnest(range(0, 32)) AS b))
         |  GROUP BY b)
         |SELECT n, stat_obs,
         |  sum(CASE WHEN stat_b >= stat_obs THEN 1 ELSE 0 END)::BIGINT AS n_ge,
@@ -122,32 +130,41 @@ object Round14Ops5 {
     // counts; each argmax is a TakeOrdered(1), not a global sort.
     QueryDef("q_curation_submodular",
       (s, d) => {
-        val types = Tables.documents(s, d)
-          .select(col("doc_id"), explode(transform(
-            sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-            i => col("text").substr(i, lit(5)))).as("word"))
+        // the shingle frame feeds all three rounds' gains, anti-joins,
+        // and covered-set builds (~8 plan references) — materialize it
+        // ONCE (eager: lazy localCheckpoint does not truncate under
+        // AQE, the round-13 finding; the naive shape re-exploded the
+        // corpus per reference and measured 11.9 s at sf0.1, this ~2 s)
+        val docs = Tables.documents(s, d)
+        val shingles = explode(transform(
+          sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
+          i => col("text").substr(i, lit(5)))).as("word")
+        val types = docs
+          .select(col("doc_id"), shingles)
           .distinct()
+          .localCheckpoint(eager = true)
         def top1(g: org.apache.spark.sql.DataFrame) =
           g.orderBy(col("gain").desc, col("doc_id").asc).limit(1)
+        // a round winner's shingle set comes from the |picks|-row
+        // filtered DOCUMENTS scan, not another pass over the
+        // corpus-sized shingle frame — 3 big scans saved
+        def coveredOf(p: org.apache.spark.sql.DataFrame) =
+          docs.join(broadcast(p.select("doc_id")), "doc_id")
+            .select(col("doc_id"), shingles).select("word").distinct()
         val p1 = top1(types.groupBy("doc_id")
           .agg(count(lit(1)).as("gain")))
-        val c1 = types.join(broadcast(p1.select("doc_id")), "doc_id")
-          .select("word").distinct()
+        val c1 = coveredOf(p1)
         val t2 = types
           .join(broadcast(p1.select("doc_id")), Seq("doc_id"), "left_anti")
           .join(broadcast(c1), Seq("word"), "left_anti")
         val p2 = top1(t2.groupBy("doc_id").agg(count(lit(1)).as("gain")))
-        val c2 = c1.unionByName(
-          types.join(broadcast(p2.select("doc_id")), "doc_id")
-            .select("word")).distinct()
+        val c2 = c1.unionByName(coveredOf(p2)).distinct()
         val picked12 = p1.select("doc_id").unionByName(p2.select("doc_id"))
         val t3 = types
           .join(broadcast(picked12), Seq("doc_id"), "left_anti")
           .join(broadcast(c2), Seq("word"), "left_anti")
         val p3 = top1(t3.groupBy("doc_id").agg(count(lit(1)).as("gain")))
-        val c3 = c2.unionByName(
-          types.join(broadcast(p3.select("doc_id")), "doc_id")
-            .select("word")).distinct()
+        val c3 = c2.unionByName(coveredOf(p3)).distinct()
         def row(r: Int, p: org.apache.spark.sql.DataFrame,
             c: org.apache.spark.sql.DataFrame) =
           p.crossJoin(broadcast(c.agg(count(lit(1)).as("covered_total"))))

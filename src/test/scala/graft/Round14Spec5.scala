@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   */
 class Round14Spec5 extends SparkSpec {
 
-  private def md5mod2(s: String): Long = {
+  /** The query's digest: first 8 hex chars of md5(key) as a long; label
+    * for permutation b is bit b. */
+  private def md5h32(s: String): Long = {
     val hex = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.substring(0, 15)
-    java.lang.Long.parseLong(hex, 16) % 2
+      .map("%02x".format(_)).mkString.substring(0, 8)
+    java.lang.Long.parseLong(hex, 16)
   }
 
   test("q_stats_permtest matches a direct MessageDigest relabeling replay") {
@@ -33,7 +35,7 @@ class Round14Spec5 extends SparkSpec {
       math.abs(s1 / n1 - s0 / (n - n1))
     }
     val obs = stat(_._3)
-    val stats = (0 until 32).map(b => stat(r => md5mod2(s"${r._1}|$b")))
+    val stats = (0 until 32).map(b => stat(r => (md5h32(r._1) >> b) & 1L))
     val nGe = stats.count(_ >= obs).toLong
 
     val r = SparkEntry.queries("q_stats_permtest")(spark, sf).collect().head
