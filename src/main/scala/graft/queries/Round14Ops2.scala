@@ -113,8 +113,12 @@ object Round14Ops2 {
     // Scale shape: two passes over the facts (totals, then moments),
     // both map-side combined; the totals frame is 3 rows and
     // broadcasts. Moments in DECIMAL(38,0)/HUGEINT: ri² ≲ 2.3e18,
-    // summed over 6e9 rows at sf1000-equivalent ≈ 1.4e28 — 10 digits of
-    // headroom.
+    // summed over 6e9 rows at sf1000-equivalent ≈ 1.4e28, so the final
+    // expression keeps s1/s2 at DECIMAL(38,0): n·s2 ≈ 6e9·1.4e28 ≈
+    // 8.4e37 and s1² ≈ (6e18)² ≈ 3.6e37 both fit 38 digits (and
+    // HUGEINT's ~1.7e38 on the oracle side) — the r14 draft downcast
+    // s2 to DECIMAL(28,0)/s1 to DECIMAL(19,0), which would null out
+    // jk_var at exactly the documented scale (ADVICE r14, fixed r15).
     QueryDef("q_stats_jackknife",
       (s, d) => {
         val li = Tables.lineitem(s, d).select(col("l_returnflag"),
@@ -134,8 +138,8 @@ object Round14Ops2 {
           .select(col("l_returnflag"), col("n"),
             (col("sp").cast("double") / col("sq").cast("double"))
               .as("ratio_cents"),
-            expr("""(CAST(CAST(n AS DECIMAL(19,0)) * CAST(s2 AS DECIMAL(28,0))
-                - CAST(s1 AS DECIMAL(19,0)) * CAST(s1 AS DECIMAL(19,0))
+            expr("""(CAST(CAST(n AS DECIMAL(38,0)) * CAST(s2 AS DECIMAL(38,0))
+                - CAST(s1 AS DECIMAL(38,0)) * CAST(s1 AS DECIMAL(38,0))
                   AS DOUBLE)
                 / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
                 * (CAST(n AS DOUBLE) - 1.0) / CAST(n AS DOUBLE) / 1e8)""")

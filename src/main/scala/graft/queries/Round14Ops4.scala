@@ -199,7 +199,10 @@ object Round14Ops4 {
           .withColumn("se", sqrt(col("phat") * (lit(1.0) - col("phat")) *
             (lit(1.0) / col("n0").cast("double") +
               lit(1.0) / col("n1").cast("double"))))
-          .withColumn("z_obs", (col("p1") - col("p0")) / col("se"))
+          // phat of exactly 0 or 1 makes se = 0 and 0/0 = NaN on Spark
+          // vs a DuckDB division error — NULL on both instead (ADVICE r14)
+          .withColumn("z_obs",
+            (col("p1") - col("p0")) / nullif(col("se"), lit(0.0)))
           .withColumn("mde", lit(2.8015852181129683) * col("se"))
           .select(col("n0"), col("c0"), col("n1"), col("c1"),
             col("p0"), col("p1"), col("z_obs"), col("mde"),
@@ -224,7 +227,7 @@ object Round14Ops4 {
         |      * (1.0 / n0::DOUBLE + 1.0 / n1::DOUBLE)) AS se
         |  FROM j)
         |SELECT n0, c0, n1, c1, p0, p1,
-        |  (p1 - p0) / se AS z_obs,
+        |  (p1 - p0) / nullif(se, 0.0) AS z_obs,
         |  2.8015852181129683 * se AS mde,
         |  abs(p1 - p0) >= 2.8015852181129683 * se AS powered
         |FROM x""".stripMargin))

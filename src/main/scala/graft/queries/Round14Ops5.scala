@@ -53,8 +53,13 @@ object Round14Ops5 {
             sum(col("v") * (lit(1) - col("g"))).as("s0"),
             (count(lit(1)) - sum("g")).as("n0"))
           .select(col("n"),
-            abs(col("s1").cast("double") / col("n1").cast("double") -
-              col("s0").cast("double") / col("n0").cast("double"))
+            // same degenerate-corpus guard as the permutation branch: a
+            // single-linestatus corpus makes n1 or n0 zero, and 0/0 must
+            // be NULL on both engines, not Infinity (ADVICE r14)
+            abs(col("s1").cast("double") /
+                nullif(col("n1"), lit(0L)).cast("double") -
+              col("s0").cast("double") /
+                nullif(col("n0"), lit(0L)).cast("double"))
               .as("stat_obs"))
         val perms = li
           .select(col("v"),
@@ -87,8 +92,9 @@ object Round14Ops5 {
         |  FROM lineitem),
         |obs AS (
         |  SELECT count(*)::BIGINT AS n,
-        |    abs(sum(v * g)::DOUBLE / sum(g)::DOUBLE
-        |      - sum(v * (1 - g))::DOUBLE / (count(*) - sum(g))::DOUBLE)
+        |    abs(sum(v * g)::DOUBLE / nullif(sum(g), 0)::DOUBLE
+        |      - sum(v * (1 - g))::DOUBLE
+        |        / nullif(count(*) - sum(g), 0)::DOUBLE)
         |      AS stat_obs
         |  FROM li),
         |perms AS (

@@ -62,6 +62,13 @@ class Round14Spec5 extends SparkSpec {
       val (doc, gain) = docs.filter(d => !picked(d._1))
         .map(d => (d._1, (d._2 -- covered).size))
         .maxBy(d => (d._2, -d._1))
+      // the query documents ">= 3 docs with positive marginal gain" as a
+      // precondition (Round14Ops5) and drops zero-gain rounds from the
+      // output; this Set-based replay would still pick a 0-gain doc, so
+      // fail with the precondition named instead of a confusing row diff
+      // (ADVICE r14)
+      assert(gain > 0, s"corpus violates q_curation_submodular's " +
+        s"documented precondition: round $round has no positive-gain doc")
       covered ++= docs.find(_._1 == doc).get._2
       picked += doc
       (round.toLong, doc, gain.toLong, covered.size.toLong)
