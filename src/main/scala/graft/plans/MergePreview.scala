@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count}
 import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -39,8 +40,22 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * the outer join its NULL-ness is the match indicator (source columns
   * themselves may be legitimately NULL). Cardinality precondition, as
   * in every MERGE engine: the source side must match each target row at
-  * most once — real MERGE throws on duplicate matches, the preview
-  * would duplicate the target row (documented, spec-pinned).
+  * most once — real MERGE throws on duplicate matches; by default the
+  * preview would duplicate the target row (documented, spec-pinned).
+  *
+  * STRICT CARDINALITY (round 15, closing the r14 divergence): with
+  * `spark.sql.graft.merge.strictCardinality=true` the survivor branch
+  * validates the precondition at runtime the way Delta/Hive do — each
+  * target row gets a `monotonically_increasing_id` row id before the
+  * outer join, a window `count(*)` partitioned on that id counts its
+  * join multiplicity (1 for unmatched AND once-matched rows, >1 iff
+  * two source rows satisfied the ON clause), and an `assert_true`
+  * filter raises GRAFT_MERGE_CARDINALITY before any duplicated row can
+  * escape. Cost when enabled: one extra hash-partition pass over the
+  * joined frame keyed on the unique row id (no sort — unbounded-frame
+  * count only needs partitioning); the default path is unchanged.
+  * Action conditions deliberately do NOT narrow the count — ANSI MERGE
+  * fails on duplicate ON-clause matches regardless of WHEN clauses.
   *
   * Scale shape: one equi-join shuffle per branch on the merge keys
   * (AQE broadcasts a small source), map-side projections, a union —
@@ -84,7 +99,30 @@ object MergePreviewRule extends Rule[LogicalPlan] {
   private def castTo(v: Expression, a: Attribute): Expression =
     if (v.dataType == a.dataType) v else Cast(v, a.dataType)
 
+  /** When strict cardinality is on, wrap the survivor-branch join so a
+    * target row matched by more than one source row raises instead of
+    * duplicating (see object scaladoc). `rid` is the row-id alias that
+    * was appended to the target before the join. */
+  private def cardinalityGuard(joined: LogicalPlan, rid: Attribute): LogicalPlan = {
+    val cnt = Alias(
+      WindowExpression(
+        AggregateExpression(Count(Seq(Literal(1))), Complete, isDistinct = false),
+        WindowSpecDefinition(Seq(rid), Nil,
+          SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing))),
+      "__graft_mcnt")()
+    val win = Window(Seq(cnt), Seq(rid), Nil, joined)
+    // assert_true is NULL when the predicate holds, so IsNull keeps every
+    // valid row; a multiplicity > 1 raises before the Filter can pass it
+    Filter(IsNull(new AssertTrue(
+      LessThanOrEqual(cnt.toAttribute, Literal(1L)),
+      Literal("GRAFT_MERGE_CARDINALITY: a target row matched more than " +
+        "one source row; MERGE requires the ON clause to match each " +
+        "target row at most once"))), win)
+  }
+
   private def rewrite(m: MergeIntoTable): LogicalPlan = {
+    val strict = conf.getConfString(
+      "spark.sql.graft.merge.strictCardinality", "false") == "true"
     val tgt = m.targetTable
     val src = m.sourceTable
     val tCols = tgt.output
@@ -97,8 +135,14 @@ object MergePreviewRule extends Rule[LogicalPlan] {
       case Some(action) =>
         val tag = Alias(Literal(true), "__graft_matched")()
         val tagged = Project(src.output :+ tag, src)
+        val ridAlias = Alias(MonotonicallyIncreasingID(), "__graft_rid")()
+        val tgtPlan: LogicalPlan =
+          if (strict) Project(tCols :+ ridAlias, tgt) else tgt
+        val rawJoin =
+          Join(tgtPlan, tagged, LeftOuter, Some(m.mergeCondition), JoinHint.NONE)
         val joined =
-          Join(tgt, tagged, LeftOuter, Some(m.mergeCondition), JoinHint.NONE)
+          if (strict) cardinalityGuard(rawJoin, ridAlias.toAttribute)
+          else rawJoin
         val matched: Expression = action.condition
           .map(c => And(IsNotNull(tag.toAttribute), c))
           .getOrElse(IsNotNull(tag.toAttribute))
