@@ -659,4 +659,55 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_._3) > 30, "burst + refill grants expected")
     assert(streamed == expected)
   }
+
+  test("streaming CUSUM (transformWithState) == batch q_events_cusum across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the batch query derives its reference rate from the full corpus;
+      // feed those totals to the stream as the calibrated target
+      val daily = Tables.events(spark, sf)
+        .select(floor(unix_millis(col("ts")) / lit(86400000L)).cast("long")
+          .as("day"))
+        .groupBy("day").agg(count(lit(1)).as("x"))
+      val tot = daily.agg(sum("x"), count(lit(1))).head()
+      val (tUnits, nDays) = (tot.getLong(0), tot.getLong(1))
+
+      // real events in event-time order, split in three so days span
+      // micro-batch boundaries (several days per third, splits mid-day)
+      val real = Tables.events(spark, sf)
+        .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+        .collect()
+        .sortBy(_.getTimestamp(0).getTime)
+        .map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getString(2),
+          r.getDouble(3)))
+        .toSeq
+      val mem = MemoryStream[Ev]
+      val q = streaming.CusumStream.streamingCusum(mem.toDF(), tUnits, nDays)
+        .writeStream.format("memory").queryName("cusum_out")
+        .outputMode("append").start()
+      val third = real.length / 3
+      mem.addData(real.take(third)); q.processAllAvailable()
+      mem.addData(real.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(real.drop(2 * third)); q.processAllAvailable()
+      q.stop()
+
+      val streamed = spark.table("cusum_out").orderBy("day")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+      val batch = SparkEntry.queries("q_events_cusum")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4), r.getBoolean(5))).toSeq
+      // the stream emits a day when the NEXT day opens: every batch row
+      // except the final (still-open) day must match bit-for-bit
+      assert(streamed == batch.dropRight(1))
+      assert(streamed.size >= 3, "fixture must close several days")
+    } finally {
+      prev match { case Some(v) => spark.conf.set(key, v)
+                   case None => spark.conf.unset(key) }
+    }
+  }
 }
