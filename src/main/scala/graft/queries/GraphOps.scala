@@ -85,14 +85,17 @@ object GraphOps {
         // truncate lineage under AQE (SCALING.md §round-13 finding 1 —
         // each round re-executes its predecessors, ~rounds²·edges work;
         // measured on the labelprop loop 30×: lazy 281 s / eager 140 s)
-        val edges = pairs.select(col("p").as("src"), col("q").as("dst"))
-          .union(pairs.select(col("q").as("src"), col("p").as("dst")))
-          .repartition(col("src"))
-          .localCheckpoint(eager = true)
-        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-          .localCheckpoint(eager = true)
-        val nodes = edges.select(col("src").as("node")).distinct()
-          .localCheckpoint(eager = true)
+        // RoundState.of = eager localCheckpoint by default; the
+        // spark.graft.graph.roundState=disk mode persists DISK_ONLY
+        // instead (round-15: the >RAM regime — see ops/RoundState)
+        val edges = graft.ops.RoundState.of(
+          pairs.select(col("p").as("src"), col("q").as("dst"))
+            .union(pairs.select(col("q").as("src"), col("p").as("dst")))
+            .repartition(col("src")))
+        val outdeg = graft.ops.RoundState.of(
+          edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
+        val nodes = graft.ops.RoundState.of(
+          edges.select(col("src").as("node")).distinct())
         var rank = nodes.withColumn("rank", lit(1000000L))
         for (_ <- 1 to 3) {
           val contribs = edges
@@ -100,11 +103,11 @@ object GraphOps {
             .join(outdeg, "src")
             .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
             .groupBy("node").agg(sum("c").as("in_mass"))
-          rank = nodes.join(contribs, Seq("node"), "left")
-            .select(col("node"),
-              (lit(150000L) + expr("(coalesce(in_mass, 0L) * 85) div 100"))
-                .as("rank"))
-            .localCheckpoint(eager = true)
+          rank = graft.ops.RoundState.of(
+            nodes.join(contribs, Seq("node"), "left")
+              .select(col("node"),
+                (lit(150000L) + expr("(coalesce(in_mass, 0L) * 85) div 100"))
+                  .as("rank")))
         }
         rank.select(col("node").cast("long").as("node"),
             col("rank").cast("long").as("rank"))

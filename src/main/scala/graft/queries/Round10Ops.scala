@@ -124,13 +124,16 @@ object Round10Ops {
         // (measured on the labelprop loop at 30×: lazy 281 s, eager
         // 140 s, none 115 s; at 100× the lazy shape profiled exp 1.58
         // — the round-13 third-decade finding, SCALING.md §round-13).
-        val edges = pairs.select(col("p").as("src"), col("q").as("dst"))
-          .union(pairs.select(col("q").as("src"), col("p").as("dst")))
-          .repartition(col("src"))
-          .localCheckpoint(eager = true)
-        var labels = edges.select(col("src").as("node")).distinct()
-          .withColumn("label", col("node"))
-          .localCheckpoint(eager = true)
+        // RoundState.of: eager localCheckpoint by default, DISK_ONLY
+        // persist under spark.graft.graph.roundState=disk (round-15:
+        // per-round state off unified memory for the >RAM regime)
+        val edges = graft.ops.RoundState.of(
+          pairs.select(col("p").as("src"), col("q").as("dst"))
+            .union(pairs.select(col("q").as("src"), col("p").as("dst")))
+            .repartition(col("src")))
+        var labels = graft.ops.RoundState.of(
+          edges.select(col("src").as("node")).distinct()
+            .withColumn("label", col("node")))
         for (_ <- 1 to 4) {
           labels = edges
             .join(labels.withColumnRenamed("node", "src"), "src")
@@ -141,7 +144,7 @@ object Round10Ops {
             // the smallest id — one combinable aggregate, no window
             .agg(min_by(col("label"),
               struct((-col("c")).as("nc"), col("label"))).as("label"))
-            .localCheckpoint(eager = true)
+          labels = graft.ops.RoundState.of(labels)
         }
         labels.orderBy("node")
       },

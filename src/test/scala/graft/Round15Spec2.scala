@@ -167,6 +167,27 @@ class Round15Spec2 extends SparkSpec {
         "the per-round re-scan regression is back")
   }
 
+  // ---- 3. disk-backed round state (ops/RoundState) --------------------
+
+  test("graph round state: disk mode (DISK_ONLY persist) == memory mode bit-for-bit") {
+    val key = "spark.graft.graph.roundState"
+    def run(mode: String, q: String): Seq[org.apache.spark.sql.Row] = {
+      spark.conf.set(key, mode)
+      try SparkEntry.queries(q)(spark, sf).collect().toSeq
+      finally {
+        spark.conf.unset(key)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+    }
+    for (q <- Seq("q_graph_labelprop", "q_graph_pagerank")) {
+      val mem = run("memory", q)
+      val dsk = run("disk", q)
+      assert(mem.nonEmpty && mem == dsk, s"$q: disk-mode rounds diverged")
+    }
+  }
+
   test("canary: the submodular pin counts distinct executed passes") {
     // 3 DIFFERENT aggregations over one checkpointed frame cannot be
     // exchange-reused — they must show as 3 executed passes
