@@ -41,7 +41,9 @@ import graft.Tables
   * tails go through byte-fallback at tokenization time). Measured
   * justification for keeping the cap (round-14, VERDICT r13 item 8):
   * the documents corpus' longest word is EXACTLY 8 chars (31 distinct
-  * lowercase types total, verified at sf0.01) — the cap excludes zero
+  * lowercase types total, verified at sf0.01; RE-VERIFIED round 15 at
+  * all three gate corpora — max word length 8 / 31 types at sf0.001,
+  * sf0.01 AND sf0.1) — the cap excludes zero
   * trainer input here, and the length-bucketed extension (compositions
   * grow ~×1.93 per char: 223 at n≤8 → 3095 at n≤12, with the oracle's
   * inline VALUES table growing with it) buys nothing until a corpus
