@@ -273,13 +273,18 @@ object Round15Ops2 {
     * in [[layerEdges]] are. */
   private def hnswOracle: String = rawOracle.replace(" AS (", " AS MATERIALIZED (")
 
-  private def rawOracle: String = {
+  private def recallOracle: String =
+    rawRecallOracle.replace(" AS (", " AS MATERIALIZED (")
+
+  private def lastHop: Int = Hops.map(_._2).sum
+
+  /** Every CTE through the final scored pool s<lastHop> (no SELECT). */
+  private def cteBody: String = {
     val hopList = Hops.flatMap { case (l, n, beam) => Seq.fill(n)((l, beam)) }
     val hops = hopList.zipWithIndex
       .map { case ((l, beam), i) => hopCtes(i + 1, l, beam) }
-    val last = hopList.size
     val nnd = (1 to NndRounds).map(nndCtes)
-    s"""WITH lv AS (
+    s"""lv AS (
        |  SELECT vec_id, embedding,
        |    ('0x' || substring(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h,
        |    CASE WHEN ('0x' || substring(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 16 = 0 THEN 2
@@ -295,21 +300,48 @@ object Round15Ops2 {
        |ep AS (SELECT vec_id AS node FROM lv
        |       ORDER BY lvl DESC, vec_id ASC LIMIT 1),
        |f0 AS (SELECT q_id, node FROM q CROSS JOIN ep),
-       |${hops.mkString(",\n")}
+       |${hops.mkString(",\n")}""".stripMargin
+  }
+
+  private def rawOracle: String =
+    s"""WITH $cteBody
        |SELECT q_id, rn::BIGINT AS rn, neighbor_id, qs AS qscore FROM (
        |  SELECT q_id, node AS neighbor_id, qs,
        |    row_number() OVER (PARTITION BY q_id
        |      ORDER BY qs DESC, node ASC) AS rn
-       |  FROM s$last WHERE node <> q_id)
+       |  FROM s$lastHop WHERE node <> q_id)
        |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin
-  }
 
-  val defs: Seq[QueryDef] = Seq(
+  /** Recall mirror: the SAME index+search CTEs, plus exact brute-force
+    * top-K ground truth and the per-query overlap. */
+  private def rawRecallOracle: String =
+    s"""WITH $cteBody,
+       |ann AS (
+       |  SELECT q_id, node AS neighbor_id FROM (
+       |    SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY qs DESC, node ASC) AS rn
+       |    FROM s$lastHop WHERE node <> q_id)
+       |  WHERE rn <= $TopK),
+       |bf AS (
+       |  SELECT q.q_id, e.vec_id AS nid,
+       |    floor((${Similarity.cosineSql("e.embedding", "q.q_emb")}) * 1e9)::BIGINT AS qs
+       |  FROM lv e JOIN q ON e.vec_id <> q.q_id),
+       |bft AS (
+       |  SELECT q_id, nid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY qs DESC, nid ASC) AS rn FROM bf)
+       |  WHERE rn <= $TopK)
+       |SELECT t.q_id, count(a.neighbor_id)::BIGINT AS hits,
+       |  count(a.neighbor_id)::DOUBLE / $TopK.0 AS recall
+       |FROM bft t LEFT JOIN ann a
+       |  ON t.q_id = a.q_id AND t.nid = a.neighbor_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
 
-    QueryDef("q_similarity_hnsw",
-      (s, d) => {
-        graft.functions.CosineSimExpr.register(s)
-        val v = leveled(s, d).localCheckpoint(eager = true)
+  /** The full build + search, shared by the top-K query and its
+    * recall readout: returns (vectors frame, top-K result). */
+  private def hnswSearch(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.CosineSimExpr.register(s)
+    val v = leveled(s, d).localCheckpoint(eager = true)
         val edgesByLayer = Map(0 -> layerEdges(v, 0), 1 -> layerEdges(v, 1),
           2 -> layerEdges(v, 2))
         val q = v.filter(col("vec_id") < NQueries)
@@ -324,14 +356,56 @@ object Round15Ops2 {
           lastScored = scored
           frontier = nf
         }
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("qs").desc, col("node").asc)
-        lastScored.filter(col("node") =!= col("q_id"))
-          .withColumn("rn", row_number().over(w).cast("long"))
-          .filter(col("rn") <= TopK)
-          .select(col("q_id"), col("rn"), col("node").as("neighbor_id"),
-            col("qs").as("qscore"))
-          .orderBy("q_id", "rn")
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("qs").desc, col("node").asc)
+    val top = lastScored.filter(col("node") =!= col("q_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select(col("q_id"), col("rn"), col("node").as("neighbor_id"),
+        col("qs").as("qscore"))
+    (v, top)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q_similarity_hnsw",
+      (s, d) => hnswSearch(s, d)._2.orderBy("q_id", "rn"),
+      hnswOracle),
+
+    // The recall readout as an ORACLE-CHECKED query (the
+    // q_similarity_recall_sweep discipline): rebuild the index, run
+    // the search, score EXACT brute-force top-10 ground truth, and
+    // emit per-query hits + recall@10 — so the gate checks the ANN
+    // quality claim itself, on every run, at every SF, not just the
+    // spec corpus. Expected values at the gate corpora: recall 1.0 on
+    // all 8 queries at N=500 (sf0.001/sf0.01); 0.95 avg at N=2000.
+    //
+    // Scale shape: the brute-force side is the q_similarity_topk
+    // baseline shape — broadcast 8-query fan-out over one corpus scan
+    // (allowlisted BNLJ class); everything else is the index build
+    // already profiled at 1×/10×/30×.
+    QueryDef("q_similarity_hnsw_recall",
+      (s, d) => {
+        val (v, top) = hnswSearch(s, d)
+        val ann = top.select(col("q_id"), col("neighbor_id"))
+        val q = v.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val bf = v.select(col("vec_id").as("nid"), col("embedding"))
+          .join(broadcast(q), col("nid") =!= col("q_id"))
+          .select(col("q_id"), col("nid"),
+            qscore(col("embedding"), col("q_emb")).as("qs"))
+        val wt = Window.partitionBy("q_id").orderBy(col("qs").desc, col("nid").asc)
+        val truth = bf.withColumn("rn", row_number().over(wt))
+          .filter(col("rn") <= TopK).select("q_id", "nid")
+        truth.join(ann,
+            truth("q_id") === ann("q_id") && truth("nid") === ann("neighbor_id"),
+            "left")
+          .select(truth("q_id").as("qid"), ann("neighbor_id").as("hit"))
+          .groupBy("qid")
+          .agg(count(col("hit")).as("hits"))
+          .select(col("qid").as("q_id"), col("hits"),
+            (col("hits").cast("double") / lit(TopK.toDouble)).as("recall"))
+          .orderBy("q_id")
       },
-      hnswOracle))
+      recallOracle))
 }
