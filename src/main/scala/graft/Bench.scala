@@ -211,6 +211,16 @@ object Bench {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // Tail-robust headline (r15 verdict): the driver keeps only a stdout
+    // TAIL, so when the ~25 KB full record above is truncated from the
+    // front, its head fields ("metric","value") are lost and the round
+    // lands as parsed:null (BENCH_r11, BENCH_r15). A second, COMPACT
+    // summary as the very LAST line survives any tail capture — totals
+    // and error list only; the per-query detail lives in the full line
+    // and in bench_out.json.
+    val nQ = medians.size
+    val nErr = medians.count(_._2 < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries_n":$nQ,"errors_n":$nErr,"errors":$errs,"sf":"$sfDir","stage_cache":true,"detail":"$outFile"}""")
     spark.stop()
     // The per-run stage dir would otherwise accumulate parquet under
     // /tmp across runs; delete it now that the session is closed.

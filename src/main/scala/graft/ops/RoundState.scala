@@ -29,6 +29,16 @@ import org.apache.spark.storage.StorageLevel
   *
   * Content is identical either way (materialization strategy only);
   * Round15Spec2 pins disk == memory on a real query.
+  *
+  * Lifecycle contract (r15 ADVICE): in disk mode every [[of]] call
+  * registers a persisted relation with the session CacheManager that
+  * outlives the query unless someone frees it. Iterative loops free
+  * their own SUPERSEDED rounds via [[next]]; the frames that survive
+  * the loop (edge substrates, the final round) are the query's result
+  * lineage and stay persisted — the session owner releases them
+  * (Bench/Verify call `cacheManager.clearCache()` between queries;
+  * long-lived sessions such as profilers must do the same, as
+  * ProfGraphDisk15 and Round15Spec2 do).
   */
 object RoundState {
 
@@ -41,4 +51,18 @@ object RoundState {
         p
       case _ => df.localCheckpoint(eager = true)
     }
+
+  /** Materialize the next round and free the round it supersedes.
+    * Safe order: `df` (built FROM `prev`) is fully materialized before
+    * `prev`'s blocks go — the new relation never recomputes through
+    * the freed one unless its own disk blocks are lost, in which case
+    * lineage recovery is correct, just cold. Memory-mode checkpoints
+    * are plain RDD blocks the context cleaner / clearCache reclaims,
+    * so only disk-mode persists need the explicit unpersist. */
+  def next(df: DataFrame, prev: DataFrame): DataFrame = {
+    val n = of(df)
+    if (df.sparkSession.conf.get("spark.graft.graph.roundState", "memory") == "disk")
+      prev.unpersist(blocking = false)
+    n
+  }
 }

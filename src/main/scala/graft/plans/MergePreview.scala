@@ -135,6 +135,20 @@ object MergePreviewRule extends Rule[LogicalPlan] {
       case Some(action) =>
         val tag = Alias(Literal(true), "__graft_matched")()
         val tagged = Project(src.output :+ tag, src)
+        // Row-id caveat (r15 ADVICE): MonotonicallyIncreasingID is
+        // deterministic only per (partitioning, row order) of the target
+        // subplan. On a STAGE RETRY beneath a non-order-stable target
+        // (e.g. a groupBy), a recomputed partition can re-number rows,
+        // splitting/merging the guard's window partitions — the guard
+        // could then miss a true duplicate or raise spuriously. The
+        // alternative (keying the window on the merge-key columns) is
+        // not generally available: the ON clause is an arbitrary
+        // predicate, not a column list, so there is no canonical key to
+        // extract. Accepted risk: the guard is a VALIDATION (ANSI
+        // cardinality check), not a result transform — a retry-window
+        // anomaly can only mis-fire the assertion, never corrupt
+        // survivor rows, and local[n] (this engine's gate + bench
+        // harness) has no shuffle-fetch retries.
         val ridAlias = Alias(MonotonicallyIncreasingID(), "__graft_rid")()
         val tgtPlan: LogicalPlan =
           if (strict) Project(tCols :+ ridAlias, tgt) else tgt

@@ -103,11 +103,14 @@ object GraphOps {
             .join(outdeg, "src")
             .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
             .groupBy("node").agg(sum("c").as("in_mass"))
-          rank = graft.ops.RoundState.of(
+          // next(…, rank): materialize the new round, then free the
+          // superseded one (disk mode would otherwise accumulate a
+          // session-lifetime DISK_ONLY relation per round — r15 ADVICE)
+          rank = graft.ops.RoundState.next(
             nodes.join(contribs, Seq("node"), "left")
               .select(col("node"),
                 (lit(150000L) + expr("(coalesce(in_mass, 0L) * 85) div 100"))
-                  .as("rank")))
+                  .as("rank")), rank)
         }
         rank.select(col("node").cast("long").as("node"),
             col("rank").cast("long").as("rank"))

@@ -135,7 +135,7 @@ object Round10Ops {
           edges.select(col("src").as("node")).distinct()
             .withColumn("label", col("node")))
         for (_ <- 1 to 4) {
-          labels = edges
+          val nextLabels = edges
             .join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(col("dst").as("node"), col("label"))
             .agg(count(lit(1)).as("c"))
@@ -144,7 +144,9 @@ object Round10Ops {
             // the smallest id — one combinable aggregate, no window
             .agg(min_by(col("label"),
               struct((-col("c")).as("nc"), col("label"))).as("label"))
-          labels = graft.ops.RoundState.of(labels)
+          // next(…, labels): free the superseded round once the new one
+          // is materialized (disk mode accumulation — r15 ADVICE)
+          labels = graft.ops.RoundState.next(nextLabels, labels)
         }
         labels.orderBy("node")
       },

@@ -152,7 +152,7 @@ object Round15Ops {
         val prev = s.conf.getOption("spark.sql.graft.merge.strictCardinality")
         s.conf.set("spark.sql.graft.merge.strictCardinality", "true")
         try {
-          s.sql("""
+          val merged = s.sql("""
             MERGE INTO merge_tgt_q15 t
             USING merge_src_q15 s
             ON t.o_custkey = s.o_custkey
@@ -160,6 +160,17 @@ object Round15Ops {
               UPDATE SET cnt = t.cnt + s.cnt, total = t.total + s.total
             WHEN NOT MATCHED THEN INSERT (o_custkey, cnt, total)
                                   VALUES (s.o_custkey, s.cnt, s.total)""")
+          // Pin the two assumptions the toggle-and-restore depends on
+          // (r15 ADVICE): MergePreviewRule is a RESOLUTION rule and
+          // sql() analyzes eagerly, so by this line the strict plan is
+          // already baked in — assert it by looking for the guard's
+          // row-id in the analyzed plan, so a future move of the rule
+          // to the optimizer (or a lazily-analyzed path) fails LOUDLY
+          // here instead of silently running the non-strict plan.
+          require(merged.queryExecution.analyzed.toString.contains("__graft_rid"),
+            "strictCardinality was set but the analyzed MERGE plan has no " +
+              "cardinality guard — MergePreviewRule no longer runs at analysis")
+          merged
             .select(col("o_custkey"), col("cnt").cast("long").as("cnt"),
               col("total").cast("double").as("total"))
             .orderBy("o_custkey")

@@ -70,18 +70,18 @@ import graft.functions.Similarity
 object Round15Ops2 {
 
   // ---- index/search parameters (mirrored into the oracle text) ----
-  private val Bands = 8
-  private val Cap = 64                      // per-(band,bucket) members
-  private val BitsByLayer = Map(0 -> 5, 1 -> 4, 2 -> 3)
-  private val MOut = Map(0 -> 16, 1 -> 6, 2 -> 6)  // out-degree pre-sym
-  private val MTot = Map(0 -> 24, 1 -> 8, 2 -> 8)  // degree after sym
-  private val NndRounds = 1                 // NN-descent rounds, layer 0
-  private val Hops = Seq((2, 1, 2), (1, 1, 6), (0, 3, 64)) // (layer, hops, beam)
-  private val NQueries = 8
-  private val TopK = 10
+  private[queries] val Bands = 8
+  private[queries] val Cap = 64                      // per-(band,bucket) members
+  private[queries] val BitsByLayer = Map(0 -> 5, 1 -> 4, 2 -> 3)
+  private[queries] val MOut = Map(0 -> 16, 1 -> 6, 2 -> 6)  // out-degree pre-sym
+  private[queries] val MTot = Map(0 -> 24, 1 -> 8, 2 -> 8)  // degree after sym
+  private[queries] val NndRounds = 1                 // NN-descent rounds, layer 0
+  private[queries] val Hops = Seq((2, 1, 2), (1, 1, 6), (0, 3, 64)) // (layer, hops, beam)
+  private[queries] val NQueries = 8
+  private[queries] val TopK = 10
 
   /** Vectors + deterministic hash + HNSW level. */
-  private def leveled(s: SparkSession, d: String): DataFrame =
+  private[queries] def leveled(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .withColumn("h",
         conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
@@ -90,18 +90,18 @@ object Round15Ops2 {
         when(col("h") % 16 === 0, 2L).when(col("h") % 4 === 0, 1L)
           .otherwise(0L))
 
-  private def qscore(a: Column, b: Column): Column =
+  private[queries] def qscore(a: Column, b: Column): Column =
     floor(call_function("cosine_sim", a, b) * lit(1e9)).cast("long")
 
   /** Per-source top-M by (qs DESC, dst ASC) over a scored pair frame. */
-  private def topM(pairs: DataFrame, m: Int): DataFrame = {
+  private[queries] def topM(pairs: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("qs").desc, col("dst").asc)
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
       .select("src", "dst", "qs")
   }
 
   /** Symmetrize + bounded-degree re-cap (HNSW's reverse-link pruning). */
-  private def symCap(out: DataFrame, mTot: Int): DataFrame =
+  private[queries] def symCap(out: DataFrame, mTot: Int): DataFrame =
     topM(out.union(
         out.select(col("dst").as("src"), col("src").as("dst"), col("qs")))
       .groupBy("src", "dst").agg(max("qs").as("qs")), mTot)
@@ -110,7 +110,7 @@ object Round15Ops2 {
     * → band-dedup → top-M out-links → symmetrize → degree re-cap →
     * (layer 0) NN-descent refinement rounds. Eagerly checkpointed —
     * the list is reused by every refinement round and search hop. */
-  private def layerEdges(v: DataFrame, l: Int): DataFrame = {
+  private[queries] def layerEdges(v: DataFrame, l: Int): DataFrame = {
     val bits = BitsByLayer(l)
     val nodes = v.filter(col("lvl") >= l)
     val banded = nodes.select(col("vec_id"), col("embedding"), col("h"),
@@ -151,7 +151,8 @@ object Round15Ops2 {
           .localCheckpoint(eager = true)
       }
     }
-    edges.select("src", "dst")
+    edges  // (src, dst, qs) — qs kept so incremental maintenance
+           // (Round16Ops) can merge edge lists without re-scoring
   }
 
   /** One beam-search hop: expand frontier along `edges`, dedup, score
@@ -159,8 +160,9 @@ object Round15Ops2 {
     * short job over checkpointed inputs — the iterative-loop rule), and
     * derive the next frontier as the pool's top-`beam`. Returns
     * (checkpointed scored pool, new frontier). */
-  private def hop(frontier: DataFrame, edges: DataFrame, v: DataFrame,
-      q: DataFrame, beam: Int, ckpt: Boolean): (DataFrame, DataFrame) = {
+  private[queries] def hop(frontier: DataFrame, edges: DataFrame, v: DataFrame,
+      q: DataFrame, beam: Int, ckpt: Boolean,
+      bcast: Boolean = true): (DataFrame, DataFrame) = {
     val cand = frontier
       .union(frontier.join(edges, frontier("node") === edges("src"))
         .select(col("q_id"), col("dst").as("node")))
@@ -168,7 +170,7 @@ object Round15Ops2 {
     val scoredRaw = cand
       .join(v.select(col("vec_id"), col("embedding")),
         cand("node") === col("vec_id"))
-      .join(broadcast(q), "q_id")
+      .join(if (bcast) broadcast(q) else q, "q_id")
       .select(col("q_id"), col("node"),
         qscore(col("embedding"), col("q_emb")).as("qs"))
     // upper-layer pools are a few dozen rows over shallow checkpointed
@@ -181,100 +183,104 @@ object Round15Ops2 {
   }
 
   // ---------------- DuckDB mirror (generated from the same params) ----
-  private def bandSql(l: Int): String = {
+  private[queries] def bandSql(l: Int, extra: String = ""): String = {
     val bits = BitsByLayer(l)
     (0 until Bands).map { b =>
       s"""SELECT vec_id, embedding, h, $b AS band,
          |      ${Similarity.signBucketAtSql("embedding", bits, b * bits)}::BIGINT AS code
-         |    FROM lv WHERE lvl >= $l""".stripMargin
+         |    FROM lv WHERE lvl >= $l$extra""".stripMargin
     }.mkString("\n    UNION ALL\n    ")
   }
 
   /** topM as SQL over a scored CTE. */
-  private def topMSql(src: String, m: Int): String =
+  private[queries] def topMSql(src: String, m: Int): String =
     s"""SELECT src, dst, qs FROM (
        |    SELECT *, row_number() OVER (PARTITION BY src
        |      ORDER BY qs DESC, dst ASC) AS rn FROM $src)
        |  WHERE rn <= $m""".stripMargin
 
-  /** Seed edges for layer l: out$l (pre-sym) and e${l}r0 (sym+cap). */
-  private def edgeCtes(l: Int): String =
-    s"""bnd$l AS (
+  /** Seed edges for layer l: out$l$sfx (pre-sym) and e${l}r0 (sym+cap). */
+  private[queries] def edgeCtes(l: Int, sfx: String = "",
+      extra: String = ""): String =
+    s"""bnd$l$sfx AS MATERIALIZED (
        |  SELECT * FROM (
-       |    ${bandSql(l)}) z),
-       |cap$l AS (
+       |    ${bandSql(l, extra)}) z),
+       |cap$l$sfx AS MATERIALIZED (
        |  SELECT band, code, vec_id, embedding FROM (
        |    SELECT *, row_number() OVER (PARTITION BY band, code
-       |      ORDER BY h ASC, vec_id ASC) AS rk FROM bnd$l)
+       |      ORDER BY h ASC, vec_id ASC) AS rk FROM bnd$l$sfx)
        |  WHERE rk <= $Cap),
-       |pr$l AS (
+       |pr$l$sfx AS MATERIALIZED (
        |  SELECT src, dst, max(qs) AS qs FROM (
        |    SELECT a.vec_id AS src, b.vec_id AS dst,
        |      floor((${Similarity.cosineSql("a.embedding", "b.embedding")}) * 1e9)::BIGINT AS qs
-       |    FROM cap$l a JOIN cap$l b
+       |    FROM cap$l$sfx a JOIN cap$l$sfx b
        |      ON a.band = b.band AND a.code = b.code AND a.vec_id <> b.vec_id) z
        |  GROUP BY src, dst),
-       |out$l AS (
-       |  ${topMSql(s"pr$l", MOut(l))}),
-       |bd$l AS (
+       |out$l$sfx AS MATERIALIZED (
+       |  ${topMSql(s"pr$l$sfx", MOut(l))}),
+       |bd$l$sfx AS MATERIALIZED (
        |  SELECT src, dst, max(qs) AS qs FROM (
-       |    SELECT src, dst, qs FROM out$l
+       |    SELECT src, dst, qs FROM out$l$sfx
        |    UNION ALL
-       |    SELECT dst AS src, src AS dst, qs FROM out$l) z
+       |    SELECT dst AS src, src AS dst, qs FROM out$l$sfx) z
        |  GROUP BY src, dst),
-       |e${l}r0 AS (
-       |  ${topMSql(s"bd$l", MTot(l))})""".stripMargin
+       |e${l}${sfx}r0 AS MATERIALIZED (
+       |  ${topMSql(s"bd$l$sfx", MTot(l))})""".stripMargin
 
   /** One NN-descent round on layer 0: e0r${r-1} → e0r$r. */
-  private def nndCtes(r: Int): String =
-    s"""ndc$r AS (
-       |  SELECT src, dst FROM e0r${r - 1}
+  private[queries] def nndCtes(r: Int, sfx: String = ""): String =
+    s"""ndc$r$sfx AS MATERIALIZED (
+       |  SELECT src, dst FROM e0${sfx}r${r - 1}
        |  UNION
-       |  SELECT a.src, b.dst FROM e0r${r - 1} a JOIN e0r${r - 1} b
+       |  SELECT a.src, b.dst FROM e0${sfx}r${r - 1} a JOIN e0${sfx}r${r - 1} b
        |    ON a.dst = b.src AND b.dst <> a.src),
-       |nds$r AS (
+       |nds$r$sfx AS MATERIALIZED (
        |  SELECT c.src, c.dst,
        |    floor((${Similarity.cosineSql("x.embedding", "y.embedding")}) * 1e9)::BIGINT AS qs
-       |  FROM ndc$r c JOIN lv x ON c.src = x.vec_id
+       |  FROM ndc$r$sfx c JOIN lv x ON c.src = x.vec_id
        |              JOIN lv y ON c.dst = y.vec_id),
-       |ndo$r AS (
-       |  ${topMSql(s"nds$r", MOut(0))}),
-       |ndb$r AS (
+       |ndo$r$sfx AS MATERIALIZED (
+       |  ${topMSql(s"nds$r$sfx", MOut(0))}),
+       |ndb$r$sfx AS MATERIALIZED (
        |  SELECT src, dst, max(qs) AS qs FROM (
-       |    SELECT src, dst, qs FROM ndo$r
+       |    SELECT src, dst, qs FROM ndo$r$sfx
        |    UNION ALL
-       |    SELECT dst AS src, src AS dst, qs FROM ndo$r) z
+       |    SELECT dst AS src, src AS dst, qs FROM ndo$r$sfx) z
        |  GROUP BY src, dst),
-       |e0r$r AS (
-       |  ${topMSql(s"ndb$r", MTot(0))})""".stripMargin
+       |e0${sfx}r$r AS MATERIALIZED (
+       |  ${topMSql(s"ndb$r$sfx", MTot(0))})""".stripMargin
 
-  private def hopCtes(i: Int, l: Int, beam: Int): String = {
-    val e = if (l == 0) s"e0r$NndRounds" else s"e${l}r0"
-    s"""c$i AS (
-       |  SELECT q_id, node FROM f${i - 1}
+  private[queries] def hopCtes(i: Int, l: Int, beam: Int, sfx: String = "",
+      qn: String = "q", layer0: String = s"e0r$NndRounds"): String = {
+    val e = if (l == 0) layer0 else s"e${l}r0"
+    s"""c$i$sfx AS MATERIALIZED (
+       |  SELECT q_id, node FROM f${i - 1}$sfx
        |  UNION
-       |  SELECT f.q_id, e.dst AS node FROM f${i - 1} f JOIN $e e ON f.node = e.src),
-       |s$i AS (
+       |  SELECT f.q_id, e.dst AS node FROM f${i - 1}$sfx f JOIN $e e ON f.node = e.src),
+       |s$i$sfx AS MATERIALIZED (
        |  SELECT c.q_id, c.node,
-       |    floor((${Similarity.cosineSql("lv.embedding", "q.q_emb")}) * 1e9)::BIGINT AS qs
-       |  FROM c$i c JOIN lv ON c.node = lv.vec_id JOIN q ON c.q_id = q.q_id),
-       |f$i AS (
+       |    floor((${Similarity.cosineSql("lv.embedding", s"$qn.q_emb")}) * 1e9)::BIGINT AS qs
+       |  FROM c$i$sfx c JOIN lv ON c.node = lv.vec_id JOIN $qn ON c.q_id = $qn.q_id),
+       |f$i$sfx AS MATERIALIZED (
        |  SELECT q_id, node FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
-       |      ORDER BY qs DESC, node ASC) AS rn FROM s$i)
+       |      ORDER BY qs DESC, node ASC) AS rn FROM s$i$sfx)
        |  WHERE rn <= $beam)""".stripMargin
   }
 
-  /** The assembled mirror, with every CTE forced MATERIALIZED: DuckDB
-    * 1.0 inlines CTEs by default, and the doubly-referenced NN-descent
-    * and hop CTEs would otherwise expand EXPONENTIALLY (the first cut
-    * exhausted the process fd limit re-opening the parquet). Spark
-    * needs the same treatment — that is what the eager localCheckpoints
-    * in [[layerEdges]] are. */
-  private def hnswOracle: String = rawOracle.replace(" AS (", " AS MATERIALIZED (")
+  /** Every CTE in the generated mirrors is written `AS MATERIALIZED`
+    * AT ITS CONSTRUCTION SITE (edgeCtes/nndCtes/hopCtes/cteBody — the
+    * r15 blanket string-replace postprocess is gone; an aliased
+    * parenthesized expression added later can no longer be silently
+    * rewritten): DuckDB 1.0 inlines CTEs by default, and the
+    * doubly-referenced NN-descent and hop CTEs would otherwise expand
+    * EXPONENTIALLY (the first cut exhausted the process fd limit
+    * re-opening the parquet). Spark needs the same treatment — that is
+    * what the eager localCheckpoints in [[layerEdges]] are. */
+  private def hnswOracle: String = rawOracle
 
-  private def recallOracle: String =
-    rawRecallOracle.replace(" AS (", " AS MATERIALIZED (")
+  private def recallOracle: String = rawRecallOracle
 
   private def lastHop: Int = Hops.map(_._2).sum
 
@@ -283,8 +289,8 @@ object Round15Ops2 {
     val hopList = Hops.flatMap { case (l, n, beam) => Seq.fill(n)((l, beam)) }
     val hops = hopList.zipWithIndex
       .map { case ((l, beam), i) => hopCtes(i + 1, l, beam) }
-    val nnd = (1 to NndRounds).map(nndCtes)
-    s"""lv AS (
+    val nnd = (1 to NndRounds).map(r => nndCtes(r))
+    s"""lv AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    ('0x' || substring(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h,
        |    CASE WHEN ('0x' || substring(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 16 = 0 THEN 2
@@ -295,11 +301,11 @@ object Round15Ops2 {
        |${edgeCtes(1)},
        |${edgeCtes(0)},
        |${nnd.mkString(",\n")},
-       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM lv
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb FROM lv
        |      WHERE vec_id < $NQueries),
-       |ep AS (SELECT vec_id AS node FROM lv
+       |ep AS MATERIALIZED (SELECT vec_id AS node FROM lv
        |       ORDER BY lvl DESC, vec_id ASC LIMIT 1),
-       |f0 AS (SELECT q_id, node FROM q CROSS JOIN ep),
+       |f0 AS MATERIALIZED (SELECT q_id, node FROM q CROSS JOIN ep),
        |${hops.mkString(",\n")}""".stripMargin
   }
 
@@ -316,17 +322,17 @@ object Round15Ops2 {
     * top-K ground truth and the per-query overlap. */
   private def rawRecallOracle: String =
     s"""WITH $cteBody,
-       |ann AS (
+       |ann AS MATERIALIZED (
        |  SELECT q_id, node AS neighbor_id FROM (
        |    SELECT q_id, node, row_number() OVER (PARTITION BY q_id
        |      ORDER BY qs DESC, node ASC) AS rn
        |    FROM s$lastHop WHERE node <> q_id)
        |  WHERE rn <= $TopK),
-       |bf AS (
+       |bf AS MATERIALIZED (
        |  SELECT q.q_id, e.vec_id AS nid,
        |    floor((${Similarity.cosineSql("e.embedding", "q.q_emb")}) * 1e9)::BIGINT AS qs
        |  FROM lv e JOIN q ON e.vec_id <> q.q_id),
-       |bft AS (
+       |bft AS MATERIALIZED (
        |  SELECT q_id, nid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY q_id
        |      ORDER BY qs DESC, nid ASC) AS rn FROM bf)
