@@ -70,18 +70,18 @@ import graft.functions.Similarity
 object Round15Ops2 {
 
   // ---- index/search parameters (mirrored into the oracle text) ----
-  private[queries] val Bands = 8
-  private[queries] val Cap = 64                      // per-(band,bucket) members
-  private[queries] val BitsByLayer = Map(0 -> 5, 1 -> 4, 2 -> 3)
-  private[queries] val MOut = Map(0 -> 16, 1 -> 6, 2 -> 6)  // out-degree pre-sym
-  private[queries] val MTot = Map(0 -> 24, 1 -> 8, 2 -> 8)  // degree after sym
-  private[queries] val NndRounds = 1                 // NN-descent rounds, layer 0
-  private[queries] val Hops = Seq((2, 1, 2), (1, 1, 6), (0, 3, 64)) // (layer, hops, beam)
-  private[queries] val NQueries = 8
-  private[queries] val TopK = 10
+  private[graft] val Bands = 8
+  private[graft] val Cap = 64                      // per-(band,bucket) members
+  private[graft] val BitsByLayer = Map(0 -> 5, 1 -> 4, 2 -> 3)
+  private[graft] val MOut = Map(0 -> 16, 1 -> 6, 2 -> 6)  // out-degree pre-sym
+  private[graft] val MTot = Map(0 -> 24, 1 -> 8, 2 -> 8)  // degree after sym
+  private[graft] val NndRounds = 1                 // NN-descent rounds, layer 0
+  private[graft] val Hops = Seq((2, 1, 2), (1, 1, 6), (0, 3, 64)) // (layer, hops, beam)
+  private[graft] val NQueries = 8
+  private[graft] val TopK = 10
 
   /** Vectors + deterministic hash + HNSW level. */
-  private[queries] def leveled(s: SparkSession, d: String): DataFrame =
+  private[graft] def leveled(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .withColumn("h",
         conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
@@ -90,18 +90,18 @@ object Round15Ops2 {
         when(col("h") % 16 === 0, 2L).when(col("h") % 4 === 0, 1L)
           .otherwise(0L))
 
-  private[queries] def qscore(a: Column, b: Column): Column =
+  private[graft] def qscore(a: Column, b: Column): Column =
     floor(call_function("cosine_sim", a, b) * lit(1e9)).cast("long")
 
   /** Per-source top-M by (qs DESC, dst ASC) over a scored pair frame. */
-  private[queries] def topM(pairs: DataFrame, m: Int): DataFrame = {
+  private[graft] def topM(pairs: DataFrame, m: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("qs").desc, col("dst").asc)
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= m)
       .select("src", "dst", "qs")
   }
 
   /** Symmetrize + bounded-degree re-cap (HNSW's reverse-link pruning). */
-  private[queries] def symCap(out: DataFrame, mTot: Int): DataFrame =
+  private[graft] def symCap(out: DataFrame, mTot: Int): DataFrame =
     topM(out.union(
         out.select(col("dst").as("src"), col("src").as("dst"), col("qs")))
       .groupBy("src", "dst").agg(max("qs").as("qs")), mTot)
@@ -110,7 +110,7 @@ object Round15Ops2 {
     * → band-dedup → top-M out-links → symmetrize → degree re-cap →
     * (layer 0) NN-descent refinement rounds. Eagerly checkpointed —
     * the list is reused by every refinement round and search hop. */
-  private[queries] def layerEdges(v: DataFrame, l: Int): DataFrame = {
+  private[graft] def layerEdges(v: DataFrame, l: Int): DataFrame = {
     val bits = BitsByLayer(l)
     val nodes = v.filter(col("lvl") >= l)
     val banded = nodes.select(col("vec_id"), col("embedding"), col("h"),
@@ -160,7 +160,7 @@ object Round15Ops2 {
     * short job over checkpointed inputs — the iterative-loop rule), and
     * derive the next frontier as the pool's top-`beam`. Returns
     * (checkpointed scored pool, new frontier). */
-  private[queries] def hop(frontier: DataFrame, edges: DataFrame, v: DataFrame,
+  private[graft] def hop(frontier: DataFrame, edges: DataFrame, v: DataFrame,
       q: DataFrame, beam: Int, ckpt: Boolean,
       bcast: Boolean = true): (DataFrame, DataFrame) = {
     val cand = frontier
@@ -183,7 +183,7 @@ object Round15Ops2 {
   }
 
   // ---------------- DuckDB mirror (generated from the same params) ----
-  private[queries] def bandSql(l: Int, extra: String = ""): String = {
+  private[graft] def bandSql(l: Int, extra: String = ""): String = {
     val bits = BitsByLayer(l)
     (0 until Bands).map { b =>
       s"""SELECT vec_id, embedding, h, $b AS band,
@@ -193,14 +193,14 @@ object Round15Ops2 {
   }
 
   /** topM as SQL over a scored CTE. */
-  private[queries] def topMSql(src: String, m: Int): String =
+  private[graft] def topMSql(src: String, m: Int): String =
     s"""SELECT src, dst, qs FROM (
        |    SELECT *, row_number() OVER (PARTITION BY src
        |      ORDER BY qs DESC, dst ASC) AS rn FROM $src)
        |  WHERE rn <= $m""".stripMargin
 
   /** Seed edges for layer l: out$l$sfx (pre-sym) and e${l}r0 (sym+cap). */
-  private[queries] def edgeCtes(l: Int, sfx: String = "",
+  private[graft] def edgeCtes(l: Int, sfx: String = "",
       extra: String = ""): String =
     s"""bnd$l$sfx AS MATERIALIZED (
        |  SELECT * FROM (
@@ -229,7 +229,7 @@ object Round15Ops2 {
        |  ${topMSql(s"bd$l$sfx", MTot(l))})""".stripMargin
 
   /** One NN-descent round on layer 0: e0r${r-1} → e0r$r. */
-  private[queries] def nndCtes(r: Int, sfx: String = ""): String =
+  private[graft] def nndCtes(r: Int, sfx: String = ""): String =
     s"""ndc$r$sfx AS MATERIALIZED (
        |  SELECT src, dst FROM e0${sfx}r${r - 1}
        |  UNION
@@ -251,7 +251,7 @@ object Round15Ops2 {
        |e0${sfx}r$r AS MATERIALIZED (
        |  ${topMSql(s"ndb$r$sfx", MTot(0))})""".stripMargin
 
-  private[queries] def hopCtes(i: Int, l: Int, beam: Int, sfx: String = "",
+  private[graft] def hopCtes(i: Int, l: Int, beam: Int, sfx: String = "",
       qn: String = "q", layer0: String = s"e0r$NndRounds"): String = {
     val e = if (l == 0) layer0 else s"e${l}r0"
     s"""c$i$sfx AS MATERIALIZED (
@@ -282,7 +282,7 @@ object Round15Ops2 {
 
   private def recallOracle: String = rawRecallOracle
 
-  private def lastHop: Int = Hops.map(_._2).sum
+  private[graft] def lastHop: Int = Hops.map(_._2).sum
 
   /** Every CTE through the final scored pool s<lastHop> (no SELECT). */
   private def cteBody: String = {

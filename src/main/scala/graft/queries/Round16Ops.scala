@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Similarity
+import graft.ops.HnswIndex
+import Round15Ops2._
+
+/** Round-16 batch 1: INCREMENTAL ANN-index maintenance — the verdict's
+  * top item. q_similarity_hnsw (r15) builds its navigable-graph index
+  * from scratch every run; a production embedding corpus instead GROWS,
+  * and rebuilding an ~N-node bottom layer per nightly batch is the cost
+  * incremental maintenance exists to delete.
+  *
+  * Scenario (SF-stable, the q_dedup_incremental split discipline):
+  * vectors with vec_id % 10 ≠ 0 are the STANDING corpus (90 %) whose
+  * index was built long ago; vec_id % 10 = 0 arrive as the appended
+  * batch (10 %). [[graft.ops.HnswIndex.insert]] absorbs the batch —
+  * every new vector beam-descends the standing index and links to its
+  * final scored pool (insert = search, the real HNSW algorithm), upper
+  * layers are rebuilt over the merged set (≤ N/4 nodes, geometric
+  * cost), and affected degrees re-cap to M_tot. The same 8 query
+  * vectors as q_similarity_hnsw then search the MAINTAINED index, so
+  * the two queries' outputs are directly comparable and the recall
+  * twin below grades the maintained index against exact ground truth
+  * on every gate run.
+  *
+  * The DuckDB mirror replays the whole lifecycle — base build (capped
+  * sign-LSH + NN-descent over the 90 %), full-corpus upper layers,
+  * batch descent, edge merge + re-cap, final search — from the same
+  * generated CTE templates as the r15 oracle, so the hash gate checks
+  * the maintained index edge-for-edge, not an idealization.
+  */
+object Round16Ops {
+
+  /** Batch split: vec_id % BatchMod == 0 is the appended 10 %. */
+  private val BatchMod = 10
+
+  /** Build-standing + insert-batch + search, shared by the top-K query
+    * and its recall readout: returns (merged vectors, top-K result). */
+  private def maintained(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.CosineSimExpr.register(s)
+    val v = leveled(s, d).localCheckpoint(eager = true)
+    val base = v.filter(col("vec_id") % BatchMod =!= 0)
+    val e0b = HnswIndex.buildE0(base)
+    val batch = v.filter(col("vec_id") % BatchMod === 0)
+      .select("vec_id", "embedding")
+    val (v2, e0, e1, e2) = HnswIndex.insert(base, e0b, batch)
+    val q = v2.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    (v2, HnswIndex.topk(v2, e0, e1, e2, q))
+  }
+
+  // ---------------- DuckDB mirror (generated from the same params) ----
+
+  private def lvCte: String =
+    """lv AS MATERIALIZED (
+      |  SELECT vec_id, embedding,
+      |    ('0x' || substring(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h,
+      |    CASE WHEN ('0x' || substring(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 16 = 0 THEN 2
+      |         WHEN ('0x' || substring(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 4 = 0 THEN 1
+      |         ELSE 0 END AS lvl
+      |  FROM embeddings)""".stripMargin
+
+  /** Every CTE through the final scored pool s<lastHop>m: base layer-0
+    * build (suffix b, member filter % 10 ≠ 0) + NN-descent, full-corpus
+    * upper layers (the r15 CTEs verbatim — base ∪ batch = everyone),
+    * batch descent (suffix i, query table qi = the batch), new-edge
+    * merge + degree re-cap (e0m), final 8-query search (suffix m). */
+  private def incCteBody: String = {
+    val hopList = Hops.flatMap { case (l, n, beam) => Seq.fill(n)((l, beam)) }
+    val insHops = hopList.zipWithIndex.map { case ((l, beam), i) =>
+      hopCtes(i + 1, l, beam, sfx = "i", qn = "qi", layer0 = s"e0br$NndRounds") }
+    val finHops = hopList.zipWithIndex.map { case ((l, beam), i) =>
+      hopCtes(i + 1, l, beam, sfx = "m", qn = "q", layer0 = "e0m") }
+    val nndB = (1 to NndRounds).map(r => nndCtes(r, "b"))
+    s"""$lvCte,
+       |${edgeCtes(2)},
+       |${edgeCtes(1)},
+       |${edgeCtes(0, sfx = "b", extra = s" AND vec_id % $BatchMod <> 0")},
+       |${nndB.mkString(",\n")},
+       |qi AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb FROM lv
+       |      WHERE vec_id % $BatchMod = 0),
+       |ep AS MATERIALIZED (SELECT vec_id AS node FROM lv
+       |       ORDER BY lvl DESC, vec_id ASC LIMIT 1),
+       |f0i AS MATERIALIZED (SELECT q_id, node FROM qi CROSS JOIN ep),
+       |${insHops.mkString(",\n")},
+       |newout AS MATERIALIZED (
+       |  SELECT src, dst, qs FROM (
+       |    SELECT q_id AS src, node AS dst, qs,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY qs DESC, node ASC) AS rn
+       |    FROM s${lastHop}i WHERE node <> q_id)
+       |  WHERE rn <= ${MOut(0)}),
+       |mgp AS MATERIALIZED (
+       |  SELECT src, dst, max(qs) AS qs FROM (
+       |    SELECT src, dst, qs FROM e0br$NndRounds
+       |    UNION ALL
+       |    SELECT src, dst, qs FROM newout
+       |    UNION ALL
+       |    SELECT dst AS src, src AS dst, qs FROM newout) z
+       |  GROUP BY src, dst),
+       |e0m AS MATERIALIZED (
+       |  ${topMSql("mgp", MTot(0))}),
+       |q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb FROM lv
+       |      WHERE vec_id < $NQueries),
+       |f0m AS MATERIALIZED (SELECT q_id, node FROM q CROSS JOIN ep),
+       |${finHops.mkString(",\n")}""".stripMargin
+  }
+
+  private def incOracle: String =
+    s"""WITH $incCteBody
+       |SELECT q_id, rn::BIGINT AS rn, neighbor_id, qs AS qscore FROM (
+       |  SELECT q_id, node AS neighbor_id, qs,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY qs DESC, node ASC) AS rn
+       |  FROM s${lastHop}m WHERE node <> q_id)
+       |WHERE rn <= $TopK ORDER BY q_id, rn""".stripMargin
+
+  /** Recall mirror: the same maintained-index CTEs plus exact
+    * brute-force top-K ground truth over the MERGED corpus and the
+    * per-query overlap — the r15 q_similarity_hnsw_recall discipline
+    * applied to the incrementally maintained index. */
+  private def incRecallOracle: String =
+    s"""WITH $incCteBody,
+       |ann AS MATERIALIZED (
+       |  SELECT q_id, node AS neighbor_id FROM (
+       |    SELECT q_id, node, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY qs DESC, node ASC) AS rn
+       |    FROM s${lastHop}m WHERE node <> q_id)
+       |  WHERE rn <= $TopK),
+       |bf AS MATERIALIZED (
+       |  SELECT q.q_id, e.vec_id AS nid,
+       |    floor((${Similarity.cosineSql("e.embedding", "q.q_emb")}) * 1e9)::BIGINT AS qs
+       |  FROM lv e JOIN q ON e.vec_id <> q.q_id),
+       |bft AS MATERIALIZED (
+       |  SELECT q_id, nid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY qs DESC, nid ASC) AS rn FROM bf)
+       |  WHERE rn <= $TopK)
+       |SELECT t.q_id, count(a.neighbor_id)::BIGINT AS hits,
+       |  count(a.neighbor_id)::DOUBLE / $TopK.0 AS recall
+       |FROM bft t LEFT JOIN ann a
+       |  ON t.q_id = a.q_id AND t.nid = a.neighbor_id
+       |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q_similarity_hnsw_incremental",
+      (s, d) => maintained(s, d)._2.orderBy("q_id", "rn"),
+      incOracle),
+
+    // Recall@10 of the MAINTAINED index vs exact brute force, as an
+    // oracle-checked query — the gate grades the incremental path's
+    // quality claim on every run at every SF. Expected at the gate
+    // corpora: 1.0 on all 8 queries at N=500; 0.988 avg at N=2000
+    // (vs the from-scratch build's 0.950 — insertion-by-search places
+    // batch nodes with a beam-64 probe, sharper than one-shot LSH
+    // seeding; Round16Spec pins incremental ≥ from-scratch).
+    //
+    // Scale shape: brute-force side is the allowlisted broadcast
+    // 8-query fan-out (the calibration-query class); everything else
+    // is the maintained index the main query already builds.
+    QueryDef("q_similarity_hnsw_incremental_recall",
+      (s, d) => {
+        val (v, top) = maintained(s, d)
+        val ann = top.select(col("q_id"), col("neighbor_id"))
+        val q = v.filter(col("vec_id") < NQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        val bf = v.select(col("vec_id").as("nid"), col("embedding"))
+          .join(broadcast(q), col("nid") =!= col("q_id"))
+          .select(col("q_id"), col("nid"),
+            qscore(col("embedding"), col("q_emb")).as("qs"))
+        val wt = Window.partitionBy("q_id").orderBy(col("qs").desc, col("nid").asc)
+        val truth = bf.withColumn("rn", row_number().over(wt))
+          .filter(col("rn") <= TopK).select("q_id", "nid")
+        truth.join(ann,
+            truth("q_id") === ann("q_id") && truth("nid") === ann("neighbor_id"),
+            "left")
+          .select(truth("q_id").as("qid"), ann("neighbor_id").as("hit"))
+          .groupBy("qid")
+          .agg(count(col("hit")).as("hits"))
+          .select(col("qid").as("q_id"), col("hits"),
+            (col("hits").cast("double") / lit(TopK.toDouble)).as("recall"))
+          .orderBy("q_id")
+      },
+      incRecallOracle))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.HnswIndex
+
+/** Round-16 pins for incremental HNSW maintenance:
+  *   1. recall@10 of the MAINTAINED index ≥ the from-scratch build's on
+  *      the same corpus (the verdict's done-bar) — both read from the
+  *      two oracle-checked recall queries' own Spark paths;
+  *   2. index invariants the insert must preserve: every source's
+  *      out-degree ≤ M_tot, and every inserted batch node has out-links
+  *      (reachable / searchable);
+  *   3. the maintained index differs from a from-scratch build only in
+  *      HOW batch nodes found their neighbors — both must contain every
+  *      batch node as a source.
+  */
+class Round16Spec extends SparkSpec {
+
+  private def avgRecall(name: String): Double = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    val rows = df.select(avg(col("recall"))).head()
+    rows.getDouble(0)
+  }
+
+  test("incremental recall@10 >= from-scratch recall@10 (same corpus)") {
+    val scratch = avgRecall("q_similarity_hnsw_recall")
+    val inc = avgRecall("q_similarity_hnsw_incremental_recall")
+    assert(inc >= scratch,
+      s"maintained index recall $inc below from-scratch $scratch")
+    assert(inc >= 0.90, s"maintained index recall $inc below the 0.90 bar")
+  }
+
+  test("insert preserves degree cap and links every batch node") {
+    graft.functions.CosineSimExpr.register(spark)
+    val v = graft.queries.Round15Ops2.leveled(spark, sf)
+      .localCheckpoint(eager = true)
+    val base = v.filter(col("vec_id") % 10 =!= 0)
+    val e0b = HnswIndex.buildE0(base)
+    val batch = v.filter(col("vec_id") % 10 === 0).select("vec_id", "embedding")
+    val (v2, e0, _, _) = HnswIndex.insert(base, e0b, batch)
+
+    // merged vector set = the whole corpus
+    assert(v2.count() == v.count())
+
+    // degree cap: the re-cap must hold for EVERY source, old or new
+    val mTot = graft.queries.Round15Ops2.MTot(0)
+    val maxDeg = e0.groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(maxDeg <= mTot, s"out-degree $maxDeg exceeds M_tot $mTot")
+
+    // every batch node got out-links (insertion search found a pool)
+    val batchN = batch.count()
+    val linked = e0.join(batch.select(col("vec_id").as("src")), "src")
+      .select("src").distinct().count()
+    assert(linked == batchN, s"only $linked of $batchN batch nodes linked")
+
+    // and reverse links made them reachable FROM the standing corpus
+    val reachable = e0.join(batch.select(col("vec_id").as("dst")), "dst")
+      .select("dst").distinct().count()
+    assert(reachable == batchN,
+      s"only $reachable of $batchN batch nodes reachable from standing nodes")
+  }
+}
