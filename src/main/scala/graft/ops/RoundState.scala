@@ -52,6 +52,28 @@ object RoundState {
       case _ => df.localCheckpoint(eager = true)
     }
 
+  /** Persist-and-materialize as a CacheManager leaf — MEMORY_AND_DISK
+    * by default, DISK_ONLY under the disk conf. Same lineage-truncation
+    * effect as [[of]] (an InMemoryRelation plans as a leaf and preserves
+    * child partitioning), but WITHOUT localCheckpoint's LogicalRDD
+    * conversion. Required when the materialized frame later lands under
+    * a UNION: LogicalRDD's originConstraints can carry a constraint
+    * referencing an attribute PRUNED from the output (observed when the
+    * checkpointed plan ends in a filter comparing columns of two join
+    * sides, e.g. `new.label < old.label`), and Union.rewriteConstraints
+    * then throws key-not-found at planning time — round-16 finding,
+    * q_graph_components round 2. The delta-propagation loops fold their
+    * round state under unions every round, so they pin with this. */
+  def pinned(df: DataFrame): DataFrame = {
+    val lvl =
+      if (df.sparkSession.conf.get("spark.graft.graph.roundState", "memory") == "disk")
+        StorageLevel.DISK_ONLY
+      else StorageLevel.MEMORY_AND_DISK
+    val p = df.persist(lvl)
+    p.count()
+    p
+  }
+
   /** Materialize the next round and free the round it supersedes.
     * Safe order: `df` (built FROM `prev`) is fully materialized before
     * `prev`'s blocks go — the new relation never recomputes through

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Round-16 batch 2: delta propagation for iterative graph rounds —
+  * the Pregel halting idiom (per round, persist only CHANGED pairs;
+  * recompute only nodes with a changed in-neighbor), in two variants
+  * whose contrast is the round's measured finding:
+  *
+  *   - q_graph_labelprop_delta — the r15 verdict's ask, applied to
+  *     q_graph_labelprop's synchronous frequency-argmax rounds. The
+  *     machinery is exact (recomputing only changed-adjacent nodes
+  *     cannot miss an update: untouched in-neighborhoods have
+  *     untouched counts), and the gate pins bit-identical labels via
+  *     the classic variant's oracle verbatim. MEASURED, however
+  *     (ProfDelta16 at sf0.1): Δ = 21 000 = N on EVERY round —
+  *     synchronous label propagation on a bipartite graph OSCILLATES
+  *     (the two sides exchange label mass each round; Raghavan et
+  *     al.'s known 2-cycle), so the hypothesized shrink never comes
+  *     and total live state is rounds·N, the same as the classic
+  *     loop's. The variant stands as the exactness proof of the
+  *     idiom and the honest negative result; the classic loop stays
+  *     the default for this oscillating family.
+  *   - q_graph_components (below) — the MONOTONE propagation where
+  *     the same idiom genuinely pays: deltas shrink to empty and the
+  *     loop halts early, exactly.
+  *
+  * Shared mechanics: round state = Δᵢ, the only frame
+  * [[graft.ops.RoundState]] persists; current labels are never
+  * persisted — curᵢ folds from the checkpointed leaves (base ∪ Δ₁…Δᵢ)
+  * with one partial-agg groupBy, O(N + ΣΔ) rows through one shuffle,
+  * plan depth CONSTANT in the round count (every input is a
+  * checkpoint leaf, so AQE re-planning cannot compound — the r13
+  * lineage rule). Per round the edge table is probed once with a hash
+  * semi-join on dst (no reshuffle of the edge side — it stays
+  * repartition(src)-checkpointed exactly like the classic loop) and
+  * only edges INTO affected nodes reach the aggregation shuffle.
+  */
+object Round16Ops2 {
+
+  private val Rounds = 4
+  private val CcMaxRounds = 20
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q_graph_labelprop_delta",
+      (s, d) => {
+        val pairs = GraphOps.bipartitePairs(s, d)
+        val edges = graft.ops.RoundState.of(
+          pairs.select(col("p").as("src"), col("q").as("dst"))
+            .union(pairs.select(col("q").as("src"), col("p").as("dst")))
+            .repartition(col("src")))
+        // base labels (round 0): every node its own label — the last
+        // full-width frame this query ever materializes
+        val base = graft.ops.RoundState.pinned(
+          edges.select(col("src").as("node")).distinct()
+            .withColumn("label", col("node")))
+        // Δ₀ = base (round 1 recomputes everyone, like the classic loop)
+        var delta = base
+        // checkpointed leaves the current-label view is folded from
+        var pieces = Vector(base.withColumn("r", lit(0)))
+        def cur(): DataFrame = pieces.reduce(_ unionByName _)
+          .groupBy("node")
+          .agg(max_by(col("label"), col("r")).as("label"))
+        for (i <- 1 to Rounds) {
+          val affected = edges
+            .join(delta.select(col("node").as("src")), "src")
+            .select(col("dst").as("node")).distinct()
+          val curLabels = cur()
+          val recomputed = edges
+            .join(affected.withColumnRenamed("node", "dst"), Seq("dst"),
+              "left_semi")
+            .join(curLabels.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node"), col("label"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy("node")
+            // identical argmax to the classic loop: most frequent label,
+            // tie to the smallest id — one combinable aggregate
+            .agg(min_by(col("label"),
+              struct((-col("c")).as("nc"), col("label"))).as("label"))
+          // Δᵢ = recomputed nodes whose label actually moved; the ONLY
+          // frame this round persists
+          val nextDelta = recomputed.as("n")
+            .join(curLabels.as("o"), col("n.node") === col("o.node"))
+            .filter(col("n.label") =!= col("o.label"))
+            .select(col("n.node").as("node"), col("n.label").as("label"))
+          // RoundState.pinned, NOT next()/of(): Δᵢ₋₁ stays a live
+          // leaf of every later cur() fold (freeing it would re-open
+          // the lineage the pin exists to truncate), and pinned()
+          // dodges the LogicalRDD originConstraints bug a checkpointed
+          // frame triggers under the cur() union (see RoundState
+          // scaladoc). Live state is ΣΔ — which on THIS oscillating
+          // graph is rounds·N, no better than the classic loop (the
+          // measured negative result in the object scaladoc); on a
+          // converging graph it shrinks per round
+          delta = graft.ops.RoundState.pinned(nextDelta)
+          pieces = pieces :+ delta.withColumn("r", lit(i))
+        }
+        cur().orderBy("node")
+      },
+      // the CLASSIC variant's oracle verbatim — delta propagation is an
+      // execution strategy, not a semantics change
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM lineitem),
+         |edges AS (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL SELECT q AS src, p AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         |${(1 to Rounds).map(i =>
+             s"""c$i AS (
+                |  SELECT e.dst AS node, l.label, count(*) AS c
+                |  FROM edges e JOIN l${i - 1} l ON e.src = l.node
+                |  GROUP BY 1, 2),
+                |l$i AS (
+                |  SELECT node, label FROM (
+                |    SELECT node, label, row_number() OVER (
+                |      PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+                |    FROM c$i) WHERE rn = 1)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT node, label FROM l$Rounds ORDER BY node""".stripMargin),
+
+    // Connected components via MIN-LABEL propagation — the graph
+    // operator where the halting idiom genuinely pays, because the
+    // update is MONOTONE (labels only decrease), so the changed set
+    // shrinks to EMPTY and stays there: measured deltas on the
+    // thresholded graph at sf0.1: 7 260 → 2 169 → 4 876 → … → 91 → 0
+    // after 18 rounds; sf0.001/sf0.01 converge in 3/5. The loop runs a
+    // fixed cap of 20 rounds (mirrored by the unrolled oracle) but
+    // EXITS at the first empty delta — exact, because an empty delta is
+    // a fixpoint of a monotone update: every later unrolled round is
+    // the identity, so "stop early" and "run all 20" are the same
+    // labels. Cost therefore tracks ACTUAL convergence, not the cap —
+    // on an already-converged corpus the round costs nothing.
+    //
+    // Graph: part↔supplier pairs co-occurring on ≥2 lineitems (the
+    // threshold fragments the giant component into 44 real components
+    // at sf0.1 — the "strong co-occurrence" graph an analyst actually
+    // clusters). State per round = Δᵢ only; current labels fold from
+    // the checkpointed leaves with ONE partial-agg min (labels only
+    // decrease, so min over history == latest — no round tags needed).
+    QueryDef("q_graph_components",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val pairs = li
+          .groupBy((col("l_partkey") * 2).as("p"),
+            (col("l_suppkey") * 2 + 1).as("q"))
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+          .select("p", "q")
+        val edges = graft.ops.RoundState.of(
+          pairs.select(col("p").as("src"), col("q").as("dst"))
+            .union(pairs.select(col("q").as("src"), col("p").as("dst")))
+            .repartition(col("src")))
+        val base = graft.ops.RoundState.pinned(
+          edges.select(col("src").as("node")).distinct()
+            .withColumn("label", col("node")))
+        var delta = base
+        // each piece goes through a fresh select(): unioning the raw
+        // checkpointed frames trips UnionBase.rewriteConstraints on a
+        // constraint attribute the checkpoint leaf no longer exposes
+        // (key-not-found at analysis); a Project child normalizes the
+        // constraint set — found while gating this query at sf0.001
+        var pieces = Vector(base.select("node", "label"))
+        // min over the full history == the current label (monotone)
+        def cur(): DataFrame = pieces.reduce(_ unionByName _)
+          .groupBy("node").agg(min("label").as("label"))
+        var round = 0
+        var converged = false
+        while (round < CcMaxRounds && !converged) {
+          round += 1
+          val affected = edges
+            .join(delta.select(col("node").as("src")), "src")
+            .select(col("dst").as("node")).distinct()
+          val curLabels = cur()
+          // min incoming label among changed-adjacent nodes only
+          val nbMin = edges
+            .join(affected.withColumnRenamed("node", "dst"), Seq("dst"),
+              "left_semi")
+            .join(curLabels.withColumnRenamed("node", "src"), "src")
+            .groupBy(col("dst").as("node")).agg(min("label").as("nb"))
+          val nextDelta = nbMin.as("n")
+            .join(curLabels.as("o"), col("n.node") === col("o.node"))
+            .filter(col("n.nb") < col("o.label"))
+            .select(col("n.node").as("node"), col("n.nb").as("label"))
+          delta = graft.ops.RoundState.pinned(nextDelta)
+          pieces = pieces :+ delta.select("node", "label")
+          // empty Δ = fixpoint of a monotone update: the remaining
+          // unrolled oracle rounds are the identity — exact early exit
+          converged = delta.limit(1).isEmpty
+        }
+        cur().select(col("node"), col("label").as("component"))
+          .orderBy("node")
+      },
+      // every CTE MATERIALIZED: l(i-1) is referenced twice per round
+      // (self ∪ neighbor join), so DuckDB's default inlining would
+      // expand 2^rounds references to the parquet — the r15 fd-blowup
+      // lesson, emitted at the construction site per the r16 ADVICE fix
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS q
+         |  FROM lineitem GROUP BY 1, 2 HAVING count(*) >= 2),
+         |edges AS MATERIALIZED (
+         |  SELECT p AS src, q AS dst FROM pairs
+         |  UNION ALL SELECT q AS src, p AS dst FROM pairs),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges),
+         |${(1 to CcMaxRounds).map(i =>
+             s"""l$i AS MATERIALIZED (
+                |  SELECT node, min(label) AS label FROM (
+                |    SELECT node, label FROM l${i - 1}
+                |    UNION ALL
+                |    SELECT e.dst AS node, l.label FROM edges e
+                |    JOIN l${i - 1} l ON e.src = l.node) z
+                |  GROUP BY node)""".stripMargin)
+            .mkString(",\n")}
+         |SELECT node, label AS component FROM l$CcMaxRounds
+         |ORDER BY node""".stripMargin))
+
+}

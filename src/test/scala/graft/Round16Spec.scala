@@ -31,6 +31,26 @@ class Round16Spec extends SparkSpec {
     assert(inc >= 0.90, s"maintained index recall $inc below the 0.90 bar")
   }
 
+  test("q_graph_components: labels are a fixpoint and roots label themselves") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_graph_components")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // component id never exceeds the node id (min-label propagation)
+    assert(got.forall { case (n, c) => c <= n })
+    // the root labels itself — labels are actual member nodes
+    assert(got.forall { case (_, c) => got(c) == c })
+    // fixpoint: one more neighbor-min round changes nothing (early exit
+    // at the empty delta was exact, not truncation)
+    val edges = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy((col("l_partkey") * 2).as("p"), (col("l_suppkey") * 2 + 1).as("q"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("p").cast("long").as("src"), col("q").cast("long").as("dst"))
+      .collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    val moved = edges.filter { case (u, v) => got(u) < got(v) }
+    assert(moved.isEmpty, s"not a fixpoint: ${moved.take(3).toSeq}")
+  }
+
   test("insert preserves degree cap and links every batch node") {
     graft.functions.CosineSimExpr.register(spark)
     val v = graft.queries.Round15Ops2.leveled(spark, sf)
