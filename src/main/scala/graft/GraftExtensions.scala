@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimExpr, DotProductExpr, LnIeee, RewriteDotProduct, SortedIntersectSize}
+import graft.functions.{CosineSimExpr, DotProductExpr, LnIeee, RewriteDotProduct, SlidingWindows, SortedIntersectSize}
 
 /** Session extensions registering the engine's native Catalyst expressions
   * as SQL functions — the official injection point
@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[LnIeee].getName, "ln_ieee"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         LnIeee(exprs.head)))
+    // generator (UDTF) rung: native sliding shingle/chunk windows —
+    // row expansion without the posexplode-side all-windows array
+    e.injectFunction((
+      new FunctionIdentifier("sliding_windows"),
+      new ExpressionInfo(classOf[SlidingWindows].getName, "sliding_windows"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SlidingWindows(exprs(0), exprs(1), exprs(2), exprs(3))))
     e.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),

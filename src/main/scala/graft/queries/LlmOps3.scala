@@ -93,13 +93,16 @@ FROM kept GROUP BY doc_id ORDER BY doc_id"""),
     QueryDef("q_dedup_substring",
       (s, d) => {
         val W = 8
+        graft.functions.SlidingWindows.register(s)
+        // native Generator (r16): the posexplode∘transform∘sequence∘slice
+        // composition materialized the full n·W-token window array per
+        // row before exploding; sliding_windows streams the same windows
+        // (byte-identical content — the gate re-proves the hashes)
         val ws = split(col("text"), " ")
-        val wins = when(size(ws) >= W,
-          transform(sequence(lit(1), size(ws) - W + 1),
-            i => concat_ws(" ", slice(ws, i, lit(W)))))
-          .otherwise(array().cast("array<string>"))
         val rows = Tables.documents(s, d)
-          .select(col("doc_id"), posexplode(wins)).toDF("doc_id", "pos", "win")
+          .select(col("doc_id"),
+            call_function("sliding_windows", ws, lit(W), lit(1), lit(false)))
+          .toDF("doc_id", "pos", "win")
           .select(col("doc_id"), col("pos"), xxhash64(col("win")).as("dig"))
           .localCheckpoint(eager = false) // fans out to the count + the semi join
         val crossDoc = rows.groupBy("dig")
@@ -151,14 +154,15 @@ FROM kept GROUP BY doc_id ORDER BY doc_id"""),
     QueryDef("q_dedup_substring_spans",
       (s, d) => {
         val W = 8
+        graft.functions.SlidingWindows.register(s)
         val ws = split(col("text"), " ")
-        val wins = when(size(ws) >= W,
-          transform(sequence(lit(1), size(ws) - W + 1),
-            i => concat_ws(" ", slice(ws, i, lit(W)))))
-          .otherwise(array().cast("array<string>"))
         val rows = Tables.documents(s, d)
-          .select(col("doc_id"), posexplode(wins)).toDF("doc_id", "pos", "win")
-          // posexplode is 0-based; word positions (and the oracle's
+          .select(col("doc_id"),
+            // the q_dedup_substring generator (r16) — same windows, no
+            // all-windows intermediate array
+            call_function("sliding_windows", ws, lit(W), lit(1), lit(false)))
+          .toDF("doc_id", "pos", "win")
+          // generator pos is 0-based; word positions (and the oracle's
           // range()) are 1-based
           .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
             xxhash64(col("win")).as("dig"))
@@ -284,13 +288,16 @@ FROM st ORDER BY doc_id"""),
     QueryDef("q_text_chunks",
       (s, d) => {
         val size32 = 32; val stride = 24
+        graft.functions.SlidingWindows.register(s)
+        // native Generator (r16), partial = true: same window count
+        // (1 + ceil(max(n-32,0)/24)) and clamped last chunk as the old
+        // posexplode∘transform composition, without materializing every
+        // chunk in one array cell first
         val ws = split(col("text"), " ")
-        val overflow = greatest(size(ws) - size32, lit(0)).cast("double")
-        val nWins = (floor((overflow + (stride - 1)) / stride) + 1).cast("int")
         Tables.documents(s, d)
           .select(col("doc_id"),
-            posexplode(transform(sequence(lit(0), nWins - 1),
-              k => concat_ws(" ", slice(ws, k * stride + 1, lit(size32))))))
+            call_function("sliding_windows", ws, lit(size32), lit(stride),
+              lit(true)))
           .toDF("doc_id", "chunk_idx", "chunk_text")
           .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
             col("chunk_text"),

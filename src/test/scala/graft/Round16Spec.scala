@@ -31,6 +31,64 @@ class Round16Spec extends SparkSpec {
     assert(inc >= 0.90, s"maintained index recall $inc below the 0.90 bar")
   }
 
+  test("sliding_windows generator: fused GenerateExec, no all-windows array") {
+    graft.functions.SlidingWindows.register(spark)
+    // q_text_chunks: the generate is in the final plan directly
+    val chunksPlan = SparkEntry.queries("q_text_chunks")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // q_dedup_substring: its rows frame is localCheckpoint'd (the plan
+    // leaf hides the subtree), so pin the pre-checkpoint fragment the
+    // query builds — same expression, same plan shape
+    val subPlan = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), call_function("sliding_windows",
+        split(col("text"), " "), lit(8), lit(1), lit(false)))
+      .queryExecution.executedPlan.toString
+    for ((q, plan) <- Seq("q_text_chunks" -> chunksPlan,
+        "q_dedup_substring rows" -> subPlan)) {
+      assert(plan.contains("slidingwindows") || plan.contains("sliding_windows")
+          || plan.contains("SlidingWindows"),
+        s"$q: no SlidingWindows generate in the plan:\n$plan")
+      assert(plan.contains("Generate"), s"$q: no GenerateExec in the plan")
+      // the composition it replaced built the full window array first
+      assert(!plan.contains("transform(sequence"),
+        s"$q: the all-windows transform(sequence…) projection is back")
+    }
+  }
+
+  test("sliding_windows == posexplode∘transform composition, both modes") {
+    import spark.implicits._
+    graft.functions.SlidingWindows.register(spark)
+    // docs spanning the edge cases: empty string, < size, == size,
+    // size+1, long, exact stride boundary
+    val docs = Seq("", "a", (1 to 7).map("w" + _).mkString(" "),
+      (1 to 8).map("w" + _).mkString(" "), (1 to 9).map("w" + _).mkString(" "),
+      (1 to 80).map("w" + _).mkString(" "), (1 to 56).map("w" + _).mkString(" "))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    for ((sz, st, partial) <- Seq((8, 1, false), (32, 24, true), (5, 3, false),
+        (5, 3, true))) {
+      val ws = split(col("text"), " ")
+      val got = docs.select(col("doc_id"),
+          call_function("sliding_windows", ws, lit(sz), lit(st), lit(partial)))
+        .toDF("doc_id", "pos", "win")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      val nFull = when(size(ws) >= sz,
+        floor((size(ws) - sz).cast("double") / st).cast("int") + 1).otherwise(0)
+      val nPart = (floor((greatest(size(ws) - sz, lit(0)).cast("double")
+        + (st - 1)) / st) + 1).cast("int")
+      val n = if (partial) nPart else nFull
+      // guard n == 0: sequence(0, -1) DESCENDS in Spark — the original
+      // composition guarded with when(size >= W, …).otherwise(array())
+      val exp = docs.select(col("doc_id"),
+          posexplode(when(n > 0, transform(sequence(lit(0), n - 1),
+              k => concat_ws(" ", slice(ws, k * st + 1, lit(sz)))))
+            .otherwise(array().cast("array<string>"))))
+        .toDF("doc_id", "pos", "win")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == exp, s"mode ($sz,$st,$partial): generator != composition")
+    }
+  }
+
   test("q_graph_components: labels are a fixpoint and roots label themselves") {
     import spark.implicits._
     val got = SparkEntry.queries("q_graph_components")(spark, sf)
