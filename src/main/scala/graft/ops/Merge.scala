@@ -34,4 +34,30 @@ object Merge {
     base.as("b").join(updates.as("u"), cond, "full_outer")
       .select(merged.toIndexedSeq: _*)
   }
+
+  /** EXECUTE a `MERGE INTO` statement against a session-catalog table
+    * (round 16 — the write-side completion of the MERGE rung). The
+    * statement goes through the normal SQL path, where
+    * [[graft.plans.MergePreviewRule]] rewrites it to the post-merge
+    * READ plan; this materializes that plan and overwrites the target
+    * with it — preview + commit, the two halves every merge engine has.
+    *
+    * Ordering contract: the preview is EAGERLY materialized (checkpoint)
+    * BEFORE the overwrite touches the table it reads from — the same
+    * read-then-clobber discipline as the streaming stores. A
+    * strict-cardinality violation (`spark.sql.graft.merge.
+    * strictCardinality=true`) therefore raises DURING materialization,
+    * before a single target byte is replaced: failed merges leave the
+    * table untouched (spec-pinned in Round16Spec2).
+    *
+    * Scale note: on a real cluster the commit for a parquet table is a
+    * full rewrite (parquet has no row-level ops — that is WHY formats
+    * like Delta/Iceberg exist); partition the target and merge per
+    * partition to bound the rewrite, exactly as a production parquet
+    * upsert job does. */
+  def executeInto(s: org.apache.spark.sql.SparkSession, mergeSql: String,
+      targetTable: String): Unit = {
+    val preview = s.sql(mergeSql).localCheckpoint(eager = true)
+    preview.write.mode("overwrite").insertInto(targetTable)
+  }
 }
