@@ -52,26 +52,32 @@ object RoundState {
       case _ => df.localCheckpoint(eager = true)
     }
 
-  /** Persist-and-materialize as a CacheManager leaf — MEMORY_AND_DISK
-    * by default, DISK_ONLY under the disk conf. Same lineage-truncation
-    * effect as [[of]] (an InMemoryRelation plans as a leaf and preserves
-    * child partitioning), but WITHOUT localCheckpoint's LogicalRDD
-    * conversion. Required when the materialized frame later lands under
-    * a UNION: LogicalRDD's originConstraints can carry a constraint
-    * referencing an attribute PRUNED from the output (observed when the
-    * checkpointed plan ends in a filter comparing columns of two join
-    * sides, e.g. `new.label < old.label`), and Union.rewriteConstraints
-    * then throws key-not-found at planning time — round-16 finding,
-    * q_graph_components round 2. The delta-propagation loops fold their
-    * round state under unions every round, so they pin with this. */
+  /** Materialize like [[of]] but rebuild the result on a CLEAN leaf —
+    * `createDataFrame(checkpoint.rdd, schema)`, a LogicalRDD with NO
+    * origin constraints. Two round-16 findings make this necessary for
+    * round state that later lands under a UNION (the delta-propagation
+    * loops fold base ∪ Δ₁ … Δᵢ every round):
+    *
+    *   - plain localCheckpoint: LogicalRDD's originConstraints can
+    *     carry a constraint referencing an attribute PRUNED from the
+    *     output (observed when the checkpointed plan ends in a filter
+    *     comparing columns of two join sides, e.g. `new.label <
+    *     old.label`), and Union.rewriteConstraints then throws
+    *     key-not-found at planning time (q_graph_components round 2);
+    *   - persist() instead: an InMemoryRelation KEEPS its child plan,
+    *     and a loop whose round-i plan references round i−1 twice
+    *     (current-labels fold + delta diff) nests those child plans
+    *     EXPONENTIALLY — by round 18 the logical tree has ~2^18 nodes
+    *     and the session spends minutes in generateTreeString before a
+    *     single task runs (jstack'd on the q_graph_components profile).
+    *
+    * The rebuilt frame reads the checkpointed blocks through a
+    * Row-conversion pass per use — fine for the ≤N-row delta frames
+    * this exists for; use [[of]] for wide/heavy state that never lands
+    * under a union. */
   def pinned(df: DataFrame): DataFrame = {
-    val lvl =
-      if (df.sparkSession.conf.get("spark.graft.graph.roundState", "memory") == "disk")
-        StorageLevel.DISK_ONLY
-      else StorageLevel.MEMORY_AND_DISK
-    val p = df.persist(lvl)
-    p.count()
-    p
+    val ck = of(df)
+    df.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
   /** Materialize the next round and free the round it supersedes.
