@@ -50,7 +50,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sliding_windows"),
       new ExpressionInfo(classOf[SlidingWindows].getName, "sliding_windows"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SlidingWindows(exprs(0), exprs(1), exprs(2), exprs(3))))
+        SlidingWindows.build(exprs)))
     e.injectFunction((
       new FunctionIdentifier("sorted_intersect_size"),
       new ExpressionInfo(classOf[SortedIntersectSize].getName, "sorted_intersect_size"),

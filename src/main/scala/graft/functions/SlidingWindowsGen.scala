@@ -56,6 +56,10 @@ case class SlidingWindows(
     StructField("win", StringType, nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // Parameters are foldable, so their VALUES are checkable here too:
+    // a foldable NULL (CAST(NULL AS INT) folds) or a non-positive
+    // size/stride must be an ANALYSIS error, not a confusing per-row
+    // unboxing of null to 0/false at eval time (round-16 ADVICE).
     if (child.dataType != ArrayType(StringType, containsNull = false) &&
         child.dataType != ArrayType(StringType, containsNull = true))
       TypeCheckResult.TypeCheckFailure(
@@ -66,6 +70,14 @@ case class SlidingWindows(
       TypeCheckResult.TypeCheckFailure("sliding_windows: stride must be a foldable INT")
     else if (partial.dataType != BooleanType || !partial.foldable)
       TypeCheckResult.TypeCheckFailure("sliding_windows: partial must be a foldable BOOLEAN")
+    else if (size.eval(null) == null || stride.eval(null) == null ||
+        partial.eval(null) == null)
+      TypeCheckResult.TypeCheckFailure(
+        "sliding_windows: size/stride/partial must not be NULL")
+    else if (size.eval(null).asInstanceOf[Int] < 1 ||
+        stride.eval(null).asInstanceOf[Int] < 1)
+      TypeCheckResult.TypeCheckFailure(
+        "sliding_windows: size and stride must be >= 1")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -116,6 +128,19 @@ case class SlidingWindows(
 }
 
 object SlidingWindows {
+  /** Arity-checked constructor for the registration lambdas — a wrong
+    * argument count must fail analysis with the function's own message,
+    * not an IndexOutOfBoundsException from `exprs(3)` (round-16 ADVICE;
+    * both registration sites — here and GraftExtensions — go through
+    * this). */
+  def build(exprs: Seq[Expression]): SlidingWindows = {
+    if (exprs.length != 4)
+      throw new IllegalArgumentException(
+        "sliding_windows expects exactly 4 arguments " +
+          s"(tokens array<string>, size INT, stride INT, partial BOOLEAN); got ${exprs.length}")
+    SlidingWindows(exprs(0), exprs(1), exprs(2), exprs(3))
+  }
+
   /** Idempotent session registration for sessions built without
     * [[graft.GraftExtensions]] (the CosineSimExpr pattern). */
   def register(s: SparkSession): Unit =
@@ -124,6 +149,5 @@ object SlidingWindows {
         new org.apache.spark.sql.catalyst.FunctionIdentifier("sliding_windows"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[SlidingWindows].getName, "sliding_windows"),
-        (exprs: Seq[Expression]) =>
-          SlidingWindows(exprs(0), exprs(1), exprs(2), exprs(3)))
+        (exprs: Seq[Expression]) => build(exprs))
 }

@@ -70,7 +70,15 @@ object HnswIndex {
     * layers: (v', e0', e1', e2') — all checkpointed, search-ready. */
   def insert(v: DataFrame, e0: DataFrame, batchRaw: DataFrame)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // Replay idempotency (round-16 ADVICE): the streaming twin's
+    // foreachBatch commits the store overwrite BEFORE the checkpoint
+    // commit, so a retry can re-deliver an already-absorbed batch —
+    // anti-join it against the standing vec_ids so a replay is a
+    // content no-op (the store is at-least-once delivered but
+    // idempotent). One semi-join on the key column; the batch side is
+    // the small side and the standing side is only its vec_id column.
     val batch = leveledBatch(batchRaw)
+      .join(v.select("vec_id"), Seq("vec_id"), "left_anti")
     val v2 = v.unionByName(batch).localCheckpoint(eager = true)
     // upper layers: rebuilt over the merged set — ≤ N/4 + N/16 nodes,
     // the geometric tail of the build; batch nodes become reachable

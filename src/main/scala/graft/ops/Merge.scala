@@ -42,22 +42,98 @@ object Merge {
     * READ plan; this materializes that plan and overwrites the target
     * with it — preview + commit, the two halves every merge engine has.
     *
-    * Ordering contract: the preview is EAGERLY materialized (checkpoint)
-    * BEFORE the overwrite touches the table it reads from — the same
-    * read-then-clobber discipline as the streaming stores. A
-    * strict-cardinality violation (`spark.sql.graft.merge.
-    * strictCardinality=true`) therefore raises DURING materialization,
-    * before a single target byte is replaced: failed merges leave the
-    * table untouched (spec-pinned in Round16Spec2).
+    * WRITE-AUDIT-PUBLISH (round-16 ADVICE — the localCheckpoint staging
+    * of the first cut was executor-local and unreplicated, so on a real
+    * cluster a lost executor after the target truncation would have
+    * recomputed the preview THROUGH the clobbered table): the preview
+    * is now staged as PARQUET to a scratch path first (write), re-read
+    * from those bytes (audit — also where a strict-cardinality
+    * violation raises, before a single target byte is replaced), and
+    * only then published over the target. The staged file is durable
+    * storage, not executor memory: a task retry during the publish
+    * re-reads staged bytes, never the clobbered table. On a cluster,
+    * point `spark.sql.graft.merge.stagingDir` at shared storage (object
+    * store / DFS); unset, staging falls back to a driver-local temp dir,
+    * which is only reachable by executors under local[n].
     *
-    * Scale note: on a real cluster the commit for a parquet table is a
-    * full rewrite (parquet has no row-level ops — that is WHY formats
-    * like Delta/Iceberg exist); partition the target and merge per
-    * partition to bound the rewrite, exactly as a production parquet
-    * upsert job does. */
+    * Scale note: this commit is still a full-table rewrite (parquet has
+    * no row-level ops — that is WHY formats like Delta/Iceberg exist);
+    * [[executeIntoPartitioned]] is the bounded variant that rewrites
+    * only the partitions the merge touched. */
   def executeInto(s: org.apache.spark.sql.SparkSession, mergeSql: String,
       targetTable: String): Unit = {
-    val preview = s.sql(mergeSql).localCheckpoint(eager = true)
-    preview.write.mode("overwrite").insertInto(targetTable)
+    val staged = stagePreview(s, s.sql(mergeSql))
+    try staged.df.write.mode("overwrite").insertInto(targetTable)
+    finally staged.cleanup()
+  }
+
+  /** Partitioned MERGE-execute (round 17 — the bounded-rewrite variant
+    * [[executeInto]]'s scaladoc promises): against a target table
+    * PARTITIONED BY `partCol`, publish via DYNAMIC partition overwrite
+    * restricted to `affected` partition values, so only partitions
+    * containing merge matches/inserts are rewritten — untouched
+    * partitions' files are never opened for write (Round17Spec pins
+    * them byte-identical across the merge).
+    *
+    * `affected` is the partition set the DELTA lands in — the caller
+    * computes it from the merge source (a distinct over the source's
+    * partition expression; production parquet upsert jobs know their
+    * delta's partitions the same way). Correctness does not depend on
+    * it being minimal, only on it being COMPLETE: a partition value the
+    * delta touches that is missing from `affected` would keep its
+    * pre-merge files (the filter drops its preview rows before the
+    * write). Completeness is the caller's contract and is not
+    * re-derived here — deriving it generically would mean diffing the
+    * preview against the target, a full extra pass that defeats the
+    * bounded rewrite.
+    *
+    * Read-side bonus: the `partCol IN affected` filter pushes through
+    * the preview's projections into the target scan (partition columns
+    * pass through MERGE updates unassigned), so the survivor branch
+    * PRUNES unaffected partitions on read as well — the whole merge
+    * touches O(affected) data, not O(table). */
+  def executeIntoPartitioned(s: org.apache.spark.sql.SparkSession,
+      mergeSql: String, targetTable: String, partCol: String,
+      affected: Seq[Any]): Unit = {
+    require(affected.nonEmpty, "partitioned merge: no affected partitions")
+    val preview = s.sql(mergeSql)
+      .filter(col(partCol).isin(affected: _*))
+    val staged = stagePreview(s, preview)
+    val prior = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      staged.df.write.mode("overwrite").insertInto(targetTable)
+    } finally {
+      prior match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      staged.cleanup()
+    }
+  }
+
+  /** A staged preview: the re-read parquet frame + its scratch-dir
+    * cleanup. */
+  private final case class Staged(df: DataFrame, cleanup: () => Unit)
+
+  /** Write `preview` to a scratch parquet path and hand back the
+    * re-read frame (the write-audit-publish staging step shared by both
+    * execute variants). The scratch root is
+    * `spark.sql.graft.merge.stagingDir` when set (shared storage on a
+    * cluster), else a driver-local temp dir; either way each call gets
+    * a fresh unique subpath, deleted by `cleanup()` after publish. */
+  private def stagePreview(s: org.apache.spark.sql.SparkSession,
+      preview: DataFrame): Staged = {
+    val path = s.conf.getOption("spark.sql.graft.merge.stagingDir") match {
+      case Some(root) =>
+        root.stripSuffix("/") + "/merge-stage-" + java.util.UUID.randomUUID()
+      case None =>
+        java.nio.file.Files.createTempDirectory("graft-merge-stage")
+          .resolve("stage").toString
+    }
+    preview.write.mode("overwrite").parquet(path)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Staged(s.read.parquet(path), () => { fs.delete(hPath, true); () })
   }
 }

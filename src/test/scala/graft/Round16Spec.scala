@@ -26,8 +26,15 @@ class Round16Spec extends SparkSpec {
   test("incremental recall@10 >= from-scratch recall@10 (same corpus)") {
     val scratch = avgRecall("q_similarity_hnsw_recall")
     val inc = avgRecall("q_similarity_hnsw_incremental_recall")
-    assert(inc >= scratch,
-      s"maintained index recall $inc below from-scratch $scratch")
+    // The HARD invariant is the absolute bar. "incremental ≥ from-
+    // scratch" is an empirical observation (insertion-by-search places
+    // batch nodes with a sharper probe than one-shot LSH seeding), not
+    // a structural guarantee — a new corpus or parameter tweak may
+    // legitimately land the two within noise of each other, so it is
+    // pinned only up to a small tolerance (round-16 ADVICE).
+    info(s"recall@10: incremental $inc vs from-scratch $scratch")
+    assert(inc >= scratch - 0.02,
+      s"maintained index recall $inc more than 0.02 below from-scratch $scratch")
     assert(inc >= 0.90, s"maintained index recall $inc below the 0.90 bar")
   }
 

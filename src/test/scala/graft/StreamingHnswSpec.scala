@@ -20,8 +20,12 @@ import graft.ops.HnswIndex
   *   1. two batches absorbed across a STREAM RESTART leave the same
   *      store as hand-replaying the same two inserts (state lives in
   *      the store + checkpoint, not the query);
-  *   2. re-running with nothing new leaves the store untouched
-  *      (exactly-once at the store level);
+  *   2. re-running with nothing new leaves the store untouched, and a
+  *      RE-DELIVERED batch (the foreachBatch at-least-once case: retry
+  *      after the store overwrite, before the checkpoint commit) is a
+  *      content no-op — the store is at-least-once delivered but
+  *      idempotent, because [[HnswIndex.insert]] anti-joins the batch
+  *      against standing vec_ids;
   *   3. search over the streamed store == search over the hand-replayed
   *      index, row-for-row.
   */
@@ -93,10 +97,19 @@ class StreamingHnswSpec extends SparkSpec {
     assert(edgeSet(streamedE) == edgeSet(he2),
       "streamed layer-0 edges differ from hand-replayed inserts")
 
-    // exactly-once: nothing new → store untouched
+    // nothing new → store untouched
     val before = edgeSet(streamedE)
     runOnce()
     assert(edgeSet(spark.read.parquet(storeE)) == before)
+
+    // at-least-once replay: re-inserting an ALREADY-ABSORBED batch (a
+    // foreachBatch retry after the store overwrite but before the
+    // checkpoint commit re-delivers it) must be a content no-op
+    val (rv, re, _, _) = HnswIndex.insert(hv2, he2, b2)
+    assert(rv.count() == hv2.count(),
+      "replayed batch duplicated vectors in the standing store")
+    assert(edgeSet(re) == edgeSet(he2),
+      "replayed batch changed the standing layer-0 edges")
 
     // search equivalence over the streamed store
     val sv = spark.read.parquet(storeV).localCheckpoint(eager = true)
