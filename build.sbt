@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Headroom for ~2000 generated classes per full-registry pass: the
+  // JDK 17 default (240 MB) left the JIT flushing/re-compiling hot
+  // methods during multi-pass bench sweeps (the r16 intra-JVM aging);
+  // paired with spark.sql.codegen.cache.maxEntries=4096 in Bench.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -27,6 +27,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Intra-JVM pass aging fix (r16 verdict item 1): the generated-
+      // class cache defaults to 100 entries, but one full-registry pass
+      // generates ~2000 distinct codegen classes — every pass therefore
+      // re-generated and re-compiled (Janino) nearly every class, each
+      // compile loading fresh classes through a fresh classloader. The
+      // churn is what ages the JVM: metaspace/code-cache pressure and
+      // re-JIT of just-evicted methods grew pass sums 453.8 → 513.3 →
+      // 592.6 s within one 3-pass r16 sweep (uniform 1.27× per query —
+      // an engine-wide slowdown, not a query regression). 4096 entries
+      // hold the whole registry's classes for the run, so passes 2+
+      // reuse pass-1 compilations. Static conf — set before the
+      // session; Bench forks a fresh JVM so it always takes effect.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       // map-typed outputs (q_map_fns*) must be hashable by consume()
       .config("spark.sql.legacy.allowHashOnMapType", "true")
       // Tables.events NTZ→TS cast is value-preserving only under UTC;
@@ -80,6 +93,26 @@ object Bench {
         }
       }
     })
+    // Per-pass JVM telemetry (stderr): metaspace / code-heap occupancy,
+    // class-load counts, cumulative JIT and GC time — so a pass-over-
+    // pass slowdown is attributable to a measured JVM resource, not
+    // inferred from wall time (the r16 aging diagnosis ran blind).
+    def jvmTelemetry(): String = {
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("Metaspace") || p.getName.contains("Compressed"))
+        .map(p => s"${p.getName.replace(' ', '_')}=${p.getUsage.getUsed / 1048576}MB")
+        .mkString(" ")
+      val cl = ManagementFactory.getClassLoadingMXBean
+      val jit = Option(ManagementFactory.getCompilationMXBean)
+        .map(_.getTotalCompilationTime).getOrElse(-1L)
+      val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+      s"$pools loadedClasses=${cl.getLoadedClassCount} " +
+        s"totalLoadedClasses=${cl.getTotalLoadedClassCount} jitMs=$jit gcMs=$gc"
+    }
     val tMain = System.nanoTime()
     // JIT/codegen warmup at the smallest scale so the timed pass below
     // measures steady-state engine throughput, not first-call compilation.
@@ -87,14 +120,28 @@ object Bench {
     // not load): skip its timed reps entirely — round 8 burned 17 queries ×
     // 3 reps × (analysis exception + GC cycle) re-proving the same failure
     // and pushed the wall to 29:59 against a 30-minute driver cap.
+    // Optional subset for diagnostics (SPARK_GRAFT_BENCH_QUERIES, comma-
+    // separated): aging reproductions and single-family reruns don't
+    // need the full 389-query sweep. Unset → the full registry, as the
+    // driver runs it. Warmup respects the subset too.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_QUERIES") match {
+      case Some(list) =>
+        val want = list.split(",").map(_.trim).filter(_.nonEmpty)
+        val known = SparkEntry.queries.keySet
+        val missing = want.filterNot(known)
+        require(missing.isEmpty, s"unknown bench queries: ${missing.mkString(",")}")
+        want.toSeq
+      case None => SparkEntry.queries.keys.toSeq
+    }
     val warmupFailed = scala.collection.mutable.LinkedHashSet[String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try consume(fn(spark, "/root/testdata/sf0.001"))
+    names.foreach { name =>
+      try consume(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name FAILED: ${e.getMessage}")
         warmupFailed += name }
     }
     releaseState()
+    System.err.println(s"[bench] post-warmup telemetry: ${jvmTelemetry()}")
     // Identical code swung q_dedup_cluster 13.05s -> 8.51s between two driver
     // runs (GC, page cache, host contention), so a single sample cannot grade
     // a per-query target. Each query runs REPS times (default 3) with state
@@ -111,7 +158,6 @@ object Bench {
     // 8.2] where a quiet host gives [7.0, 6.7, 6.3]). With list-major
     // ordering a noisy minute lands on DIFFERENT queries in each pass, so
     // per-query medians degrade gracefully under transient load.
-    val names = SparkEntry.queries.keys.toSeq
     val samplesByName = scala.collection.mutable.Map(
       names.map(_ -> Vector.empty[Double]): _*)
     // max (mem+disk) spill bytes observed over any one sample of the
@@ -154,6 +200,8 @@ object Bench {
       }
       val passSec = (System.nanoTime() - tPass) / 1e9
       val wallSec = (System.nanoTime() - tMain) / 1e9
+      System.err.println(
+        f"[bench] pass $pass sum $passSec%.1fs telemetry: ${jvmTelemetry()}")
       if (pass < reps && wallSec + passSec > budgetSec) {
         System.err.println(
           f"[bench] budget: wall $wallSec%.0fs + est pass $passSec%.0fs > $budgetSec%.0fs — stopping after pass $pass")

@@ -31,8 +31,9 @@ object Round16Ops3 {
     * not: a table created by a previous session leaves its directory
     * behind, DROP IF EXISTS no-ops (the new catalog never heard of
     * it), and the next CTAS dies with LOCATION_ALREADY_EXISTS. Every
-    * q16_* query starts from this, so reruns are clean in ANY session. */
-  private def dropManaged(s: org.apache.spark.sql.SparkSession,
+    * q16_* query starts from this, so reruns are clean in ANY session
+    * (shared with the round-17 writable-catalog queries). */
+  private[graft] def dropManaged(s: org.apache.spark.sql.SparkSession,
       name: String): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val loc = new org.apache.hadoop.fs.Path(
