@@ -35,11 +35,24 @@ object Bench {
       // churn is what ages the JVM: metaspace/code-cache pressure and
       // re-JIT of just-evicted methods grew pass sums 453.8 → 513.3 →
       // 592.6 s within one 3-pass r16 sweep (uniform 1.27× per query —
-      // an engine-wide slowdown, not a query regression). 4096 entries
-      // hold the whole registry's classes for the run, so passes 2+
-      // reuse pass-1 compilations. Static conf — set before the
+      // an engine-wide slowdown, not a query regression). The registry's
+      // working set measured ~4.5k codegen units per pass (a 4096-entry
+      // first cut still reloaded ~9k classes per pass — LRU in
+      // list-major order evicts exactly what the next pass needs);
+      // 16384 holds the whole run. Static conf — set before the
       // session; Bench forks a fresh JVM so it always takes effect.
-      .config("spark.sql.codegen.cache.maxEntries", "4096")
+      .config("spark.sql.codegen.cache.maxEntries", "16384")
+      // Status-store retention: the defaults (100k tasks, 1000 SQL
+      // executions) let driver bookkeeping grow for most of a full
+      // 3-pass sweep (389 queries × ~dozens of tasks each × passes),
+      // then churn at the cap — measured as a fixed ~86 ms/query
+      // pass-over-pass inflation on SMALL queries while big queries
+      // stayed flat (r17 diagnosis). Bench needs no status history;
+      // keep the stores small and steady from pass 1.
+      .config("spark.ui.retainedJobs", "300")
+      .config("spark.ui.retainedStages", "500")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "100")
       // map-typed outputs (q_map_fns*) must be hashable by consume()
       .config("spark.sql.legacy.allowHashOnMapType", "true")
       // Tables.events NTZ→TS cast is value-preserving only under UTC;

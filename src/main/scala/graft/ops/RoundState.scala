@@ -52,6 +52,28 @@ object RoundState {
       case _ => df.localCheckpoint(eager = true)
     }
 
+  /** EDGE-substrate materialization (round 17): [[of]] semantics by
+    * default, but `spark.graft.graph.edgeState=disk` forces DISK_ONLY
+    * for THIS frame only, independent of the per-round state mode.
+    * The isolation knob the r16 verdict asked for: in the delta loops
+    * (components / semi-sync labelprop) the per-round Δ frames SHRINK —
+    * they are not the residency pressure at 60× corpus factors; the
+    * O(E) edge substrate, checkpointed once and probed every round, is
+    * the candidate. This lets the edge frame alone move off unified
+    * storage memory while deltas stay in-memory checkpoints (measured
+    * in SCALING.md §round-17). Content identical either way; DISK_ONLY
+    * preserves the repartition(src) layout exactly like disk-mode
+    * [[of]]. Same lifecycle contract as disk-mode [[of]]: the persist
+    * outlives the query until the session owner's clearCache(). */
+  def edge(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get("spark.graft.graph.edgeState", "") match {
+      case "disk" =>
+        val p = df.persist(StorageLevel.DISK_ONLY)
+        p.count()
+        p
+      case _ => of(df)
+    }
+
   /** Materialize like [[of]] but rebuild the result on a CLEAN leaf —
     * `createDataFrame(checkpoint.rdd, schema)`, a LogicalRDD with NO
     * origin constraints. Two round-16 findings make this necessary for

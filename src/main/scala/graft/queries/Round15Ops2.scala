@@ -252,8 +252,12 @@ object Round15Ops2 {
        |  ${topMSql(s"ndb$r$sfx", MTot(0))})""".stripMargin
 
   private[graft] def hopCtes(i: Int, l: Int, beam: Int, sfx: String = "",
-      qn: String = "q", layer0: String = s"e0r$NndRounds"): String = {
-    val e = if (l == 0) layer0 else s"e${l}r0"
+      qn: String = "q", layer0: String = s"e0r$NndRounds",
+      upperSfx: String = ""): String = {
+    // upperSfx: which upper-layer build the hop descends (e.g. "d" for
+    // the post-delete rebuild in q_similarity_hnsw_delete's mirror);
+    // default "" = the full-corpus layers, as every pre-r17 oracle used
+    val e = if (l == 0) layer0 else s"e$l${upperSfx}r0"
     s"""c$i$sfx AS MATERIALIZED (
        |  SELECT q_id, node FROM f${i - 1}$sfx
        |  UNION
@@ -343,13 +347,25 @@ object Round15Ops2 {
        |  ON t.q_id = a.q_id AND t.nid = a.neighbor_id
        |GROUP BY t.q_id ORDER BY t.q_id""".stripMargin
 
+  /** Full-corpus layer-`l` edges, STAGED under an explicit key (the
+    * r16 verdict's item 5): four registered queries — q_similarity_hnsw,
+    * its recall twin, and the round-17 delete pair — build the
+    * IDENTICAL standing graph from the same corpus; under the bench's
+    * stage-cache dir the first builder writes it once and the rest read
+    * parquet. The key carries the sf dir and the corpus tag (full);
+    * results are bit-identical (deterministic build, exact-integer
+    * scores). At the gate (no cache dir) this is a plain build. */
+  private[graft] def stagedFullEdges(s: SparkSession, d: String,
+      v: DataFrame, l: Int): DataFrame =
+    graft.ops.StageCache.keyed(s, s"hnsw_e$l:full:$d")(layerEdges(v, l))
+
   /** The full build + search, shared by the top-K query and its
     * recall readout: returns (vectors frame, top-K result). */
   private def hnswSearch(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.CosineSimExpr.register(s)
     val v = leveled(s, d).localCheckpoint(eager = true)
-        val edgesByLayer = Map(0 -> layerEdges(v, 0), 1 -> layerEdges(v, 1),
-          2 -> layerEdges(v, 2))
+        val edgesByLayer = Map(0 -> stagedFullEdges(s, d, v, 0),
+          1 -> stagedFullEdges(s, d, v, 1), 2 -> stagedFullEdges(s, d, v, 2))
         val q = v.filter(col("vec_id") < NQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
         val entry = v.orderBy(col("lvl").desc, col("vec_id").asc).limit(1)

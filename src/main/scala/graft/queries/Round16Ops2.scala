@@ -68,7 +68,10 @@ object Round16Ops2 {
             (col("l_suppkey") * 2 + 1).as("q"))
           .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
           .select("p", "q")
-        val edges = graft.ops.RoundState.of(
+        // RoundState.edge: the per-frame disk override for the O(E)
+        // substrate (spark.graft.graph.edgeState=disk) — default
+        // identical to of(); see SCALING.md round-17 isolation
+        val edges = graft.ops.RoundState.edge(
           pairs.select(col("p").as("src"), col("q").as("dst"))
             .union(pairs.select(col("q").as("src"), col("p").as("dst")))
             .repartition(col("src")))
@@ -187,7 +190,10 @@ object Round16Ops2 {
             (col("l_suppkey") * 2 + 1).as("q"))
           .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
           .select("p", "q")
-        val edges = graft.ops.RoundState.of(
+        // RoundState.edge: the per-frame disk override for the O(E)
+        // substrate (spark.graft.graph.edgeState=disk) — default
+        // identical to of(); see SCALING.md round-17 isolation
+        val edges = graft.ops.RoundState.edge(
           pairs.select(col("p").as("src"), col("q").as("dst"))
             .union(pairs.select(col("q").as("src"), col("p").as("dst")))
             .repartition(col("src")))

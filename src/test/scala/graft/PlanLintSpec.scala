@@ -134,6 +134,7 @@ class PlanLintSpec extends SparkSpec {
     "q_stats_permtest" -> "build side = the 1-row observed-statistic rollup broadcast onto the 32-row permutation frame",
     "q_similarity_hnsw_recall" -> "broadcast 8-query fan-out for the EXACT brute-force ground truth the ANN result is graded against (the q_similarity_topk baseline shape)",
     "q_similarity_hnsw_incremental_recall" -> "broadcast 8-query fan-out for the EXACT brute-force ground truth the MAINTAINED index is graded against (same calibration shape as q_similarity_hnsw_recall)",
+    "q_similarity_hnsw_delete_recall" -> "broadcast 8-query fan-out for the EXACT brute-force ground truth the REPAIRED index is graded against (same calibration shape as q_similarity_hnsw_recall)",
     "q_curation_submodular" -> "build sides = 1-row covered-total rollups onto 1-row argmax picks (k=3 greedy rounds)"
   )
 

@@ -60,6 +60,13 @@ object ProfCorpusScale13 {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // round-17 isolation knobs: route the iterative loops' state (all
+    // rounds / the edge substrate only) to DISK_ONLY via env — runtime
+    // confs, read by RoundState at query build time
+    sys.env.get("SPARK_GRAFT_ROUND_STATE")
+      .foreach(v => spark.conf.set("spark.graft.graph.roundState", v))
+    sys.env.get("SPARK_GRAFT_EDGE_STATE")
+      .foreach(v => spark.conf.set("spark.graft.graph.edgeState", v))
 
     def releaseState(): Unit = {
       spark.sharedState.cacheManager.clearCache()
