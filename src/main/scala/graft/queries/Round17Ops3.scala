@@ -97,7 +97,7 @@ object Round17Ops3 {
   /** The insert-merge CTE triple: top-M out-links from the batch's
     * final scored pool s<lastHop><inSfx>, symmetrized into `baseE0`,
     * degrees re-capped — [[graft.ops.HnswIndex.insert]]'s merge step. */
-  private def mergeCtes(inSfx: String, baseE0: String, outName: String): String =
+  private[queries] def mergeCtes(inSfx: String, baseE0: String, outName: String): String =
     s"""newout$inSfx AS MATERIALIZED (
        |  SELECT src, dst, qs FROM (
        |    SELECT q_id AS src, node AS dst, qs,
@@ -116,7 +116,7 @@ object Round17Ops3 {
        |$outName AS MATERIALIZED (
        |  ${topMSql(s"mgp$inSfx", MTot(0))})""".stripMargin
 
-  private def hopsFor(sfx: String, qn: String, layer0: String,
+  private[queries] def hopsFor(sfx: String, qn: String, layer0: String,
       upperSfx: String): String = {
     val hopList = Hops.flatMap { case (l, n, beam) => Seq.fill(n)((l, beam)) }
     hopList.zipWithIndex.map { case ((l, beam), i) =>
