@@ -70,7 +70,8 @@ object SparkEntry {
       graft.queries.Round17Ops2.defs ++
       graft.queries.Round17Ops3.defs ++
       graft.queries.Round17Ops4.defs ++
-      graft.queries.Round17Ops5.defs
+      graft.queries.Round17Ops5.defs ++
+      graft.queries.Round17Ops6.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full ALB parse pipeline over the synthetic line corpus. */
