@@ -59,6 +59,18 @@ object Tables {
     val p = spark.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
+  /** Round-robin rebalance of an arbitrary frame to the session's
+    * parallelism when its plan yields fewer partitions — the
+    * [[documentsBalanced]] guard generalized (r17 optimization round).
+    * Call AFTER projecting to the needed columns so the exchange moves
+    * only what the operator reads; a no-op on real multi-file cluster
+    * input. For operators whose per-row compute (hashing, sketch
+    * inserts, per-row expression chains) dwarfs the row's bytes. */
+  def balanced(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
   /** `embeddings` with the same under-parallelized-scan rebalance as
     * [[documentsBalanced]] — the Gramian/pair-product operators explode

@@ -51,6 +51,49 @@ object GraphOps {
         (col("l_partkey") * 2).as("p"),
         (col("l_suppkey") * 2 + 1).as("q")).distinct())
 
+  /** Endpoint degrees of the co-order part graph — shared by the
+    * triangle family ([[orientedTriangles]]) and q_graph_localcc's
+    * final lcc join. */
+  private[queries] def coOrderDeg(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pairs = coOrderPairs(s, d)
+    pairs.select(col("a").as("n"))
+      .union(pairs.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+  }
+
+  /** One (u, v, w) row per triangle of the co-order part graph via the
+    * degree-ordered orientation + compact-adjacency intersection (see
+    * q_graph_triangles' scaladoc for the algorithm and scale analysis).
+    * Extracted in the r17 optimization round: q_graph_triangles and
+    * q_graph_localcc each enumerated the IDENTICAL triangle set
+    * (orientation, collect_list adjacency, broadcast joins,
+    * array_intersect explode) — built through one helper the frames are
+    * semantically equal, so the session stage cache materializes the
+    * enumeration once per bench pass and the second consumer reads
+    * parquet; at the gate (cache off) each query still runs the full
+    * pipeline. */
+  private[queries] def orientedTriangles(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val pairs = coOrderPairs(s, d)
+    val deg = coOrderDeg(s, d)
+    val oriented = graft.ops.StageCache.stage(pairs
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+      .select(
+        when(expr("struct(da, a) < struct(db, b)"), col("a")).otherwise(col("b")).as("src"),
+        when(expr("struct(da, a) < struct(db, b)"), col("b")).otherwise(col("a")).as("dst")))
+    val adj = oriented.groupBy("src")
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    graft.ops.StageCache.stage(oriented
+      .join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
+      .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+        Seq("dst"), "left")
+      .select(col("src").as("u"), col("dst").as("v"),
+        explode(array_intersect(col("nu"),
+          coalesce(col("nv"), array().cast("array<bigint>")))).as("w")))
+  }
+
   /** Hub-capped part→supplier incidence (part degree ∈ [2, 32]) with
     * the degree attached — the wedge-join substrate q_graph_linkpred
     * and q_graph_modularity share: distinct + degree + cap computed
@@ -169,28 +212,10 @@ object GraphOps {
     // per-order line count (≤ C(7,2) pairs per TPC-H order).
     QueryDef("q_graph_triangles",
       (s, d) => {
-        val pairs = coOrderPairs(s, d)
-        val deg = pairs.select(col("a").as("n"))
-          .union(pairs.select(col("b").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("dg"))
-        // staged (not just checkpointed): q_graph_localcc consumes the
-        // IDENTICAL oriented frame — in Bench mode the two queries share
-        // one parquet materialization via the semanticHash key
-        val oriented = graft.ops.StageCache.stage(pairs
-          .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
-          .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
-          .select(
-            when(expr("struct(da, a) < struct(db, b)"), col("a")).otherwise(col("b")).as("src"),
-            when(expr("struct(da, a) < struct(db, b)"), col("b")).otherwise(col("a")).as("dst")))
-        val adj = oriented.groupBy("src")
-          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-        val tri = oriented
-          .join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
-          .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
-            Seq("dst"), "left")
-          .select(col("src").as("u"), col("dst").as("v"),
-            explode(array_intersect(col("nu"),
-              coalesce(col("nv"), array().cast("array<bigint>")))).as("w"))
+        // triangle enumeration through the shared staged helper — see
+        // [[orientedTriangles]] (r17: one materialization per session,
+        // consumed here and by q_graph_localcc)
+        val tri = orientedTriangles(s, d)
         tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
           .groupBy("node").agg(count(lit(1)).cast("long").as("triangles"))
           .select(col("node").cast("long").as("node"), col("triangles"))

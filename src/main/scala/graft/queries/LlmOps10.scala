@@ -262,14 +262,19 @@ object LlmOps10 {
           array_distinct(transform(sequence(lit(1), size(ws) - W + 1),
             i => concat_ws("_", slice(ws, i, lit(W))))))
           .otherwise(array().cast("array<string>"))
-        val sets = Tables.documents(s, d)
+        // documentsBalanced (r17): the per-doc 4-gram shingle build is
+        // the map-heavy stage and otherwise runs single-threaded on the
+        // one-row-group local scan; no-op on real multi-file input.
+        val sets = Tables.documentsBalanced(s, d)
           .select(col("doc_id"), shingles.as("sh"))
           .localCheckpoint(eager = false)
-        val toks = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+        // n = |set| is size(sh) — known BEFORE the explode, so the old
+        // unordered count() window over the token stream is gone (one
+        // window pass over the corpus-wide (doc, gram) rows saved; r17)
+        val toks = sets.select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("g"))
         val freq = toks.groupBy("g").agg(count(lit(1)).as("df"))
         val ranked = toks.join(freq, "g")
-          .withColumn("n", count(lit(1))
-            .over(Window.partitionBy("doc_id")))
           .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
             .orderBy(col("df").asc, col("g").asc)))
           .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)

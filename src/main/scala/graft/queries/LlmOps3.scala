@@ -225,7 +225,10 @@ FROM kept GROUP BY doc_id ORDER BY doc_id"""),
         val bg = TextAnalysis.bigrams(ws, " ")
         // inline() barrier: ws/paras/bg are each referenced several times
         // below and CollapseProject would clone the construction per use
-        val staged = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        // documentsBalanced (r17): the per-row mode computation is
+        // O(|bg|·|distinct bg|) and ran single-threaded in the
+        // one-row-group scan stage
+        val staged = Tables.documentsBalanced(s, d).select(col("doc_id"), col("text"),
           inline(array(struct(ws.as("ws"), paras.as("paras"), bg.as("bg")))))
         val mode = array_max(transform(array_distinct(col("bg")),
           x => size(filter(col("bg"), y => y === x))))

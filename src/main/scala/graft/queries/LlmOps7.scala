@@ -270,7 +270,12 @@ FROM sh x JOIN sh y ON y.doc_id = x.doc_id + 1 ORDER BY d1"""),
         val starts = concat(array(lit(1L)),
           transform(slice(col("cut_ends"), lit(1), size(col("cut_ends"))),
             e => e + 1))
-        Tables.documents(s, d)
+        // documentsBalanced (r17): the gear-hash window chain is O(L·8)
+        // per row and runs in the SCAN stage — a single-row-group local
+        // corpus scans as ONE partition, so the whole hash pass ran on
+        // one thread; the round-robin rebalance moves the text once and
+        // is a no-op on an already-partitioned cluster input
+        Tables.documentsBalanced(s, d)
           .select(col("doc_id"), col("text"),
             inline(array(struct(cutEnds.as("cut_ends")))))
           .select(col("doc_id"), col("text"),

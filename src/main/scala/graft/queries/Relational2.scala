@@ -152,7 +152,10 @@ object Relational2 {
           transform(array_sort(map_entries(mc)),
             e => concat(e.getField("key"), lit("="),
               e.getField("value").cast("decimal(18,2)").cast("string"))))
-        Tables.orders(s, d).select(
+        // balanced (r17): four map renders × decimal-string casts per
+        // row ran single-threaded in the one-row-group scan stage
+        Tables.balanced(Tables.orders(s, d)
+            .select("o_orderkey", "o_totalprice")).select(
           col("o_orderkey"),
           render(doubled).as("doubled_str"),
           render(upper).as("upper_str"),
@@ -395,7 +398,13 @@ object Relational2 {
       // its own per-group value buffer) and cost 4.3 s at sf0.1; the
       // array form computes identical values from 4 states (~3×
       // cheaper), and the oracle is unchanged.
-      (s, d) => Tables.lineitem(s, d)
+      // balanced (r17): the exact-percentile buffers + GK sketch
+      // inserts are the partial-agg cost and ran single-threaded in the
+      // one-row-group scan stage; partials are mergeable, so the
+      // rebalance parallelizes the insert pass 32-way (no-op on real
+      // multi-file input)
+      (s, d) => Tables.balanced(Tables.lineitem(s, d)
+          .select("l_returnflag", "l_quantity", "l_extendedprice"))
         .groupBy("l_returnflag")
         .agg(
           expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)").as("aq"),

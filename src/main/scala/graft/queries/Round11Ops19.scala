@@ -89,25 +89,11 @@ object Round11Ops19 {
     // one degree join. Nodes with deg < 2 are excluded (lcc undefined).
     QueryDef("q_graph_localcc",
       (s, d) => {
-        val pairs = GraphOps.coOrderPairs(s, d)
-        val deg = pairs.select(col("a").as("n"))
-          .union(pairs.select(col("b").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("dg"))
-        val oriented = graft.ops.StageCache.stage(pairs
-          .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
-          .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
-          .select(
-            when(expr("struct(da, a) < struct(db, b)"), col("a")).otherwise(col("b")).as("src"),
-            when(expr("struct(da, a) < struct(db, b)"), col("b")).otherwise(col("a")).as("dst")))
-        val adj = oriented.groupBy("src")
-          .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
-        val tri = oriented
-          .join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
-          .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
-            Seq("dst"), "left")
-          .select(col("src").as("u"), col("dst").as("v"),
-            explode(array_intersect(col("nu"),
-              coalesce(col("nv"), array().cast("array<bigint>")))).as("w"))
+        // triangle enumeration + degrees through the shared staged
+        // helpers (r17): q_graph_triangles consumes the identical
+        // triangle frame — one materialization per bench session
+        val deg = GraphOps.coOrderDeg(s, d)
+        val tri = GraphOps.orientedTriangles(s, d)
         val triPerNode = tri
           .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
           .groupBy("n").agg(count(lit(1)).as("tri"))

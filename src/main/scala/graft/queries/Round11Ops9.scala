@@ -37,7 +37,10 @@ object Round11Ops9 {
     QueryDef("q_text_kn_nll",
       (s, d) => {
         graft.functions.LnIeee.register(s)
-        val docs = Tables.documents(s, d)
+        // documentsBalanced (r17): both bigram explodes and the train
+        // word explode are scan-stage map work, single-threaded on the
+        // one-row-group local corpus otherwise
+        val docs = Tables.documentsBalanced(s, d)
         def bg(df: DataFrame) = df.select(col("doc_id"),
             explode(TextAnalysis.bigrams(split(col("text"), " "), " ")).as("bigram"))
           .select(col("doc_id"), split(col("bigram"), " ")(0).as("w1"),

@@ -43,7 +43,13 @@ object Round14Ops5 {
     // BIGINTs, |difference| compared exactly.
     QueryDef("q_stats_permtest",
       (s, d) => {
-        val li = Tables.lineitem(s, d).select(
+        // balanced BEFORE the per-row md5 + 32× Expand (r17): the hash
+        // work is the query's floor and ran single-threaded in the
+        // one-row-group scan stage; no-op on real multi-file input
+        val li = Tables.balanced(Tables.lineitem(s, d)
+            .select("l_orderkey", "l_linenumber", "l_partkey",
+              "l_suppkey", "l_quantity", "l_linestatus"))
+          .select(
           concat_ws("|", col("l_orderkey"), col("l_linenumber"),
             col("l_partkey"), col("l_suppkey")).as("key"),
           col("l_quantity").cast("long").as("v"),
@@ -142,12 +148,18 @@ object Round14Ops5 {
         // AQE, the round-13 finding; the naive shape re-exploded the
         // corpus per reference and measured 11.9 s at sf0.1, this ~2 s)
         val docs = Tables.documents(s, d)
-        val shingles = explode(transform(
+        // array_distinct INSIDE the row (r17): (doc_id, word) pairs are
+        // unique within a document, so per-doc in-map dedup replaces the
+        // corpus-wide distinct — the full shingle stream never shuffles
+        // at all (guide §2.4; the old shape exchanged every exploded
+        // 5-gram to dedup pairs that were only ever duplicated within
+        // one row). documentsBalanced parallelizes the explode, which
+        // otherwise runs single-threaded on the one-row-group local scan.
+        val shingles = explode(array_distinct(transform(
           sequence(lit(1), greatest(length(col("text")) - 4, lit(1))),
-          i => col("text").substr(i, lit(5)))).as("word")
-        val types = docs
+          i => col("text").substr(i, lit(5))))).as("word")
+        val types = Tables.documentsBalanced(s, d)
           .select(col("doc_id"), shingles)
-          .distinct()
           .localCheckpoint(eager = true)
         def top1(g: org.apache.spark.sql.DataFrame) =
           g.orderBy(col("gain").desc, col("doc_id").asc).limit(1)

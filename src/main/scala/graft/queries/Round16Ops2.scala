@@ -179,9 +179,10 @@ object Round16Ops2 {
     // Graph: part↔supplier pairs co-occurring on ≥2 lineitems (the
     // threshold fragments the giant component into 44 real components
     // at sf0.1 — the "strong co-occurrence" graph an analyst actually
-    // clusters). State per round = Δᵢ only; current labels fold from
-    // the checkpointed leaves with ONE partial-agg min (labels only
-    // decrease, so min over history == latest — no round tags needed).
+    // clusters). Per-round work is bounded by the DELTA: the incoming
+    // min is computed from changed sources only (exact under the
+    // monotone update — see the round-body note), and the label frame
+    // is maintained with one Δ-broadcast left join per round.
     QueryDef("q_graph_components",
       (s, d) => {
         val li = Tables.lineitem(s, d)
@@ -197,44 +198,57 @@ object Round16Ops2 {
           pairs.select(col("p").as("src"), col("q").as("dst"))
             .union(pairs.select(col("q").as("src"), col("p").as("dst")))
             .repartition(col("src")))
-        val base = graft.ops.RoundState.pinned(
+        val base = graft.ops.RoundState.of(
           edges.select(col("src").as("node")).distinct()
             .withColumn("label", col("node")))
+        // r17 optimization-round rewrite of the round body — same labels
+        // per round, bit-for-bit (oracle unchanged, re-gated at all three
+        // SFs), two structural changes:
+        //   1. DELTA-ONLY propagation: the min incoming label for a node
+        //      is computed from CHANGED sources only. Exact for a
+        //      monotone min update: an unchanged neighbor u last changed
+        //      in some round r', dst absorbed u's label in round r'+1 and
+        //      labels only decrease, so u cannot improve dst now. This
+        //      deletes the old per-round `affected` distinct + left_semi
+        //      + full-labels join — per-round join work drops from
+        //      O(Σdeg(affected)) rows against an O(N) label fold to
+        //      O(Σdeg(Δ)) rows against Δ itself (guide §2.3/§2.4).
+        //   2. MAINTAINED label frame instead of the base ∪ Δ₁ … Δᵢ
+        //      union fold: the fold re-unioned a growing list of
+        //      checkpoint leaves and was executed TWICE per round (nbMin
+        //      + diff sides); the maintained frame is one left join +
+        //      coalesce per round (Δ broadcasts, labels' partitioning is
+        //      preserved — no shuffle). No frame lands under a Union
+        //      anymore, so the plain eager checkpoint replaces
+        //      RoundState.pinned and its per-use Row-conversion pass.
+        var labels = base
         var delta = base
-        // each piece goes through a fresh select(): unioning the raw
-        // checkpointed frames trips UnionBase.rewriteConstraints on a
-        // constraint attribute the checkpoint leaf no longer exposes
-        // (key-not-found at analysis); a Project child normalizes the
-        // constraint set — found while gating this query at sf0.001
-        var pieces = Vector(base.select("node", "label"))
-        // min over the full history == the current label (monotone)
-        def cur(): DataFrame = pieces.reduce(_ unionByName _)
-          .groupBy("node").agg(min("label").as("label"))
         var round = 0
         var converged = false
         while (round < CcMaxRounds && !converged) {
           round += 1
-          val affected = edges
-            .join(delta.select(col("node").as("src")), "src")
-            .select(col("dst").as("node")).distinct()
-          val curLabels = cur()
-          // min incoming label among changed-adjacent nodes only
+          // min incoming label from changed sources only
           val nbMin = edges
-            .join(affected.withColumnRenamed("node", "dst"), Seq("dst"),
-              "left_semi")
-            .join(curLabels.withColumnRenamed("node", "src"), "src")
-            .groupBy(col("dst").as("node")).agg(min("label").as("nb"))
+            .join(delta.select(col("node").as("src"), col("label").as("lsrc")),
+              "src")
+            .groupBy(col("dst").as("node")).agg(min("lsrc").as("nb"))
           val nextDelta = nbMin.as("n")
-            .join(curLabels.as("o"), col("n.node") === col("o.node"))
+            .join(labels.as("o"), col("n.node") === col("o.node"))
             .filter(col("n.nb") < col("o.label"))
             .select(col("n.node").as("node"), col("n.nb").as("label"))
-          delta = graft.ops.RoundState.pinned(nextDelta)
-          pieces = pieces :+ delta.select("node", "label")
+          delta = graft.ops.RoundState.of(nextDelta)
+          // fold Δ into the maintained labels: coalesce == min because
+          // every Δ row won the nb < label filter above
+          labels = graft.ops.RoundState.next(
+            labels.as("l").join(delta.as("dl"), Seq("node"), "left")
+              .select(col("node"),
+                coalesce(col("dl.label"), col("l.label")).as("label")),
+            labels)
           // empty Δ = fixpoint of a monotone update: the remaining
           // unrolled oracle rounds are the identity — exact early exit
           converged = delta.limit(1).isEmpty
         }
-        cur().select(col("node"), col("label").as("component"))
+        labels.select(col("node"), col("label").as("component"))
           .orderBy("node")
       },
       // every CTE MATERIALIZED: l(i-1) is referenced twice per round

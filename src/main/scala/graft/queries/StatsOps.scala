@@ -202,7 +202,14 @@ object StatsOps {
         // per row was the residual cost after the hash cut (4.5 s →
         // ~2 s at sf0.1); long math is codegen-primitive and the sums
         // stay exact (5e3 cents × w≤4 × 6e9 rows ≈ 1.2e17 << 2^63)
-        val base = Tables.lineitem(s, d)
+        // balanced BEFORE the md5 + 32 weight-case evaluations (r17):
+        // the per-row hash/case work is this query's floor and ran
+        // single-threaded in the one-row-group scan stage; the
+        // rebalance moves 6 narrow columns once (no-op on real
+        // multi-file input)
+        val base = Tables.balanced(Tables.lineitem(s, d)
+            .select("l_returnflag", "l_quantity", "l_orderkey",
+              "l_linenumber", "l_partkey", "l_suppkey"))
           .select(col("l_returnflag"),
             floor(col("l_quantity") * 100 + 0.5).cast("long").as("q"),
             md5(rk).as("dig"))

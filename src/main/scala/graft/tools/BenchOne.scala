@@ -19,6 +19,15 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Same intra-JVM stability confs as Bench (r17): without them a
+      // multi-rep BenchOne run ages exactly like the r16 full bench did
+      // (codegen-cache churn + status-store growth), so rep 4-5 medians
+      // drift up and A/B comparisons lie.
+      .config("spark.sql.codegen.cache.maxEntries", "16384")
+      .config("spark.ui.retainedJobs", "300")
+      .config("spark.ui.retainedStages", "500")
+      .config("spark.ui.retainedTasks", "10000")
+      .config("spark.sql.ui.retainedExecutions", "100")
       .config("spark.sql.legacy.allowHashOnMapType", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

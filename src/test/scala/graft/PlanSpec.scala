@@ -372,14 +372,20 @@ class PlanSpec extends SparkSpec {
   test("q_graph_triangles intersects broadcast adjacency arrays; edges never shuffle into a wedge join") {
     // The round-9 rewrite's contract: both adjacency attachments are
     // broadcast hash joins, and no sort-merge join (the old wedge
-    // self-join shape) remains in the plan.
+    // self-join shape) remains in the plan. Passthrough (the
+    // PlanLintSpec mechanism) since r17: the shared staged triangle
+    // enumeration (GraphOps.orientedTriangles) otherwise hides the
+    // adjacency joins behind a checkpoint leaf in gate mode.
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
-    val plan = planOf("q_graph_triangles")
-    val smjOnNodes = collectAll(plan) { case j: SortMergeJoinExec => j }
-      .filter(_.leftKeys.exists(_.toString.contains("src")))
-    assert(smjOnNodes.isEmpty, "wedge-style sort-merge join crept back in")
-    assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 2,
-      "both adjacency lookups should be broadcast hash joins")
+    spark.conf.set("spark.graft.stageCache.passthrough", "true")
+    try {
+      val plan = planOf("q_graph_triangles")
+      val smjOnNodes = collectAll(plan) { case j: SortMergeJoinExec => j }
+        .filter(_.leftKeys.exists(_.toString.contains("src")))
+      assert(smjOnNodes.isEmpty, "wedge-style sort-merge join crept back in")
+      assert(collectAll(plan) { case j: BroadcastHashJoinExec => j }.size >= 2,
+        "both adjacency lookups should be broadcast hash joins")
+    } finally spark.conf.unset("spark.graft.stageCache.passthrough")
   }
 
   test("q_text_bpe_train picks each merge via TakeOrdered, never a global sort") {
