@@ -177,7 +177,10 @@ object Functions {
          FROM events ORDER BY event_id"""),
 
     QueryDef("q_json_fns",
-      (s, d) => Tables.events(s, d).select(
+      // balanced (r17): two JSON parses + one JSON render per row ran
+      // single-threaded in the one-row-group scan stage
+      (s, d) => Tables.balanced(Tables.events(s, d)
+          .select("event_id", "event_type", "props")).select(
         col("event_id"),
         get_json_object(col("props"), "$.k").as("k_str"),
         get_json_object(col("props"), "$.k").cast("long").as("k_int"),

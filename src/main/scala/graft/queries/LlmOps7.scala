@@ -155,10 +155,13 @@ FROM qq ORDER BY vec_id"""),
         def sj(j: Int) = slice(ws, lit(1 + j), size(ws) - 4)
         val grams = (1 to 4).foldLeft(sj(0))((acc, j) =>
           zip_with(acc, sj(j), (a, b) => concat(a, lit(" "), b)))
-        val docGrams = Tables.documents(s, d)
+        // array_distinct in-row (r17): (doc_id, gram) duplicates only
+        // ever occur within one document, so per-doc dedup replaces the
+        // corpus-wide distinct — the exploded 5-gram stream no longer
+        // shuffles; documentsBalanced parallelizes the gram build
+        val docGrams = Tables.documentsBalanced(s, d)
           .filter(size(ws) >= 5)
-          .select(col("doc_id"), explode(grams).as("gram"))
-          .distinct()
+          .select(col("doc_id"), explode(array_distinct(grams)).as("gram"))
           .localCheckpoint(eager = false) // feeds both the df agg and the join
         val df = docGrams.groupBy("gram").agg(count(lit(1)).as("df"))
         docGrams.join(df, "gram")

@@ -93,6 +93,10 @@ object Round13Ops3 {
     QueryDef("q_text_unigram_train",
       (s, d) => {
         graft.functions.LnIeee.register(s)
+        // NOT balanced (r17 optimization round, measured and rejected):
+        // `words` re-appears in every EM round's plan, so a rebalance
+        // multiplies the keyless repartition's local sort across rounds
+        // — measured 2.76 → 4.15 s. Left single-threaded.
         val words = Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("word"))
           .filter(col("word").rlike("^[a-z]{1,8}$"))

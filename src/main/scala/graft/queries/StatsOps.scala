@@ -35,7 +35,10 @@ object StatsOps {
         val y = col("l_quantity").cast("decimal(18,2)")
         val x1 = col("l_discount").cast("decimal(18,2)")
         val x2 = col("l_tax").cast("decimal(18,2)")
-        Tables.lineitem(s, d)
+        // balanced (r17): ten decimal sums/row of partial-agg work ran
+        // single-threaded in the one-row-group scan stage
+        Tables.balanced(Tables.lineitem(s, d)
+            .select("l_returnflag", "l_quantity", "l_discount", "l_tax"))
           .groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
             sum(x1).cast("double").as("s1"), sum(x2).cast("double").as("s2"),
