@@ -50,11 +50,27 @@ object Round17Ops3 {
       HnswIndex.buildE0(stand))
     val b1 = v.filter(col("vec_id") % 10 === B1).select("vec_id", "embedding")
     val b2 = v.filter(col("vec_id") % 10 === B2).select("vec_id", "embedding")
-    val (v1, e01, _, _) = HnswIndex.insert(stand, e0s, b1)
-    val (v2, e02, e1f, e2f) = HnswIndex.insert(v1, e01, b2)
-    val q = v2.filter(col("vec_id") < NQueries)
+    // The twice-maintained standing layer 0 is staged under a content
+    // key (r17 optimization round) — the same treatment the
+    // incremental/delete/churn maintenance twins give their composed
+    // standing state: the K-batch index is the persistent store
+    // artifact; the drift READOUT below recomputes every run. Both
+    // inserts live inside the build lambda so a cache hit constructs
+    // neither (insert checkpoints eagerly at construction). Gate mode
+    // (no cache dir) runs the full two-insert composition.
+    val e02 = graft.ops.StageCache.keyed(s, s"hnsw_e0:drift$B1-$B2:$d") {
+      val (v1, e01, _, _) = HnswIndex.insert(stand, e0s, b1)
+      HnswIndex.insert(v1, e01, b2)._2
+    }
+    // The post-insert corpus is the FULL corpus (stand ∪ b1 ∪ b2 = v),
+    // so the upper layers insert() rebuilds are content-equal to the
+    // staged full-corpus layers the from-scratch side already reads
+    // (layerEdges is deterministic in its input content) — search the
+    // maintained index through those instead of rebuilding per run.
+    val q = v.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val annInc = HnswIndex.topk(v2, e02, e1f, e2f, q)
+    val annInc = HnswIndex.topk(v, e02,
+        stagedFullEdges(s, d, v, 1), stagedFullEdges(s, d, v, 2), q)
       .select(col("q_id"), col("neighbor_id"))
     // from-scratch over the same final corpus — the staged full
     // substrate q_similarity_hnsw itself searches
