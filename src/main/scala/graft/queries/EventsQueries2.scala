@@ -537,24 +537,67 @@ object EventsQueries2 {
     QueryDef("q_events_trend",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        // hourly frame checkpointed eagerly (r17 optimization round):
+        // it is bucket-bounded (~hundreds of rows per type) and feeds
+        // both pair sides — without it the corpus aggregation + window
+        // re-ran per consumer. Content unchanged.
         val hb = Tables.events(s, d)
           .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
             floor(col("value") * 1000000).cast("long").as("v"))
           .groupBy("event_type", "h").agg(sum("v").as("x"))
           .withColumn("k", row_number().over(Window.partitionBy("event_type")
             .orderBy("h")).cast("long"))
-        val pairs = hb.as("a").join(hb.as("b"),
+          .localCheckpoint(eager = true)
+        // Probe side rebalanced: hb is a handful of in-memory blocks, so
+        // the ~1.2M-row pair expansion ran in as many tasks as blocks.
+        val pairs = Tables.balanced(hb).as("a").join(hb.as("b"),
             expr("a.event_type = b.event_type AND a.k < b.k"))
           .select(col("a.event_type").as("event_type"),
             col("a.k").as("i"), col("b.k").as("j"),
             ((col("b.x") - col("a.x")).cast("double") /
               (col("b.k") - col("a.k")).cast("double")).as("slope"))
-        val m = pairs.groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+        // n_pairs = C(n, 2) per type, derived from the hourly counts —
+        // k ranges 1..n and the join keeps exactly the k_a < k_b pairs,
+        // so the count is n·(n−1)/2 arithmetically (exact BIGINTs,
+        // identical values); saves a full second pass over the pair
+        // stream (r17 optimization round).
+        val m = hb.groupBy("event_type").agg(count(lit(1)).as("nh"))
+          .select(col("event_type"),
+            expr("(nh * (nh - 1)) div 2").as("n_pairs"))
+        // Sharded exact median (r17 optimization round): the old global
+        // row_number sorted the full ~1.2M-row pair stream in one task
+        // per event_type. Instead: slope-range-bucket each pair (any
+        // monotone bucket function preserves the (slope, i, j) global
+        // order ACROSS buckets — equal slopes share a bucket, so the
+        // global rank-r row is the (r − count-before-bucket)-th row of
+        // its bucket in the same order), count per bucket, locate the
+        // median's bucket via a B-bounded prefix sum, and sort ONLY
+        // that bucket. The picked row and every output value are
+        // bit-identical; the pair stream is re-probed instead of
+        // sorted (it is a cheap broadcast expansion of the
+        // checkpointed hourly frame).
+        val stats = pairs.groupBy("event_type")
+          .agg(min("slope").as("lo"), max("slope").as("hi"))
+        def bucketed(p: org.apache.spark.sql.DataFrame) =
+          p.join(broadcast(stats), "event_type")
+            .withColumn("bkt", when(col("hi") <= col("lo"), lit(0L))
+              .otherwise(least(lit(4095L),
+                floor((col("slope") - col("lo")) / (col("hi") - col("lo"))
+                  * lit(4096.0)).cast("long"))))
+        val cumW = Window.partitionBy("event_type").orderBy("bkt")
+        val tgt = bucketed(pairs).groupBy("event_type", "bkt")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cumb", sum("c").over(cumW) - col("c"))
+          .join(broadcast(m), "event_type")
+          .withColumn("r", expr("(n_pairs + 1) div 2"))
+          .filter(col("cumb") < col("r") && col("r") <= col("cumb") + col("c"))
+          .select(col("event_type"), col("bkt"), col("cumb"), col("r"),
+            col("n_pairs"))
         val pick = Window.partitionBy("event_type")
           .orderBy(col("slope").asc, col("i").asc, col("j").asc)
-        pairs.withColumn("rk", row_number().over(pick).cast("long"))
-          .join(broadcast(m), "event_type")
-          .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+        bucketed(pairs).join(broadcast(tgt), Seq("event_type", "bkt"))
+          .withColumn("rk", row_number().over(pick).cast("long"))
+          .filter(col("rk") === col("r") - col("cumb"))
           .select(col("event_type"), col("n_pairs"),
             col("slope").as("median_slope_micro_per_hour"))
           .orderBy("event_type")

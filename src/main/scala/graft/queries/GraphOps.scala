@@ -402,12 +402,22 @@ object GraphOps {
         val pairs = coOrderPairs(s, d)
         val adj = pairs.select(col("a").as("node"), col("b").as("nbr"))
           .unionAll(pairs.select(col("b").as("node"), col("a").as("nbr")))
-        val w = Window.partitionBy("node").orderBy("nbr")
-        val capped = adj.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 16).select("node", "nbr")
-        val cand = capped.as("x").join(capped.as("y"),
-            expr("x.node = y.node AND x.nbr < y.nbr"))
-          .groupBy(col("x.nbr").as("a"), col("y.nbr").as("b"))
+        // Capped wedge pairs generated IN-ROW (r17 optimization round):
+        // the 16 smallest neighbors per node are slice(sort_array(...))
+        // of the collected adjacency — identical to the row_number ≤ 16
+        // window (nbr is unique per node) — and the C(16,2) pairs come
+        // from one bounded in-row expansion instead of the capped×capped
+        // self-join. Drops the window sort over the full adjacency AND
+        // the join's two exchanges; x.nbr < y.nbr orientation is the
+        // sorted order. Counts identical.
+        val capped16 = adj.groupBy("node")
+          .agg(slice(sort_array(collect_list(col("nbr"))), 1, 16).as("ns"))
+        val cand = capped16
+          .select(explode(flatten(transform(col("ns"), (x, i) =>
+            transform(slice(col("ns"), i + lit(2),
+                greatest(size(col("ns")) - i - lit(1), lit(0))),
+              y => struct(x.as("a"), y.as("b")))))).as("pr"))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
           .agg(count(lit(1)).as("common"))
         cand.join(pairs, Seq("a", "b"), "left_anti")
           .orderBy(col("common").desc, col("a").asc, col("b").asc)
@@ -486,7 +496,13 @@ object GraphOps {
         // join never enumerates a hub part's wedges only to drop them,
         // and the distinct+cap subtree isn't re-executed per side
         val incf = cappedIncidence(s, d)
-        val wedges = incf.as("x").join(incf.as("y"),
+        // Probe side rebalanced (r17 optimization round, Tables.balanced
+        // guard): the staged incidence is ~4 MB of parquet, packed into
+        // ONE scan partition, so the 5.1M-row wedge expansion + partial
+        // (s1, s2, deg) combine ran single-threaded. The probe is
+        // consumed once and the per-row expansion dwarfs the 388k-row
+        // exchange (§9 rule); the build side stays as the broadcast.
+        val wedges = Tables.balanced(incf).as("x").join(incf.as("y"),
             expr("x.part = y.part AND x.supp < y.supp"))
           .groupBy(col("x.supp").as("s1"), col("y.supp").as("s2"),
             col("x.deg").as("deg"))

@@ -171,12 +171,26 @@ object LlmOps8 {
     // BIGINTs; top-20 plans as TakeOrdered.
     QueryDef("q_basket_pairs",
       (s, d) => {
-        val b = Tables.lineitem(s, d)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val pairs = b.as("b1").join(b.as("b2"),
-            col("b1.l_orderkey") === col("b2.l_orderkey") &&
-              col("b1.l_partkey") < col("b2.l_partkey"))
-          .groupBy(col("b1.l_partkey").as("p1"), col("b2.l_partkey").as("p2"))
+        // distinct baskets staged once (r17 optimization round): the
+        // pair join consumed b twice and partN/total once more — four
+        // distinct rebuilds off the single-row-group scan.
+        val b = graft.ops.StageCache.stage(Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")).distinct())
+        // Within-basket pairs generated IN-ROW from the per-order sorted
+        // part list instead of the orderkey self-join: baskets are
+        // line-count-bounded (TPC-H ≤ 7), so the C(n,2) expansion per
+        // row is tiny, and the join's two orderkey exchanges collapse
+        // into one groupBy exchange. sort_array ⇒ ps[i] < ps[j] for
+        // i < j — exactly the b1.l_partkey < b2.l_partkey orientation;
+        // identical pair multiset, identical counts.
+        val baskets = b.groupBy("l_orderkey")
+          .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+        val pairs = baskets
+          .select(explode(flatten(transform(col("ps"), (x, i) =>
+            transform(slice(col("ps"), i + lit(2),
+                greatest(size(col("ps")) - i - lit(1), lit(0))),
+              y => struct(x.as("p1"), y.as("p2")))))).as("pr"))
+          .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
           .agg(count(lit(1)).as("n12"))
         val partN = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
         val total = b.agg(countDistinct(col("l_orderkey")).as("n_baskets"))

@@ -58,14 +58,23 @@ object Round11Ops {
             explode(split(col("text"), " ")).as("w"))
           .filter(length(col("w")) > 0)
           .select(col("doc_id"), col("lang"), md5Bucket(col("w"), 256).as("bucket"))
-        val perDoc = feat.groupBy("doc_id", "bucket")
-          .agg(count(lit(1)).as("cnt"))
-        val tgt = feat.filter(col("lang") === "en")
-          .groupBy("bucket").agg(count(lit(1)).as("ct"))
-        val raw = feat.groupBy("bucket").agg(count(lit(1)).as("cr"))
-        val totals = broadcast(feat.agg(
-          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
-          count(lit(1)).as("nr")))
+        // One combine over the exploded stream, staged (r17 optimization
+        // round): perDoc/tgt/raw/totals each re-ran the corpus explode +
+        // md5 (4 scans in the captured plan). A doc has exactly one
+        // lang, so grouping by (doc_id, lang, bucket) carries lang
+        // along without changing the (doc_id, bucket) counts; the
+        // feature-table counts and totals are exact integer sums of
+        // these per-doc counts — identical values, one corpus pass.
+        val pdl = graft.ops.StageCache.stage(feat
+          .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt")))
+        val perDoc = pdl.select("doc_id", "bucket", "cnt")
+        val tgt = pdl.filter(col("lang") === "en")
+          .groupBy("bucket").agg(sum("cnt").cast("long").as("ct"))
+        val raw = pdl.groupBy("bucket").agg(sum("cnt").cast("long").as("cr"))
+        val totals = broadcast(pdl.agg(
+          sum(when(col("lang") === "en", col("cnt")).otherwise(0L))
+            .cast("long").as("nt"),
+          sum("cnt").cast("long").as("nr")))
         val lam = raw.join(tgt, Seq("bucket"), "left").crossJoin(totals)
           .select(col("bucket"),
             (ln((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /

@@ -30,12 +30,17 @@ object Round11Ops17 {
     // 2× factor cancels in ρ.
     QueryDef("q_stats_spearman",
       (s, d) => {
-        // NOT balanced (r17 optimization round, measured and rejected):
-        // base feeds three branches that column-pruning specializes to
-        // three DIFFERENT exchanges (q-only, p-only, q+p), so a
-        // rebalance is not reused and each branch pays the keyless
-        // repartition's local sort — measured 1.54 → 3.14 s. The
-        // single-threaded partial aggs are the cheaper evil here.
+        // NOT balanced (r17 optimization round, measured and rejected
+        // TWICE): base feeds three branches that column-pruning
+        // specializes to three DIFFERENT exchanges (q-only, p-only,
+        // q+p), so a per-branch rebalance is not reused and each one
+        // pays the keyless repartition's local sort — measured
+        // 1.54 → 3.14 s. A single pinned rebalance (repartition +
+        // eager localCheckpoint leaf serving all three consumers,
+        // Tables.balancedPinned) was ALSO measured worse — 1.70 →
+        // 2.75 s: the 600k-row exchange + materialization costs more
+        // than the single-threaded partial aggs it parallelizes. The
+        // plain shape stays.
         val base = Tables.lineitem(s, d)
           .select(col("l_quantity").cast("long").as("q"),
             col("l_extendedprice").as("p"))

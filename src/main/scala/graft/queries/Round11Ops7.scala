@@ -139,6 +139,13 @@ object Round11Ops7 {
         val docs = Tables.documents(s, d)
         val tokens = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("word"))
+        // NOT staged (r17 optimization round, measured and rejected):
+        // staging tf + deriving dl/n_tokens as Σ tf cut the plan's six
+        // corpus explodes to one but measured 1.18 → 1.35 s — the
+        // per-session parquet write of the corpus-sized tf frame costs
+        // more than the (cheap, parallel) explode rebuilds it saves at
+        // this scan size. Shape kept; revisit if the token stream ever
+        // dominates the profile.
         val tf = tokens.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
         val dl = tokens.groupBy("doc_id").agg(count(lit(1)).as("dl"))
         val stats = docs.agg(count(lit(1)).as("n_docs"))

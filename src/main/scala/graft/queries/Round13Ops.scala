@@ -200,11 +200,17 @@ object Round13Ops {
           .select(col("doc_id"), col("text"),
             md5(col("text").cast("binary")).as("h"))
         val isDead = col("doc_id") % 37 === 3
-        val dead = docs.filter(isDead)
-        val live = docs.filter(!isDead)
+        // (doc_id, h) staged once (r17 optimization round): the digest
+        // store, the tombstone digests, the survivor re-election and
+        // the corpus row all need only the id→digest map, but each one
+        // re-scanned documents and re-hashed text (6 corpus scans in
+        // the captured plan). Content identical — md5 is deterministic.
+        val dh = graft.ops.StageCache.stage(docs.select("doc_id", "h"))
+        val dead = dh.filter(isDead)
+        val live = dh.filter(!isDead)
 
         // -- digest store repair --
-        val store = docs.groupBy("h")
+        val store = dh.groupBy("h")
           .agg(count(lit(1)).as("old_n"), min("doc_id").as("old_keep"))
         val delH = dead.groupBy("h")
           .agg(count(lit(1)).as("n_del"), min("doc_id").as("min_dead"))
@@ -222,12 +228,16 @@ object Round13Ops {
               .otherwise(col("old_keep")).as("new_keep"))
 
         // -- postings repair --
-        val tf = docs
+        // tf staged once (r17 optimization round): it feeds the old-top
+        // ranking AND the re-election ranking, and the dead posting set
+        // below is exactly its dead-id slice — so one corpus explode +
+        // combine replaces two explodes plus a per-consumer rebuild.
+        val tf = graft.ops.StageCache.stage(docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-        val deadT = dead
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-          .select("term", "doc_id").distinct()
+          .groupBy("term", "doc_id").agg(count(lit(1)).as("tf")))
+        // distinct (term, doc_id) of dead docs == tf's dead-id slice
+        // (tf is already grouped per (term, doc_id)) — content identical
+        val deadT = tf.filter(isDead).select("term", "doc_id")
         val delT = deadT.groupBy("term").agg(count(lit(1)).as("n_del"))
         val byTerm = Window.partitionBy("term")
         val oldR = tf.join(delT.select("term"), Seq("term"), "leftsemi")
@@ -260,7 +270,7 @@ object Round13Ops {
               .as("new_keep"))
 
         // -- corpus cardinality --
-        val corpusRow = docs
+        val corpusRow = dh
           .agg(count(lit(1)).as("old_n"),
             count(when(!isDead, lit(1))).as("new_n"))
           .select(lit("corpus").as("kind"), lit("*").as("key"),

@@ -97,7 +97,14 @@ object Round13Ops2 {
         var w: DataFrame = s.range(0, 65).toDF("bucket")
           .select(col("bucket"), lit(0L).as("w"))
         val trail = (1 to lrRounds).map { i =>
-          w = lrRound(feat, lab, w, nDocs)
+          // eager checkpoint of the 65-row weight frame per round (r17
+          // optimization round): without it the unrolled trail plan
+          // re-executed every earlier round's corpus-wide z/gradient
+          // joins inside each later round AND inside each union branch
+          // (measured: 88 parquet scans / 170 Exchanges in one plan) —
+          // the round-13 lazy-lineage finding applied to LR. Content
+          // unchanged: the checkpoint materializes the identical frame.
+          w = lrRound(feat, lab, w, nDocs).localCheckpoint(eager = true)
           w.select(lit(i.toLong).as("iter"), col("bucket"), col("w"))
         }
         trail.reduce(_.unionAll(_)).orderBy("iter", "bucket")

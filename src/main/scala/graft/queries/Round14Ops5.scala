@@ -169,19 +169,28 @@ object Round14Ops5 {
         def coveredOf(p: org.apache.spark.sql.DataFrame) =
           docs.join(broadcast(p.select("doc_id")), "doc_id")
             .select(col("doc_id"), shingles).select("word").distinct()
+        // p1/c1/p2/c2 are k-BOUNDED (1-row picks; covered sets ≤ k docs'
+        // vocabularies) but feed 2–4 consumers each, and lazily every
+        // consumer re-executed the full prior round chain (measured:
+        // 17 documents scans / 51 Exchanges in the captured plan —
+        // r17 optimization round, second pass). Eager checkpoints make
+        // each greedy round execute exactly once; content unchanged.
         val p1 = top1(types.groupBy("doc_id")
-          .agg(count(lit(1)).as("gain")))
-        val c1 = coveredOf(p1)
+          .agg(count(lit(1)).as("gain"))).localCheckpoint(eager = true)
+        val c1 = coveredOf(p1).localCheckpoint(eager = true)
         val t2 = types
           .join(broadcast(p1.select("doc_id")), Seq("doc_id"), "left_anti")
           .join(broadcast(c1), Seq("word"), "left_anti")
         val p2 = top1(t2.groupBy("doc_id").agg(count(lit(1)).as("gain")))
+          .localCheckpoint(eager = true)
         val c2 = c1.unionByName(coveredOf(p2)).distinct()
+          .localCheckpoint(eager = true)
         val picked12 = p1.select("doc_id").unionByName(p2.select("doc_id"))
         val t3 = types
           .join(broadcast(picked12), Seq("doc_id"), "left_anti")
           .join(broadcast(c2), Seq("word"), "left_anti")
         val p3 = top1(t3.groupBy("doc_id").agg(count(lit(1)).as("gain")))
+          .localCheckpoint(eager = true)
         val c3 = c2.unionByName(coveredOf(p3)).distinct()
         def row(r: Int, p: org.apache.spark.sql.DataFrame,
             c: org.apache.spark.sql.DataFrame) =
